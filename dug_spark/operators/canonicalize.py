@@ -1,0 +1,122 @@
+"""Entity canonicalization: connected components over equivalence edges.
+
+The reference resolves each identifier independently through the NodeNorm
+HTTP service (annotators/_base.py:143-180) — two mentions whose CURIEs sit
+in the same equivalence set collapse only if NodeNorm returns the same
+preferred id for both.  At corpus scale the equivalence relation is a
+graph (``equivalent_identifiers`` arrays overlap transitively), so the
+Spark-native formulation is **iterative min-label propagation /
+connected components over DataFrame joins** (GraphFrames-style, per the
+BASELINE north_star), with ``localCheckpoint()`` every iteration to cut
+lineage.
+
+Algorithm (large-star/small-star simplified to symmetric min-propagation):
+    comp(v) ← v
+    repeat: comp(v) ← min(comp(v), min over neighbors u of comp(u))
+    until fixpoint (converges in O(log n) rounds on typical graphs, ≤
+    diameter rounds worst case).
+
+Canonical id election: lexicographic min of ``preferred_id`` members in
+the component (deterministic — the reference's election is "whatever
+NodeNorm says", which is a fixed function of the same table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equivalence_edges(curie_norm: DataFrame) -> DataFrame:
+    """norm table → undirected edge list (src, dst), src≠dst, from
+    curie↔preferred_id and curie↔each equivalent identifier."""
+    base = curie_norm.select(
+        F.col("curie").alias("src"), F.col("preferred_id").alias("dst")
+    )
+    eq = curie_norm.select(
+        F.col("curie").alias("src"),
+        F.explode_outer("equivalent_identifiers").alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    edges = base.unionByName(eq).where(F.col("src") != F.col("dst"))
+    # symmetrize once; dedupe to keep the join small
+    return (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(src, dst) → (id, comp) with comp = min node id reachable.
+
+    Early-exits when an iteration changes no label.  Each round is one
+    shuffle (join on src) + one aggregation; `localCheckpoint` truncates
+    the logical plan so round k doesn't replay rounds 1..k-1.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # comp of each node's neighbors
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_mapping(curie_norm: DataFrame, max_iter: int = 25) -> DataFrame:
+    """norm table → (curie, canonical_id): every CURIE in an equivalence
+    component maps to the lexicographically smallest preferred_id in it
+    (falling back to smallest member id for components with no norm row)."""
+    edges = equivalence_edges(curie_norm)
+    comps = connected_components(edges, max_iter=max_iter)
+    preferred = curie_norm.select(
+        F.col("preferred_id").alias("id"), F.col("preferred_id").alias("pref")
+    ).distinct()
+    elected = (
+        comps.join(preferred, "id", "left")
+        .groupBy("comp")
+        .agg(F.min("pref").alias("canon_pref"), F.min("id").alias("canon_any"))
+        .withColumn("canonical_id", F.coalesce("canon_pref", "canon_any"))
+        .select("comp", "canonical_id")
+    )
+    return (
+        comps.join(elected, "comp")
+        .select(F.col("id").alias("curie"), "canonical_id")
+    )
+
+
+def canonicalize_mentions(
+    normalized_mentions: DataFrame, curie_norm: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Rewrite each normalized mention's curie to its component canonical
+    id; mentions outside the norm graph (greenlisted survivors) keep their
+    own id."""
+    mapping = canonical_mapping(curie_norm, max_iter=max_iter)
+    out = normalized_mentions.join(
+        F.broadcast(mapping), "curie", "left"
+    )
+    return out.withColumn(
+        "curie", F.coalesce("canonical_id", "curie")
+    ).drop("canonical_id")

@@ -1,0 +1,73 @@
+"""End-to-end pipeline on the deterministic synthetic corpus."""
+
+from pyspark.sql import functions as F
+
+from dug_spark import fixtures
+from dug_spark.pipeline import Pipeline
+
+
+def _pipeline(spark):
+    return Pipeline(
+        dictionary=fixtures.heart_dictionary(spark),
+        curie_norm=fixtures.curie_norm(spark),
+        synonyms=fixtures.synonyms(spark),
+        kg_edges=fixtures.kg_edges(spark),
+    )
+
+
+def test_end_to_end_triples(spark):
+    corpus = fixtures.heart_corpus(spark, n_docs=48)
+    res = _pipeline(spark).run(corpus)
+    trips = res.triples.collect()
+    assert len(trips) > 0
+    preds = {t["pred"] for t in trips}
+    assert "HAS_CONCEPT" in preds
+    assert "biolink:subclass_of" in preds
+    assert "co_mentioned_with" in preds
+    # canonicalization happened: no mention-level curie that normalizes
+    # away should appear as a triple object
+    objs = {t["obj"] for t in trips if t["pred"] == "HAS_CONCEPT"}
+    assert "UBERON:0015230" not in objs
+    assert "HP:0001658" not in objs  # collapses into MONDO:0005068
+    # lineage + partition metadata present on every row
+    assert all(t["lineage"] is not None for t in trips)
+
+
+def test_pipeline_html_path_matches_text_path(spark):
+    corpus = fixtures.heart_corpus(spark, n_docs=24)
+    p_text = _pipeline(spark)
+    p_html = _pipeline(spark)
+    p_html.use_extracted_html = True
+    t1 = {
+        (t["subj"], t["pred"], t["obj"])
+        for t in p_text.run(corpus).triples.collect()
+    }
+    t2 = {
+        (t["subj"], t["pred"], t["obj"])
+        for t in p_html.run(corpus).triples.collect()
+    }
+    # byte-identical extraction ⇒ identical triple sets
+    assert t1 == t2
+
+
+def test_pipeline_filters_lang(spark):
+    corpus = fixtures.heart_corpus(spark, n_docs=24)
+    res = _pipeline(spark).run(corpus)
+    non_en = {
+        r["url"] for r in corpus.where(F.col("lang") != "en").collect()
+    }
+    ments = {r["url"] for r in res.mentions.collect()}
+    assert ments.isdisjoint(non_en)
+
+
+def test_pipeline_determinism(spark):
+    corpus = fixtures.heart_corpus(spark, n_docs=24)
+    a = {
+        (t["subj"], t["pred"], t["obj"])
+        for t in _pipeline(spark).run(corpus).triples.collect()
+    }
+    b = {
+        (t["subj"], t["pred"], t["obj"])
+        for t in _pipeline(spark).run(corpus).triples.collect()
+    }
+    assert a == b
