@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from dug_spark import fixtures
-from dug_spark.operators import annotate, canonicalize, dedup, normalize, triples as triples_op
+from dug_spark.operators import (
+    annotate,
+    canonicalize,
+    dedup,
+    expand,
+    multimodal,
+    normalize,
+    similarity,
+)
+from dug_spark.operators import triples as triples_op
 
 GREENLIST_SQL = "('PATO','CHEBI','MONDO','UBERON','HP','MESH','UMLS')"
 
@@ -192,6 +201,32 @@ def q_kg_canonical_mapping(spark, sf_dir):
     )
 
 
+# Fixed identifier set for the KG-expansion oracle (heart fixtures are
+# deterministic and sf-independent).
+_EXPAND_IDS = [
+    "MONDO:0005068", "MONDO:0004979", "HP:0001658", "CHEBI:15365",
+    "UBERON:0000948",
+]
+_TMPL_ROWS = [
+    (q, pfx, expand._SNAKE_TO_CLASS.get(obj, obj), obj)
+    for q, (src, obj) in expand.DEFAULT_QUERIES.items()
+    for pfx in expand.CURIE_PREFIXES.get(src, [])
+]
+_CAT_ROWS = [(i, c) for (i, _n, cats, _s) in fixtures.KG_NODE_ROWS for c in cats]
+_HEART_EDGES = [(s, p, o) for (_i, s, p, o, _pub) in fixtures.KG_EDGE_ROWS]
+
+
+def q_kg_expand(spark, sf_dir):
+    """J7/J8/F4/F8: template-gated 1-hop KG expansion with answer ids."""
+    ids = spark.createDataFrame(
+        [(c, c) for c in _EXPAND_IDS], "concept_id string, curie string"
+    )
+    ans = expand.expand_concepts(ids, fixtures.kg_edges(spark), fixtures.kg_nodes(spark))
+    return ans.select(
+        "concept_id", "query_name", "answer_id", "subject", "predicate", "object"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational operators (SURVEY §2.2–2.6) over the TPC-H-ish testdata.
 
@@ -338,6 +373,36 @@ def q_rel_window_hourly(spark, sf_dir):
     )
 
 
+def q_rel_facet_exclude(spark, sf_dir):
+    """A14 (server.py:234-275): exclude-own-filter faceting — each facet
+    key counts values under every OTHER filter."""
+    from dug_spark.operators.search import facet_counts
+
+    ev = _pq(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).cast("string").alias("bucket")
+    )
+    out = facet_counts(
+        ev,
+        ["event_type", "bucket"],
+        {"event_type": ["click", "error"], "bucket": ["0", "1"]},
+    )
+    a = out["event_type"].withColumn("facet", F.lit("event_type"))
+    b = out["bucket"].withColumn("facet", F.lit("bucket"))
+    return a.unionByName(b).select("facet", "value", "n")
+
+
+def q_rel_top_hit_per_group(spark, sf_dir):
+    """A9 (async_search.py:477-533): terms agg + top_hits(1) — first event
+    per event_type by (ts, event_id)."""
+    ev = _pq(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("event_type", "event_id", "user_id")
+    )
+
+
 def q_search_scored(spark, sf_dir):
     """§3.2 boosted search scoring: weighted term hits, top-20
     deterministic."""
@@ -440,6 +505,56 @@ def q_knn_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Non-SQL-expressible ops (rows-only driver check): LSH families, media
+# plumbing, node→element casting.
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup (banded candidates verified by exact Jaccard)."""
+    return dedup.minhash_near_duplicates(
+        _pq(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash banded Hamming pairs (hamming≤7 with 8 blocks is exact)."""
+    return dedup.simhash_near_duplicates(
+        _pq(spark, sf_dir, "documents"), max_hamming=7, bands=8
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-5 for the first 50 vectors."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb.where(F.col("vec_id") < 50), emb, dim=64, k=5, bits=16, bands=8
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-cell cosine top-5 (label column as the coarse quantizer)."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-media feature extraction plumbing (deterministic stub codec)."""
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.extract_features(media, deterministic_fake=True)
+
+
+def q_kg_node_to_elements(spark, sf_dir):
+    """J9: cast qualifying KG nodes into new elements (crawler.py:203-276)."""
+    ids = spark.createDataFrame(
+        [(c, c) for c in _EXPAND_IDS], "concept_id string, curie string"
+    )
+    ans = expand.expand_concepts(ids, fixtures.kg_edges(spark), fixtures.kg_nodes(spark),
+                                 queries={"pub": ("disease", "publication")},
+                                 curie_prefixes={"disease": ["MONDO"]})
+    return expand.nodes_to_elements(ans, fixtures.kg_nodes(spark))
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 
 
@@ -469,7 +584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_all": q_kg_triples_all,
         "kg_connected_components": q_kg_connected_components,
         "kg_canonical_mapping": q_kg_canonical_mapping,
+        "kg_expand": q_kg_expand,
+        "kg_node_to_elements": q_kg_node_to_elements,
         "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_facet_exclude": q_rel_facet_exclude,
+        "rel_top_hit_per_group": q_rel_top_hit_per_group,
         "rel_top_orders": q_rel_top_orders,
         "rel_facet_counts": q_rel_facet_counts,
         "rel_program_list": q_rel_program_list,
@@ -488,6 +607,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "knn_cosine": q_knn_cosine,
+        # rows-only (no SQL-expressible oracle): LSH families, media
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -555,6 +680,36 @@ def oracle_sql() -> dict[str, str]:
             "  FROM comp c LEFT JOIN pref pr ON pr.p = c.id GROUP BY c.comp) "
             "SELECT c.id AS curie, COALESCE(el.canon_pref, el.canon_any) AS canonical_id "
             "FROM comp c JOIN elect el ON c.comp = el.comp"
+        ),
+        "kg_expand": (
+            f"WITH ids(concept_id, curie) AS (VALUES {_vals([(c, c) for c in _EXPAND_IDS])}), "
+            f"tmpl(query_name, source_prefix, object_category, object_type) AS "
+            f"(VALUES {_vals(_TMPL_ROWS)}), "
+            f"edges(subject, predicate, object) AS (VALUES {_vals(_HEART_EDGES)}), "
+            f"cats(id, category) AS (VALUES {_vals(_CAT_ROWS)}) "
+            "SELECT DISTINCT i.concept_id AS concept_id, t.query_name AS query_name, "
+            "i.curie || '_' || e.object || '_' || t.query_name AS answer_id, "
+            "i.curie AS subject, e.predicate AS predicate, e.object AS object "
+            "FROM ids i "
+            "JOIN tmpl t ON split_part(i.curie, ':', 1) = t.source_prefix "
+            "JOIN edges e ON e.subject = i.curie "
+            "JOIN cats c ON c.id = e.object AND "
+            "(lower(c.category) = lower(t.object_category) OR c.category = t.object_type) "
+            "WHERE i.curie != 'CHEBI:17336'"
+        ),
+        "rel_facet_exclude": (
+            "WITH ev AS (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket FROM events) "
+            "SELECT 'event_type' AS facet, event_type AS value, COUNT(*) AS n FROM ev "
+            "WHERE lower(bucket) IN ('0', '1') GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'bucket', bucket, COUNT(*) FROM ev "
+            "WHERE lower(event_type) IN ('click', 'error') GROUP BY bucket"
+        ),
+        "rel_top_hit_per_group": (
+            "SELECT event_type, event_id, user_id FROM ("
+            "SELECT event_type, event_id, user_id, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rk FROM events) "
+            "WHERE rk = 1"
         ),
         "rel_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

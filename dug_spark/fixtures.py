@@ -265,3 +265,58 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+# 30-word closed vocabulary of the driver's documents tables
+DOC_VOCAB = [
+    "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
+    "small", "slow", "merge", "order", "vector", "line", "data", "table",
+    "agg", "value", "key", "stream", "window", "spark", "a", "group", "part",
+    "big", "sort", "query", "fast", "the", "dup",
+]
+
+
+def synthetic_dictionary_rows(
+    n_bigrams: int = 150, n_trigrams: int = 2000, n_singles: int = 8, seed: int = 99
+) -> list:
+    """Ontology-scale synthetic term dictionary over the document
+    vocabulary (Dug's Monarch dictionary is ~10^6 surface terms — the
+    bench dictionary restores a realistic per-document annotation cost).
+
+    Single-word terms match nearly every document → they ARE the
+    skewed-hot-CURIE case from the BASELINE north_star."""
+    rng = random.Random(seed)
+    terms: set[str] = set()
+    singles = DOC_VOCAB[: n_singles]
+    while len(terms) < n_bigrams:
+        terms.add(" ".join(rng.sample(DOC_VOCAB, 2)))
+    bigrams = sorted(terms)
+    terms = set()
+    while len(terms) < n_trigrams:
+        terms.add(" ".join(rng.sample(DOC_VOCAB, 3)))
+    trigrams = sorted(terms)
+    rows = []
+    for i, t in enumerate(singles + bigrams + trigrams):
+        rows.append(
+            (
+                t,
+                f"SYN:{i:06d}",
+                f"synthetic concept {i:06d}",
+                ["thing"],
+                0.8 + (i % 20) / 100.0,
+            )
+        )
+    return rows
+
+
+def synthetic_dictionary(
+    spark: SparkSession,
+    n_bigrams: int = 150,
+    n_trigrams: int = 2000,
+    n_singles: int = 8,
+    seed: int = 99,
+) -> DataFrame:
+    return spark.createDataFrame(
+        synthetic_dictionary_rows(n_bigrams, n_trigrams, n_singles, seed),
+        schema=schemas.TERM_DICTIONARY,
+    )

@@ -46,51 +46,82 @@ def equivalence_edges(curie_norm: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    edges: DataFrame, max_iter: int = 25, num_partitions: int | None = None
 ) -> DataFrame:
     """edges(src, dst) → (id, comp) with comp = min node id reachable.
 
     Early-exits when an iteration changes no label.  Each round is one
     shuffle (join on src) + one aggregation; `localCheckpoint` truncates
     the logical plan so round k doesn't replay rounds 1..k-1.
+
+    The loop runs at a shuffle parallelism sized to the *graph* (one
+    partition per ~500k edges), not to the corpus-level default — on a
+    dimension-sized equivalence graph the driver round-trips otherwise
+    dominate wall time.
     """
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # comp of each node's neighbors
-        nbr = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "comp")
+    spark = edges.sparkSession
+    if num_partitions is None:
+        # size the loop's shuffles to the graph: ~500k edges/partition
+        n_edges = edges.count()
+        num_partitions = max(1, min(n_edges // 500_000 + 1, 2000))
+
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    # AQE's per-stage re-planning adds latency to every tiny iteration
+    # stage and buys nothing on a loop whose partitioning we fixed above
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # materialize once so the edge-derivation plan (union+distinct)
+        # isn't replayed on every iteration
+        edges = edges.localCheckpoint(eager=True)
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
         )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            # comp of each node's neighbors; carry the previous comp
+            # through the aggregation so convergence is ONE cheap agg on
+            # the checkpointed result instead of a join per iteration
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "comp", F.lit(None).cast("string").alias("prev"))
+            )
+            new_labels = (
+                labels.select("id", "comp", F.col("comp").alias("prev"))
+                .unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"), F.max("prev").alias("prev"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.where(F.col("comp") != F.col("prev")).limit(1).count()
+            )
+            labels = new_labels.select("id", "comp")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
-def canonical_mapping(curie_norm: DataFrame, max_iter: int = 25) -> DataFrame:
+def canonical_mapping(
+    curie_norm: DataFrame, max_iter: int = 25, num_partitions: int | None = None
+) -> DataFrame:
     """norm table → (curie, canonical_id): every CURIE in an equivalence
     component maps to the lexicographically smallest preferred_id in it
-    (falling back to smallest member id for components with no norm row)."""
+    (falling back to smallest member id for components with no norm row).
+
+    The norm table is dimension-sized (≪ corpus), so the CC loop defaults
+    to the parallelism of the norm scan rather than counting edges first.
+    """
     edges = equivalence_edges(curie_norm)
-    comps = connected_components(edges, max_iter=max_iter)
+    if num_partitions is None:
+        num_partitions = max(1, min(curie_norm.rdd.getNumPartitions(), 64))
+    comps = connected_components(edges, max_iter=max_iter, num_partitions=num_partitions)
     preferred = curie_norm.select(
         F.col("preferred_id").alias("id"), F.col("preferred_id").alias("pref")
     ).distinct()

@@ -83,6 +83,28 @@ def element_search_terms(
     )
 
 
+def inherit_parent_concepts(
+    element_concept: DataFrame, concept_identifier: DataFrame
+) -> DataFrame:
+    """J2 (crawler.py:124-142): elements inherit identifiers of their
+    user-defined parent concepts — for each element→concept→identifier
+    where the identifier is itself a concept id, add element→identifier.
+
+    Depth-1 transitive closure as a 2-hop join, unioned into the edge
+    table.  concept_identifier: (concept_id, identifier_id)."""
+    known = concept_identifier.select(F.col("concept_id").alias("_known")).distinct()
+    hop = (
+        element_concept.join(
+            concept_identifier,
+            element_concept["curie"] == concept_identifier["concept_id"],
+        )
+        # identifier must itself be a known concept (crawler.py:132-137)
+        .join(known, F.col("identifier_id") == F.col("_known"), "left_semi")
+        .select("element_id", F.col("identifier_id").alias("curie"))
+    )
+    return element_concept.unionByName(hop).distinct()
+
+
 def concept_optional_terms(
     kg_answers: DataFrame,
 ) -> DataFrame:

@@ -53,6 +53,7 @@ _SNAKE_TO_CLASS = {
     "small_molecule": "biolink:SmallMolecule",
     "chemical_mixture": "biolink:ChemicalMixture",
     "gene": "biolink:Gene",
+    "publication": "biolink:Publication",
 }
 
 

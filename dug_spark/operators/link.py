@@ -8,9 +8,11 @@ deterministic character-n-gram Jaccard between the mention surface and the
 candidate label (vectorized pandas UDF), combined with the dictionary
 prior.
 
-Scale: pure narrow ops + one window over (element_id, search_text) — the
-window partitions by mention, which is high-cardinality and well
-distributed, so no skew concern.
+Scale design: the score is a pure function of (surface, candidate-label,
+prior), so ranking runs on the DISTINCT (search_text, curie) pairs — a
+dictionary-bounded set — and the verdict is broadcast-joined back to the
+corpus-sized mentions table.  The 100 TB side is never shuffled or pushed
+through Python; cost is O(distinct pairs) instead of O(mentions).
 """
 
 from __future__ import annotations
@@ -21,17 +23,21 @@ from pyspark.sql import functions as F
 from ..functions.text import ngram_jaccard_udf
 
 
-def score_candidates(
-    mentions: DataFrame,
+def score_candidate_pairs(
+    pairs: DataFrame,
     score_threshold: float = 0.8,
     top_k: int = 10,
     blend: float = 0.5,
 ) -> DataFrame:
-    """MENTIONS → mentions with ``link_score``; keeps candidates whose
-    blended score ≥ threshold, then the top_k per (element, surface) by
-    (score desc, curie asc) — deterministic tie-break."""
+    """(search_text, curie, label, score) pairs → scored + ranked pairs.
+
+    Keeps pairs whose dictionary prior ≥ threshold (F5), then the top_k
+    per surface by (link_score desc, curie asc) — deterministic tie-break.
+    Per-surface ranking equals the reference's per-mention ranking because
+    every mention with the same surface sees the same candidate set.
+    """
     nj = ngram_jaccard_udf(3)
-    scored = mentions.withColumn(
+    scored = pairs.withColumn(
         "link_score",
         F.round(
             blend * F.coalesce("score", F.lit(0.0))
@@ -39,15 +45,28 @@ def score_candidates(
             6,
         ),
     )
-    # F5: threshold on the dictionary prior (reference thresholds the
-    # service score before ranking)
     kept = scored.where(F.coalesce("score", F.lit(0.0)) >= F.lit(score_threshold))
-    w = (
-        Window.partitionBy("element_id", "search_text")
-        .orderBy(F.desc("link_score"), F.asc("curie"))
-    )
+    w = Window.partitionBy("search_text").orderBy(F.desc("link_score"), F.asc("curie"))
     return (
         kept.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= top_k)
         .drop("_rk")
     )
+
+
+def score_candidates(
+    mentions: DataFrame,
+    score_threshold: float = 0.8,
+    top_k: int = 10,
+    blend: float = 0.5,
+) -> DataFrame:
+    """MENTIONS → mentions with ``link_score``, thresholded + top-k.
+
+    The distinct-pair table is broadcast back onto mentions, so the big
+    side stays un-shuffled (T3 semantics, sapbert_annotator.py:276-319).
+    """
+    pairs = mentions.select("search_text", "curie", "label", "score").distinct()
+    kept = score_candidate_pairs(pairs, score_threshold, top_k, blend).select(
+        "search_text", "curie", "link_score"
+    )
+    return mentions.join(F.broadcast(kept), ["search_text", "curie"], "inner")

@@ -65,10 +65,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratios; 'unk' when the best ratio is below 1%."""
     toks = _tokens(text_col)
     n = F.size(toks)
-    ratios = {
-        lang: F.size(F.filter(toks, lambda x, ws=words: x.isin(*ws))).cast("double") / n
-        for lang, words in LANG_PROFILES.items()
-    }
+    def _ratio(words):
+        # nb: the higher-order-function bridge passes a Column for every
+        # lambda parameter, so the word list must be a closure, not a
+        # default argument
+        return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("double") / n
+
+    ratios = {lang: _ratio(words) for lang, words in LANG_PROFILES.items()}
     best_lang = F.lit("unk")
     best_ratio = F.lit(0.01)
     # deterministic tie-break: languages evaluated in sorted order, strict >

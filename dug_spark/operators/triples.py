@@ -80,6 +80,12 @@ def co_mention_triples(
         .agg(F.array_sort(F.collect_set("curie")).alias("cs"))
         .where(F.size("cs").between(2, max_concepts_per_doc))
     )
+    # explode-amplification guard: the per-doc arrays are tiny (AQE
+    # coalesces them to ~1 MB partitions) but each row explodes to
+    # O(concepts²) pairs — repartition BEFORE the explode so the
+    # amplification runs at full cluster width, not at the coalesced width
+    width = mentions.sparkSession.sparkContext.defaultParallelism * 2
+    per_doc = per_doc.repartition(width, "element_id")
     pairs = per_doc.select(
         F.explode(
             F.flatten(

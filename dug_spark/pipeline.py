@@ -43,11 +43,20 @@ class Pipeline:
     langs: list[str] = field(default_factory=lambda: ["en"])
     use_extracted_html: bool = False
     canonicalize: bool = True
+    greenlist: list[str] | None = None  # None → reference default (F6)
 
     def run(self, corpus: DataFrame) -> PipelineResult:
         df = corpus
         if self.langs:
             df = df.where(F.col("lang").isin(self.langs))
+        # parallelism floor: a small-file scan can collapse to 1 input
+        # partition (parquet splits only at row-group boundaries), which
+        # would serialize every downstream pandas-UDF stage.  At real
+        # corpus scale the scan already has thousands of partitions and
+        # this is a no-op.
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, "url")
         if self.use_extracted_html:
             # BASELINE invariant: extract_text(html) byte-identical to text
             df = df.withColumn("text", extract_text_udf(F.col("html")))
@@ -55,7 +64,7 @@ class Pipeline:
         m = annotate.annotate_mentions(df, self.dictionary)
         m = link.score_candidates(m, self.score_threshold, self.top_k)
         if self.curie_norm is not None:
-            m = normalize.normalize_mentions(m, self.curie_norm)
+            m = normalize.normalize_mentions(m, self.curie_norm, self.greenlist)
             if self.canonicalize:
                 m = canonicalize.canonicalize_mentions(m, self.curie_norm)
         if self.synonyms is not None:

@@ -1,0 +1,124 @@
+"""Dedup + similarity + textstats operator tests on testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_spark.operators import dedup, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_duplicates(spark, docs):
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    out = dedup.exact_duplicates(dup)
+    rows = out.collect()
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert all(r["keep_id"] < 10000 for r in rows)
+
+
+def test_shingle_vs_minhash_agreement(spark, docs):
+    """MinHash LSH must recover the exact shingle-Jaccard pairs at 0.9
+    (LSH with 8 bands × 4 rows has ~1.0 recall at j≥0.9)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.shingle_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "testdata should contain near-duplicate pairs"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.9).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_duplicates(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.shingle_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=7, bands=8).collect()
+    }
+    # with 8 bands of 8 bits, every pair at hamming≤7 shares a block
+    # (pigeonhole) → banding is exact for this radius, and 0.9-Jaccard
+    # near-dups land within it
+    assert exact <= sim
+    # and it must not degenerate to all-pairs
+    n = docs.count()
+    assert len(sim) < n * (n - 1) / 20
+
+
+def test_embedding_near_duplicates_self_sanity(spark, emb):
+    dup = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100000)).where(
+        F.col("vec_id") % 100000 < 20
+    )
+    out = dedup.embedding_near_duplicates(dup, threshold=0.999999).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # every vector matches its shifted copy
+    for i in range(20):
+        assert (i, i + 100000) in pairs
+
+
+def test_brute_force_topk_matches_ivf_within_cell(spark, emb):
+    q = emb.where(F.col("vec_id") < 10)
+    bf = similarity.brute_force_topk(q, emb, k=5)
+    rows = bf.collect()
+    assert {r["q_id"] for r in rows} == set(range(10))
+    assert all(1 <= r["rk"] <= 5 for r in rows)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(q, emb, k=1)
+    truth = {(r["q_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann = similarity.lsh_topk(q, emb, dim=64, k=1, bits=16, bands=8)
+    got = {(r["q_id"], r["neighbor_id"]) for r in ann.collect()}
+    # 8 bands of 2 bits: high recall on top-1; require ≥70% here
+    assert len(got & truth) >= 0.7 * len(truth)
+
+
+def test_ivf_topk_searches_cell_only(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(q, emb, k=3)
+    labels = {r["label"]: None for r in emb.collect()}
+    rows = out.collect()
+    assert rows
+    lab = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in rows:
+        assert lab[r["q_id"]] == lab[r["neighbor_id"]]
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = textstats.token_count(docs).collect()
+    for r in tc[:20]:
+        assert r["n_tokens"] == len(r["text"].split(" "))
+    q = textstats.quality_score(docs).collect()
+    for r in q[:20]:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_language_id_deterministic(spark, docs):
+    a = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(docs).collect()}
+    b = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= {"en", "de", "fr", "es", "unk"}
+
+
+def test_fingerprint_stability_and_discrimination(spark, docs):
+    fp = textstats.fingerprint(docs).collect()
+    md5s = {r["fp_md5"] for r in fp}
+    assert len(md5s) == len(fp)  # all sf docs are distinct
+    assert all(r["fp_min"] is not None for r in fp)

@@ -1,0 +1,80 @@
+"""Checkpoint manifest (exact resume + lineage) and skew-salting tests."""
+
+from pyspark.sql import functions as F
+
+from dug_spark.plans.manifest import CheckpointManager
+from dug_spark.plans.skew import hot_keys, salted_repartition
+
+
+def test_write_and_resume(spark, tmp_path):
+    cm = CheckpointManager(str(tmp_path / "ckpt"), run_id="r1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    out1 = cm.run_or_resume(spark, "stage_a", build)
+    assert out1.count() == 100
+    assert calls["n"] == 1
+    # resume: committed stage is read back, not recomputed
+    out2 = cm.run_or_resume(spark, "stage_a", build)
+    assert calls["n"] == 1
+    assert out2.count() == 100
+    assert cm.is_done("stage_a")
+
+
+def test_manifest_lineage_rows(spark, tmp_path):
+    cm = CheckpointManager(str(tmp_path / "ckpt"), run_id="r2")
+    cm.write_stage("stage_b", spark.range(1000).repartition(4))
+    m = cm.metrics(spark, "stage_b").collect()
+    assert len(m) >= 1
+    assert sum(r["output_rows"] for r in m) == 1000
+    assert all(r["run_id"] == "r2" for r in m)
+    assert all(r["wall_ms"] >= 0 for r in m)
+
+
+def test_interrupted_stage_not_committed(spark, tmp_path):
+    cm = CheckpointManager(str(tmp_path / "ckpt"), run_id="r3")
+    # simulate a crash: tmp dir exists but no rename happened
+    import os
+
+    os.makedirs(str(tmp_path / "ckpt" / "stage_c.tmp-dead"), exist_ok=True)
+    assert not cm.is_done("stage_c")
+    out = cm.run_or_resume(spark, "stage_c", lambda: spark.range(10))
+    assert out.count() == 10
+    assert cm.is_done("stage_c")
+
+
+def test_hot_keys_detection(spark):
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 100 == 0, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("curie"),
+        F.col("id").cast("string").alias("url"),
+    )
+    hot = [r["curie"] for r in hot_keys(df, "curie", hot_threshold=50).collect()]
+    assert hot == ["HOT"]
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(20000).select(
+        F.when(F.col("id") < 10000, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("curie"),
+        F.col("id").cast("string").alias("url"),
+    )
+    out = salted_repartition(
+        df, "curie", "url", num_partitions=16, hot_threshold=1000, factor=8
+    )
+    # the hot key must span multiple partitions post-salt
+    parts = (
+        out.where(F.col("curie") == "HOT")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts >= 4
+    # row integrity preserved
+    assert out.count() == 20000
+    assert out.columns == ["curie", "url"]

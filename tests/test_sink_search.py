@@ -1,0 +1,135 @@
+"""Sink MERGE semantics (S14-S16) + search surface (§3.2-3.3) tests."""
+
+from pyspark.sql import functions as F
+
+from dug_spark.operators import search, sink
+from dug_spark.operators.concepts import inherit_parent_concepts
+
+
+def _elements(spark, rows):
+    return spark.createDataFrame(
+        rows, "element_id string, element_name string, identifiers array<string>"
+    )
+
+
+def test_merge_elements_unions_identifiers(spark, tmp_path):
+    p = str(tmp_path / "elements")
+    sink.merge_elements(spark, p, _elements(spark, [("e1", "one", ["A", "B"])]))
+    out = sink.merge_elements(
+        spark, p, _elements(spark, [("e1", "one-renamed", ["B", "C"]), ("e2", "two", ["D"])])
+    )
+    rows = {r["element_id"]: r for r in out.collect()}
+    # S14/U2: union + dedupe on match (index.py:219-222); new doc wins rest
+    assert sorted(rows["e1"]["identifiers"]) == ["A", "B", "C"]
+    assert rows["e1"]["element_name"] == "one-renamed"
+    assert rows["e2"]["identifiers"] == ["D"]
+
+
+def test_insert_concepts_if_absent(spark, tmp_path):
+    p = str(tmp_path / "concepts")
+    c1 = spark.createDataFrame([("C:1", "first")], "concept_id string, name string")
+    sink.insert_concepts_if_absent(spark, p, c1)
+    c2 = spark.createDataFrame(
+        [("C:1", "CHANGED"), ("C:2", "second")], "concept_id string, name string"
+    )
+    out = sink.insert_concepts_if_absent(spark, p, c2)
+    rows = {r["concept_id"]: r["name"] for r in out.collect()}
+    # S15: existing row wins (index.py:199-207 skips when id exists)
+    assert rows == {"C:1": "first", "C:2": "second"}
+
+
+def test_append_kg_answers_idempotent(spark, tmp_path):
+    p = str(tmp_path / "kg")
+    ans = spark.createDataFrame(
+        [("C:1", "q1", "C:1_X_q1", "C:1", "rel", "X", ["x name"], ["x syn"])],
+        "concept_id string, query_name string, answer_id string, subject string,"
+        "predicate string, object string, node_names array<string>,"
+        "node_synonyms array<string>",
+    )
+    n1 = sink.append_kg_answers(spark, p, ans).count()
+    # (count before the second merge: the returned DataFrame is lazy over
+    # the files the next merge atomically replaces — Iceberg snapshots
+    # would version this; parquet dirs don't)
+    out2 = sink.append_kg_answers(spark, p, ans)
+    rows2 = out2.collect()
+    assert n1 == len(rows2) == 1
+    assert sorted(rows2[0]["search_targets"]) == ["x name", "x syn"]
+
+
+def test_inherit_parent_concepts(spark):
+    ec = spark.createDataFrame(
+        [("e1", "TOPMED.TAG:7")], "element_id string, curie string"
+    )
+    ci = spark.createDataFrame(
+        [("TOPMED.TAG:7", "MONDO:1"), ("MONDO:1", "MONDO:1")],
+        "concept_id string, identifier_id string",
+    )
+    out = {(r["element_id"], r["curie"]) for r in inherit_parent_concepts(ec, ci).collect()}
+    # J2: e1 inherits MONDO:1 because the tag's identifier is itself a concept
+    assert out == {("e1", "TOPMED.TAG:7"), ("e1", "MONDO:1")}
+
+
+def _concepts_table(spark):
+    return spark.createDataFrame(
+        [
+            ("MONDO:1", "asthma", "a lung disease", "disease",
+             ["asthma", "bronchial asthma"], ["wheeze"]),
+            ("MONDO:2", "heart attack", "myocardial infarction", "disease",
+             ["heart attack", "mi"], []),
+            ("UBERON:1", "", "no name row", "anatomical entity", [], []),
+        ],
+        "concept_id string, name string, description string, type string,"
+        "search_terms array<string>, optional_terms array<string>",
+    )
+
+
+def test_search_concepts_ranking_and_facets(spark):
+    res = search.search_concepts(_concepts_table(spark), "asthma")
+    hits = res["hits"].collect()
+    # empty-name row filtered (F10); asthma conceptranked first
+    assert hits[0]["concept_id"] == "MONDO:1"
+    assert all(h["concept_id"] != "UBERON:1" for h in hits)
+    facets = {r["type"]: r["n"] for r in res["concept_types"].collect()}
+    assert facets.get("disease", 0) >= 1
+
+
+def test_search_concepts_type_postfilter(spark):
+    res = search.search_concepts(
+        _concepts_table(spark), "disease", types=["disease"]
+    )
+    assert all(r["type"] == "disease" for r in res["hits"].collect())
+
+
+def _variables_table(spark):
+    return spark.createDataFrame(
+        [
+            ("v1", "asthma status", "has asthma", "dbGaP", "s1", "Study One",
+             ["asthma attack"], ["MONDO:1"]),
+            ("v2", "age", "age of participant", "dbGaP", "s1", "Study One",
+             [], ["EFO:1"]),
+        ],
+        "element_id string, element_name string, element_desc string,"
+        "data_type string, collection_id string, collection_name string,"
+        "search_terms array<string>, identifiers array<string>",
+    )
+
+
+def test_search_variables_concept_filter(spark):
+    v = _variables_table(spark)
+    hits = search.search_variables(v, "asthma").collect()
+    assert [h["element_id"] for h in hits] == ["v1"]
+    # J10: concept membership must-match
+    none = search.search_variables(v, "asthma", concept="EFO:1").collect()
+    assert none == []
+
+
+def test_facet_counts_exclude_own_filter(spark):
+    v = _variables_table(spark)
+    out = search.facet_counts(
+        v, ["data_type", "collection_name"], {"data_type": ["dbgap"]}
+    )
+    # data_type facet ignores its own filter → both rows counted
+    dt = {r["value"]: r["n"] for r in out["data_type"].collect()}
+    assert dt == {"dbGaP": 2}
+    cn = {r["value"]: r["n"] for r in out["collection_name"].collect()}
+    assert cn == {"Study One": 2}
