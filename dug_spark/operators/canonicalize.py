@@ -119,8 +119,10 @@ def canonical_mapping(
     to the parallelism of the norm scan rather than counting edges first.
     """
     edges = equivalence_edges(curie_norm)
-    if num_partitions is None:
-        num_partitions = max(1, min(curie_norm.rdd.getNumPartitions(), 64))
+    # num_partitions=None → connected_components sizes the loop's shuffles
+    # by edge count (~500k edges/partition): a dimension-sized equivalence
+    # graph runs its whole loop in 1 partition — driver round-trips, not
+    # task counts, dominate tiny iterative stages
     comps = connected_components(edges, max_iter=max_iter, num_partitions=num_partitions)
     preferred = curie_norm.select(
         F.col("preferred_id").alias("id"), F.col("preferred_id").alias("pref")
@@ -139,12 +141,18 @@ def canonical_mapping(
 
 
 def canonicalize_mentions(
-    normalized_mentions: DataFrame, curie_norm: DataFrame, max_iter: int = 25
+    normalized_mentions: DataFrame,
+    curie_norm: DataFrame,
+    max_iter: int = 25,
+    mapping: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite each normalized mention's curie to its component canonical
     id; mentions outside the norm graph (greenlisted survivors) keep their
-    own id."""
-    mapping = canonical_mapping(curie_norm, max_iter=max_iter)
+    own id.  Pass a precomputed ``mapping`` (from ``canonical_mapping``) to
+    skip the iterative CC loop — it's a pure function of the dimension
+    table, so pipelines compute it once and reuse it across runs."""
+    if mapping is None:
+        mapping = canonical_mapping(curie_norm, max_iter=max_iter)
     out = normalized_mentions.join(
         F.broadcast(mapping), "curie", "left"
     )

@@ -59,13 +59,25 @@ def score_candidates(
     score_threshold: float = 0.8,
     top_k: int = 10,
     blend: float = 0.5,
+    dictionary: DataFrame | None = None,
 ) -> DataFrame:
     """MENTIONS → mentions with ``link_score``, thresholded + top-k.
 
     The distinct-pair table is broadcast back onto mentions, so the big
     side stays un-shuffled (T3 semantics, sapbert_annotator.py:276-319).
+
+    Pass the ``dictionary`` to derive the candidate pairs from it directly
+    (the annotator emits every dictionary entry for a matched term, so the
+    per-surface candidate set is the dictionary's own (term → entries) map)
+    — this skips a distinct() over the corpus-sized mentions table, i.e.
+    one full annotation scan + shuffle per run.
     """
-    pairs = mentions.select("search_text", "curie", "label", "score").distinct()
+    if dictionary is not None:
+        pairs = dictionary.select(
+            F.col("term").alias("search_text"), "curie", "label", "score"
+        )
+    else:
+        pairs = mentions.select("search_text", "curie", "label", "score").distinct()
     kept = score_candidate_pairs(pairs, score_threshold, top_k, blend).select(
         "search_text", "curie", "link_score"
     )

@@ -157,6 +157,25 @@ def make_result(hits: DataFrame) -> DataFrame:
     )
 
 
+def group_variables(hits: DataFrame) -> DataFrame:
+    """search_var_grouped flatten-join (J11/A13, server.py:150-195): group
+    flat variable×study hits by variable id — one row per variable carrying
+    its fields plus the sorted list of (collection_id, collection_name)
+    studies it appears in."""
+    return (
+        hits.groupBy("element_id")
+        .agg(
+            F.first("element_name").alias("element_name"),
+            F.first("element_desc").alias("element_desc"),
+            F.first("data_type").alias("data_type"),
+            F.array_sort(
+                F.collect_set(F.struct("collection_id", "collection_name"))
+            ).alias("studies"),
+        )
+        .orderBy("element_id")
+    )
+
+
 def facet_counts(
     df: DataFrame, facet_cols: list[str], filters: dict[str, list[str]]
 ) -> dict[str, DataFrame]:

@@ -38,16 +38,16 @@ def _finish(df: DataFrame, lineage: str) -> DataFrame:
     )
 
 
-def has_concept_triples(mentions: DataFrame) -> DataFrame:
-    """distinct (element, HAS_CONCEPT, curie)."""
-    return _finish(
-        mentions.select(
-            F.col("element_id").alias("subj"),
-            F.lit(HAS_CONCEPT).alias("pred"),
-            F.col("curie").alias("obj"),
-        ).distinct(),
-        "annotate",
+def has_concept_triples(mentions: DataFrame, assume_distinct: bool = False) -> DataFrame:
+    """distinct (element, HAS_CONCEPT, curie).  assume_distinct skips the
+    dedup shuffle when the input is already distinct (element_id, curie)
+    pairs — as in build_triples."""
+    out = mentions.select(
+        F.col("element_id").alias("subj"),
+        F.lit(HAS_CONCEPT).alias("pred"),
+        F.col("curie").alias("obj"),
     )
+    return _finish(out if assume_distinct else out.distinct(), "annotate")
 
 
 def subclass_triples(mentions: DataFrame, kg_edges: DataFrame) -> DataFrame:
@@ -113,7 +113,22 @@ def build_triples(
     kg_edges: DataFrame | None = None,
     max_concepts_per_doc: int = 64,
 ) -> DataFrame:
-    out = has_concept_triples(mentions)
+    """Union of the three triple families over ONE annotation pass.
+
+    Every family consumes only the distinct (element_id, curie) pairs, so
+    that narrow projection is computed once and persisted — without it the
+    union re-runs the Python annotation scan of the whole corpus per
+    branch (3× the dominant cost at any scale).  MEMORY_AND_DISK: the
+    pair table is two string columns, orders of magnitude smaller than
+    the corpus, but still spills instead of OOMing on 100 TB inputs."""
+    from pyspark import StorageLevel
+
+    doc_concepts = (
+        mentions.select("element_id", "curie")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = has_concept_triples(doc_concepts, assume_distinct=True)
     if kg_edges is not None:
-        out = out.unionByName(subclass_triples(mentions, kg_edges))
-    return out.unionByName(co_mention_triples(mentions, max_concepts_per_doc))
+        out = out.unionByName(subclass_triples(doc_concepts, kg_edges))
+    return out.unionByName(co_mention_triples(doc_concepts, max_concepts_per_doc))

@@ -44,6 +44,74 @@ class Pipeline:
     use_extracted_html: bool = False
     canonicalize: bool = True
     greenlist: list[str] | None = None  # None → reference default (F6)
+    persist_mentions: bool = False
+    # Fold link-scoring + normalization + canonicalization INTO the
+    # broadcast dictionary (they are pure per-(term, curie) functions of
+    # the dimension tables): the corpus-side plan becomes a single
+    # scan → mapInPandas → aggregate with no per-run broadcast-join
+    # chain.  Set False to run the stepwise operator chain instead
+    # (identical output triples — test_pipeline asserts the equivalence).
+    fold_dimensions: bool = True
+    _canon_mapping: DataFrame | None = field(default=None, init=False, repr=False)
+    _effective_dict: DataFrame | None = field(default=None, init=False, repr=False)
+
+    def canonical_mapping(self) -> DataFrame | None:
+        """The curie→canonical_id mapping is a pure function of the
+        dimension table: run the iterative CC election once per pipeline,
+        materialize it (localCheckpoint), and broadcast-join it on every
+        run.  Without this the O(log n)-round loop — whose wall time is
+        all driver round-trips on a dimension-sized graph — re-executes
+        per corpus batch and caps scaling efficiency."""
+        if self.curie_norm is None or not self.canonicalize:
+            return None
+        if self._canon_mapping is None:
+            self._canon_mapping = canonicalize.canonical_mapping(
+                self.curie_norm
+            ).localCheckpoint(eager=True)
+        return self._canon_mapping
+
+    def effective_dictionary(self) -> DataFrame:
+        """Push the per-mention enrichment chain through the DICTIONARY
+        once (dimension-sized), by running the real operators over the
+        dictionary-as-corpus — semantics equal the stepwise chain by
+        construction.  The result (term → final canonical curie + label +
+        type) is what the annotator broadcasts, so corpus batches never
+        pay the link/normalize/canonicalize joins again."""
+        if self._effective_dict is None:
+            d = self.dictionary
+            fake = d.select(
+                F.col("term").alias("url"),
+                F.col("term").alias("element_id"),
+                F.col("term").alias("search_text"),
+                "curie",
+                "label",
+                "types",
+                "score",
+            )
+            m = link.score_candidates(
+                fake, self.score_threshold, self.top_k, dictionary=d
+            )
+            if self.curie_norm is not None:
+                m = normalize.normalize_mentions(m, self.curie_norm, self.greenlist)
+                if self.canonicalize:
+                    m = canonicalize.canonicalize_mentions(
+                        m, self.curie_norm, mapping=self.canonical_mapping()
+                    )
+                eff = m.select(
+                    F.col("search_text").alias("term"),
+                    "curie",
+                    "label",
+                    F.array("biolink_type").alias("types"),
+                    "score",
+                )
+            else:
+                eff = m.select(
+                    F.col("search_text").alias("term"), "curie", "label", "types", "score"
+                )
+            self._effective_dict = eff.dropDuplicates(["term", "curie"]).localCheckpoint(
+                eager=True
+            )
+        return self._effective_dict
 
     def run(self, corpus: DataFrame) -> PipelineResult:
         df = corpus
@@ -61,14 +129,30 @@ class Pipeline:
             # BASELINE invariant: extract_text(html) byte-identical to text
             df = df.withColumn("text", extract_text_udf(F.col("html")))
 
-        m = annotate.annotate_mentions(df, self.dictionary)
-        m = link.score_candidates(m, self.score_threshold, self.top_k)
-        if self.curie_norm is not None:
-            m = normalize.normalize_mentions(m, self.curie_norm, self.greenlist)
-            if self.canonicalize:
-                m = canonicalize.canonicalize_mentions(m, self.curie_norm)
+        if self.fold_dimensions:
+            m = annotate.annotate_mentions(df, self.effective_dictionary())
+        else:
+            m = annotate.annotate_mentions(df, self.dictionary)
+            m = link.score_candidates(
+                m, self.score_threshold, self.top_k, dictionary=self.dictionary
+            )
+            if self.curie_norm is not None:
+                m = normalize.normalize_mentions(m, self.curie_norm, self.greenlist)
+                if self.canonicalize:
+                    m = canonicalize.canonicalize_mentions(
+                        m, self.curie_norm, mapping=self.canonical_mapping()
+                    )
         if self.synonyms is not None:
             m = normalize.attach_synonyms(m, self.synonyms)
+
+        if self.persist_mentions:
+            # opt-in: callers that materialize mentions AND the derived
+            # tables avoid re-running the annotation scan per output.
+            # build_triples always persists its own narrow (element_id,
+            # curie) projection, so triples alone never needs this.
+            from pyspark import StorageLevel
+
+            m = m.persist(StorageLevel.MEMORY_AND_DISK)
 
         conc = concepts.build_concepts(m)
         edges = concepts.element_concept_edges(m)

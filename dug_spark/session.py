@@ -29,6 +29,14 @@ _COMMON = {
     "spark.ui.enabled": "false",
 }
 
+# Shuffle/spill dir: prefer tmpfs when present — this sandbox's block
+# device shows large I/O-steal variance that swamps benchmark timings.
+# On a real cluster spark.local.dir comes from the cluster manager
+# (local NVMe), so this is a local-mode-only affordance.
+_SHM = "/dev/shm"
+if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
+    _COMMON["spark.local.dir"] = os.path.join(_SHM, "spark_local")
+
 
 def get_spark(
     app_name: str = "dug_spark",
@@ -51,7 +59,7 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in _COMMON.items():
         builder = builder.config(k, v)

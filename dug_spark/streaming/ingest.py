@@ -64,6 +64,14 @@ def stream_corpus_to_triples(
     q.awaitTermination()
 
 
+def _event_time(df: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (not TIMESTAMP_NTZ, which parquet
+    writers commonly emit) — normalize the event-time column."""
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -72,9 +80,9 @@ def windowed_event_counts(
     """Watermarked tumbling-window aggregation (works on both batch and
     streaming DataFrames): per (window, event_type) count + value sum.
     Late rows beyond the watermark are dropped from state."""
-    src = events
+    src = _event_time(events)
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -128,7 +136,8 @@ def _session_fn(
 def sessionize_events(events_stream: DataFrame) -> DataFrame:
     """applyInPandasWithState sessionizer over a streaming events source."""
     return (
-        events_stream.withWatermark("ts", "2 hours")
+        _event_time(events_stream)
+        .withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,

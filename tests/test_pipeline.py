@@ -50,6 +50,32 @@ def test_pipeline_html_path_matches_text_path(spark):
     assert t1 == t2
 
 
+def test_fold_dimensions_equals_stepwise_chain(spark):
+    corpus = fixtures.heart_corpus(spark, n_docs=48)
+    folded = _pipeline(spark)
+    stepwise = _pipeline(spark)
+    stepwise.fold_dimensions = False
+    t_fold = {
+        (t["subj"], t["pred"], t["obj"])
+        for t in folded.run(corpus).triples.collect()
+    }
+    t_step = {
+        (t["subj"], t["pred"], t["obj"])
+        for t in stepwise.run(corpus).triples.collect()
+    }
+    assert t_fold == t_step
+    # concepts agree too (name/type/search_terms come through the fold)
+    c_fold = {
+        (c["concept_id"], c["name"], c["type"], tuple(c["search_terms"]))
+        for c in folded.run(corpus).concepts.collect()
+    }
+    c_step = {
+        (c["concept_id"], c["name"], c["type"], tuple(c["search_terms"]))
+        for c in stepwise.run(corpus).concepts.collect()
+    }
+    assert c_fold == c_step
+
+
 def test_pipeline_filters_lang(spark):
     corpus = fixtures.heart_corpus(spark, n_docs=24)
     res = _pipeline(spark).run(corpus)

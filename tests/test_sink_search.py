@@ -123,6 +123,24 @@ def test_search_variables_concept_filter(spark):
     assert none == []
 
 
+def test_group_variables_across_studies(spark):
+    hits = spark.createDataFrame(
+        [
+            ("v1", "asthma status", "has asthma", "dbGaP", "s2", "Study Two"),
+            ("v1", "asthma status", "has asthma", "dbGaP", "s1", "Study One"),
+            ("v2", "age", "age of participant", "dbGaP", "s1", "Study One"),
+        ],
+        "element_id string, element_name string, element_desc string,"
+        "data_type string, collection_id string, collection_name string",
+    )
+    out = {r["element_id"]: r for r in search.group_variables(hits).collect()}
+    # J11/A13: one row per variable; studies consolidated and sorted
+    assert len(out) == 2
+    assert [s["collection_id"] for s in out["v1"]["studies"]] == ["s1", "s2"]
+    assert [s["collection_id"] for s in out["v2"]["studies"]] == ["s1"]
+    assert out["v1"]["element_name"] == "asthma status"
+
+
 def test_facet_counts_exclude_own_filter(spark):
     v = _variables_table(spark)
     out = search.facet_counts(

@@ -7,9 +7,88 @@ from pyspark.sql import functions as F
 from dug_spark import fixtures
 from dug_spark.operators import multimodal
 from dug_spark.pipeline import Pipeline
-from dug_spark.streaming.ingest import stream_corpus_to_triples, windowed_event_counts
+from dug_spark.streaming.ingest import (
+    sessionize_events,
+    stream_corpus_to_triples,
+    windowed_event_counts,
+)
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_sessionize_events_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState e2e: file stream → stateful sessionizer →
+    memory sink.  Two micro-batches for the same user accumulate state."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(F.col("user_id") < 5)
+    in_dir = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    # two files → maxFilesPerTrigger=1 forces ≥2 micro-batches
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(in_dir)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_events(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sessions").toPandas()
+    assert set(out["status"]) == {"open"}
+    # the last 'open' row per user carries the full running aggregate
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    last = out.groupby("user_id").last()
+    for uid, (n, total) in expected.items():
+        assert last.loc[uid, "n_events"] == n
+        assert abs(last.loc[uid, "total_value"] - total) < 1e-6
+
+
+def test_windowed_event_counts_streaming_watermark(spark, tmp_path):
+    """Watermarked tumbling window over a real stream matches the batch
+    plan on the same input (append mode emits only finalized windows after
+    the AvailableNow drain completes state)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(F.col("user_id") < 20)
+    in_dir = str(tmp_path / "win_in")
+    ckpt = str(tmp_path / "win_ckpt")
+    ev.coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(ev, window="1 hour").collect()
+    }
+    # append-mode emits a window once its watermark passes; with the max-ts
+    # watermark the final window may be withheld — every emitted window must
+    # match batch exactly, and most windows must have been emitted
+    assert got
+    for k, v in got.items():
+        assert want[k][0] == v[0] and abs(want[k][1] - v[1]) < 1e-6
+    assert len(got) >= len(want) - 5
 
 
 def test_stream_corpus_availablenow_exactly_once(spark, tmp_path):
