@@ -35,9 +35,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # minutes apart), so paired sampling + best-of-N measures the engine
 # rather than the host weather.
 SCALE_LO, SCALE_HI = 2, 8
-SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "2"))
+SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
-SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "128"))
+SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "384"))
 
 
 def _corpus(spark, sf_dir: str, replicate: int = 1):
@@ -73,6 +73,8 @@ def _pipeline(spark, realistic: bool = False):
             kg_edges=fixtures.vocab_kg_edges(spark),
             use_extracted_html=True,
             greenlist=["SYN", "OP", "EXPR", "SYS", "PATO"],
+            # bench._corpus pre-partitions before replicating
+            ensure_min_partitions=False,
         )
     return Pipeline(
         dictionary=fixtures.vocab_dictionary(spark),

@@ -69,29 +69,40 @@ def scan_text(words: list[str], trie: dict) -> set[str]:
     return found
 
 
-def annotate_mentions(
-    corpus: DataFrame,
-    dictionary: DataFrame,
-    id_col: str = "url",
-    text_col: str = "text",
-    preprocess: bool = True,
-    debreviator: dict[str, str] | None = None,
-    stopwords: list[str] | None = None,
-) -> DataFrame:
-    """corpus(id_col, text_col, …) × dictionary → MENTIONS.
-
-    The full text is scanned in one pass (the reference's ≤2000-char
-    sliding-window chunking, monarch_annotator.py:85-111, exists only to
-    bound HTTP payloads; with 5-word overlap its match set equals the
-    whole-text scan for terms ≤6 words).
-    """
-    spark = corpus.sparkSession
+def collect_dictionary(dictionary: DataFrame) -> dict[str, list]:
+    """Collect the dimension table into the term → entries map the
+    annotator broadcasts.  Exposed so long-lived pipelines can collect
+    once and reuse across corpus batches."""
     dict_rows = dictionary.select("term", "curie", "label", "types", "score").collect()
     entries: dict[str, list] = {}
     for r in dict_rows:
         entries.setdefault(r["term"], []).append(
             (r["curie"], r["label"], list(r["types"] or []), r["score"])
         )
+    return entries
+
+
+def annotate_mentions(
+    corpus: DataFrame,
+    dictionary: DataFrame | None,
+    id_col: str = "url",
+    text_col: str = "text",
+    preprocess: bool = True,
+    debreviator: dict[str, str] | None = None,
+    stopwords: list[str] | None = None,
+    entries: dict[str, list] | None = None,
+) -> DataFrame:
+    """corpus(id_col, text_col, …) × dictionary → MENTIONS.
+
+    The full text is scanned in one pass (the reference's ≤2000-char
+    sliding-window chunking, monarch_annotator.py:85-111, exists only to
+    bound HTTP payloads; with 5-word overlap its match set equals the
+    whole-text scan for terms ≤6 words).  Pass precollected ``entries``
+    (from :func:`collect_dictionary`) to skip the per-call collect job.
+    """
+    spark = corpus.sparkSession
+    if entries is None:
+        entries = collect_dictionary(dictionary)
     bc = spark.sparkContext.broadcast(entries)
     deb, stop = debreviator, stopwords
     do_pp = preprocess

@@ -65,47 +65,54 @@ def subclass_triples(mentions: DataFrame, kg_edges: DataFrame) -> DataFrame:
     )
 
 
+def doc_concept_sets(mentions: DataFrame) -> DataFrame:
+    """(element_id, cs: sorted array of distinct curies) — ONE shuffle on
+    the unique document key; the compact array form (one row per document)
+    is what every triple family consumes."""
+    return mentions.groupBy("element_id").agg(
+        F.array_sort(F.collect_set("curie")).alias("cs")
+    )
+
+
+def _co_mention_from_sets(
+    per_doc: DataFrame, max_concepts_per_doc: int = 64
+) -> DataFrame:
+    """Pair explode over per-document concept arrays (subj < obj)."""
+    per_doc = per_doc.where(F.size("cs").between(2, max_concepts_per_doc))
+    # explode-amplification guard: the per-doc arrays are tiny (AQE
+    # coalesces them to ~1 MB partitions) but each row explodes to
+    # O(concepts²) pairs — repartition BEFORE the explode so the
+    # amplification runs at full cluster width, not at the coalesced width
+    width = per_doc.sparkSession.sparkContext.defaultParallelism * 2
+    per_doc = per_doc.repartition(width, "element_id")
+    # two flat Generates (posexplode, then explode of the tail slice)
+    # instead of one nested transform/flatten: the higher-order-function
+    # expression tree falls out of codegen into interpreted eval with
+    # O(n²) array copies per row — measured 6-10× slower on the same input
+    first = per_doc.select(F.posexplode("cs").alias("i", "a"), F.col("cs"))
+    pairs = first.select(
+        "a", F.explode(F.slice("cs", F.col("i") + 2, F.size("cs"))).alias("b")
+    )
+    return _finish(
+        pairs.select(
+            F.col("a").alias("subj"),
+            F.lit(CO_MENTIONED).alias("pred"),
+            F.col("b").alias("obj"),
+        ).distinct(),
+        "co_mention",
+    )
+
+
 def co_mention_triples(
     mentions: DataFrame, max_concepts_per_doc: int = 64
 ) -> DataFrame:
     """Unordered concept pairs co-occurring in one document, emitted once
     per pair with subj < obj.
 
-    Implemented as collect_set per document + posexplode pair generation
-    (one shuffle on the document key, which is unique → no skew), instead
-    of a mentions⋈mentions self-join (two shuffles on the skewed curie
-    key)."""
-    per_doc = (
-        mentions.groupBy("element_id")
-        .agg(F.array_sort(F.collect_set("curie")).alias("cs"))
-        .where(F.size("cs").between(2, max_concepts_per_doc))
-    )
-    # explode-amplification guard: the per-doc arrays are tiny (AQE
-    # coalesces them to ~1 MB partitions) but each row explodes to
-    # O(concepts²) pairs — repartition BEFORE the explode so the
-    # amplification runs at full cluster width, not at the coalesced width
-    width = mentions.sparkSession.sparkContext.defaultParallelism * 2
-    per_doc = per_doc.repartition(width, "element_id")
-    pairs = per_doc.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "cs",
-                    lambda c, i: F.transform(
-                        F.slice("cs", i + 2, F.size("cs")), lambda d: F.struct(c.alias("a"), d.alias("b"))
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return _finish(
-        pairs.select(
-            F.col("p.a").alias("subj"),
-            F.lit(CO_MENTIONED).alias("pred"),
-            F.col("p.b").alias("obj"),
-        ).distinct(),
-        "co_mention",
-    )
+    Implemented as collect_set per document + pair explode (one shuffle on
+    the document key, which is unique → no skew), instead of a
+    mentions⋈mentions self-join (two shuffles on the skewed curie key)."""
+    return _co_mention_from_sets(doc_concept_sets(mentions), max_concepts_per_doc)
 
 
 def build_triples(
@@ -113,22 +120,28 @@ def build_triples(
     kg_edges: DataFrame | None = None,
     max_concepts_per_doc: int = 64,
 ) -> DataFrame:
-    """Union of the three triple families over ONE annotation pass.
+    """Union of the three triple families over ONE annotation pass and
+    ONE corpus-sized shuffle.
 
-    Every family consumes only the distinct (element_id, curie) pairs, so
-    that narrow projection is computed once and persisted — without it the
-    union re-runs the Python annotation scan of the whole corpus per
-    branch (3× the dominant cost at any scale).  MEMORY_AND_DISK: the
-    pair table is two string columns, orders of magnitude smaller than
-    the corpus, but still spills instead of OOMing on 100 TB inputs."""
-    from pyspark import StorageLevel
-
-    doc_concepts = (
-        mentions.select("element_id", "curie")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    mentions collapse to per-document concept arrays (`doc_concept_sets`,
+    one groupBy on the unique doc key), materialized once with an eager
+    localCheckpoint — the array table has one row per document, ~|concepts|×
+    smaller than the flat pair table, so the three downstream branches
+    re-read a compact relation instead of re-running the Python annotation
+    scan (3× the dominant cost) or racing to build a lazy cache.
+    HAS_CONCEPT = explode (already distinct: unique doc key × set);
+    subclass   = ontology edges semi-joined to the exploded live concepts;
+    co-mention = pair explode of the same arrays."""
+    per_doc = doc_concept_sets(mentions).localCheckpoint(eager=True)
+    out = _finish(
+        per_doc.select(
+            F.col("element_id").alias("subj"),
+            F.lit(HAS_CONCEPT).alias("pred"),
+            F.explode("cs").alias("obj"),
+        ),
+        "annotate",
     )
-    out = has_concept_triples(doc_concepts, assume_distinct=True)
     if kg_edges is not None:
-        out = out.unionByName(subclass_triples(doc_concepts, kg_edges))
-    return out.unionByName(co_mention_triples(doc_concepts, max_concepts_per_doc))
+        live = per_doc.select(F.explode("cs").alias("curie"))
+        out = out.unionByName(subclass_triples(live, kg_edges))
+    return out.unionByName(_co_mention_from_sets(per_doc, max_concepts_per_doc))

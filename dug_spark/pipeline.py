@@ -52,8 +52,13 @@ class Pipeline:
     # chain.  Set False to run the stepwise operator chain instead
     # (identical output triples — test_pipeline asserts the equivalence).
     fold_dimensions: bool = True
+    # Skip the partition-floor check when the caller guarantees the corpus
+    # is already well-partitioned (the check costs a plan→RDD conversion
+    # on the driver per run).
+    ensure_min_partitions: bool = True
     _canon_mapping: DataFrame | None = field(default=None, init=False, repr=False)
     _effective_dict: DataFrame | None = field(default=None, init=False, repr=False)
+    _dict_entries: dict | None = field(default=None, init=False, repr=False)
 
     def canonical_mapping(self) -> DataFrame | None:
         """The curie→canonical_id mapping is a pure function of the
@@ -122,15 +127,20 @@ class Pipeline:
         # would serialize every downstream pandas-UDF stage.  At real
         # corpus scale the scan already has thousands of partitions and
         # this is a no-op.
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target, "url")
+        if self.ensure_min_partitions:
+            target = df.sparkSession.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target, "url")
         if self.use_extracted_html:
             # BASELINE invariant: extract_text(html) byte-identical to text
             df = df.withColumn("text", extract_text_udf(F.col("html")))
 
         if self.fold_dimensions:
-            m = annotate.annotate_mentions(df, self.effective_dictionary())
+            if self._dict_entries is None:
+                self._dict_entries = annotate.collect_dictionary(
+                    self.effective_dictionary()
+                )
+            m = annotate.annotate_mentions(df, None, entries=self._dict_entries)
         else:
             m = annotate.annotate_mentions(df, self.dictionary)
             m = link.score_candidates(
