@@ -116,14 +116,13 @@ def annotate_mentions(
                 texts = preprocess_series(texts, deb, stop)
             texts = texts.str.lower()
             out = {
-                "url": [], "element_id": [], "search_text": [],
+                "url": [], "search_text": [],
                 "curie": [], "label": [], "types": [], "score": [],
             }
             for doc_id, text in zip(pdf[id_col], texts):
                 for term in sorted(scan_text(text.split(), trie)):
                     for curie, label, types, score in local[term]:
                         out["url"].append(doc_id)
-                        out["element_id"].append(doc_id)
                         out["search_text"].append(term)
                         out["curie"].append(curie)
                         out["label"].append(label)
@@ -139,6 +138,17 @@ def annotate_mentions(
                 }
             )
 
-    return corpus.select(id_col, text_col).mapInPandas(
-        scan_batches, schema=schemas.MENTIONS
+    # element_id == url for web-corpus annotation; alias it JVM-side so
+    # the duplicate string column never crosses the Arrow boundary
+    raw = corpus.select(id_col, text_col).mapInPandas(
+        scan_batches, schema=schemas.MENTIONS_RAW
+    )
+    return raw.select(
+        "url",
+        F.col("url").alias("element_id"),
+        "search_text",
+        "curie",
+        "label",
+        "types",
+        "score",
     )

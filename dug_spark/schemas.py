@@ -64,6 +64,11 @@ MENTIONS = StructType(
     ]
 )
 
+# Arrow-boundary form: element_id == url for web corpora, so the UDF emits
+# one id column and the JVM aliases the second (halves the string volume
+# crossing the Python↔JVM boundary).
+MENTIONS_RAW = StructType([f for f in MENTIONS.fields if f.name != "element_id"])
+
 # ---------------------------------------------------------------------------
 # Normalization table (replaces NodeNorm HTTP, annotators/_base.py:116-180).
 CURIE_NORM = StructType(
