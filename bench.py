@@ -193,10 +193,17 @@ def main():
 
     scaling = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        # wall-time budget: under a host steal storm a sample can run 5×
+        # long — stop sampling once the budget is spent (≥1 pair always
+        # completes) so the whole bench stays bounded
+        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "900"))
+        t_start = time.monotonic()
         los, his = [], []
-        for _ in range(SCALE_SAMPLES):
+        for i in range(SCALE_SAMPLES):
             los.append(_child_sample(SCALE_LO, SCALE_REPLICATE))
             his.append(_child_sample(SCALE_HI, SCALE_REPLICATE))
+            if time.monotonic() - t_start > budget_s and i + 1 < SCALE_SAMPLES:
+                break
         lo = min(los, key=lambda s: s["secs"])
         hi = min(his, key=lambda s: s["secs"])
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (SCALE_HI / SCALE_LO)
@@ -210,18 +217,23 @@ def main():
             "all_secs_lo": [s["secs"] for s in los],
             "all_secs_hi": [s["secs"] for s in his],
             "docs": lo["docs"],
-            "samples_per_level": SCALE_SAMPLES,
+            "samples_per_level": len(los),
             "efficiency": round(eff, 3),
         }
 
     from dug_spark.session import get_spark
 
     spark = get_spark("bench", cores=args.cores, shuffle_partitions=args.cores)
-    # pipeline throughput in this JVM (un-replicated corpus = the sf tables)
+    # pipeline throughput in this JVM (un-replicated corpus = the sf tables);
+    # same steady-state protocol as the scaling samples: warm up the SAME
+    # pipeline instance so one-time dimension precompute and codegen stay
+    # out of the timed section
     corpus = _corpus(spark, SF_DIR, 1)
     n_docs = corpus.count()
+    pipe = _pipeline(spark)
+    pipe.run(corpus.limit(50)).triples.count()
     t0 = time.monotonic()
-    n_triples = _pipeline(spark).run(corpus).triples.count()
+    n_triples = pipe.run(corpus).triples.count()
     pipeline_secs = round(time.monotonic() - t0, 3)
 
     qtimes = headline_queries(spark)
