@@ -145,3 +145,31 @@ def build_triples(
         live = per_doc.select(F.explode("cs").alias("curie"))
         out = out.unionByName(subclass_triples(live, kg_edges))
     return out.unionByName(_co_mention_from_sets(per_doc, max_concepts_per_doc))
+
+
+def write_triples(
+    triples: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    hot_threshold: int = 100_000,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the triples table partitioned by predicate family with
+    salted repartitioning on hot object concepts (BASELINE north_star:
+    ubiquitous CURIEs would otherwise put one ontology term's worth of a
+    100 TB corpus into one write task).  Salt is derived from the subject
+    (deterministic per row), so re-runs produce identical partition
+    placement — required for the checkpoint manifest's exact resume.
+    On Iceberg this write is `MERGE INTO`/append with the same
+    pre-partitioning."""
+    from ..plans.skew import salted_repartition
+
+    spark = triples.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    salted = salted_repartition(
+        triples, key="obj", salt_source="subj",
+        num_partitions=num_partitions, hot_threshold=hot_threshold,
+    )
+    salted.write.mode(mode).partitionBy("pred").parquet(path)
+    return spark.read.parquet(path)

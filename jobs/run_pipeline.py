@@ -67,13 +67,25 @@ def main(argv: list[str] | None = None) -> None:
     )
     ckpt = CheckpointManager(args.output, run_id=args.run_id)
 
+    from dug_spark.plans.skew import salted_repartition
+
     mentions = ckpt.run_or_resume(
         spark, "mentions", lambda: pipe.run(corpus).mentions
     )
-    triples = ckpt.run_or_resume(
-        spark, "triples",
-        lambda: triples_op.build_triples(mentions, fixtures.vocab_kg_edges(spark)),
-    )
+
+    def _build_triples():
+        t = triples_op.build_triples(mentions, fixtures.vocab_kg_edges(spark))
+        # north_star: salted repartitioning on skewed high-frequency
+        # concepts before the partitioned write — deterministic salt
+        # (derived from subj) keeps partition placement stable across
+        # resume re-runs
+        return salted_repartition(
+            t, key="obj", salt_source="subj",
+            num_partitions=spark.sparkContext.defaultParallelism * 2,
+            hot_threshold=100_000,
+        )
+
+    triples = ckpt.run_or_resume(spark, "triples", _build_triples)
     concepts = ckpt.run_or_resume(
         spark, "concepts", lambda: concepts_op.build_concepts(mentions)
     )

@@ -78,3 +78,32 @@ def test_salted_repartition_spreads_hot_key(spark):
     # row integrity preserved
     assert out.count() == 20000
     assert out.columns == ["curie", "url"]
+
+
+def test_write_triples_salted_partitioned(spark, tmp_path):
+    from dug_spark.operators.triples import write_triples
+
+    rows = [(f"u{i}", "HAS_CONCEPT", "HOT:1", 0, "annotate") for i in range(400)]
+    rows += [(f"u{i}", "HAS_CONCEPT", f"COLD:{i}", 0, "annotate") for i in range(40)]
+    rows += [("HOT:1", "biolink:subclass_of", "P:1", 0, "expand")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, source_partition int, lineage string"
+    )
+    out = write_triples(
+        t, str(tmp_path / "triples"), num_partitions=8, hot_threshold=100
+    )
+    # partitioned by predicate family; all rows and values survive
+    assert sorted(p.name for p in (tmp_path / "triples").iterdir() if p.is_dir()) == [
+        "pred=HAS_CONCEPT", "pred=biolink%3Asubclass_of",
+    ]
+    assert out.count() == 441
+    # the hot key was spread across >1 file within its predicate partition
+    import pyspark.sql.functions as F
+
+    hot_files = (
+        out.where(F.col("obj") == "HOT:1")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hot_files > 1
