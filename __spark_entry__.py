@@ -213,6 +213,7 @@ _TMPL_ROWS = [
     for pfx in expand.CURIE_PREFIXES.get(src, [])
 ]
 _CAT_ROWS = [(i, c) for (i, _n, cats, _s) in fixtures.KG_NODE_ROWS for c in cats]
+_NODE_ROWS = [(i, n) for (i, n, _cats, _s) in fixtures.KG_NODE_ROWS]
 _HEART_EDGES = [(s, p, o) for (_i, s, p, o, _pub) in fixtures.KG_EDGE_ROWS]
 
 
@@ -544,14 +545,19 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_kg_node_to_elements(spark, sf_dir):
-    """J9: cast qualifying KG nodes into new elements (crawler.py:203-276)."""
+    """J9: cast qualifying KG nodes into new elements (crawler.py:203-276).
+    Projects the scalar element columns (metadata map omitted — map-typed
+    value hashing differs across engines)."""
     ids = spark.createDataFrame(
         [(c, c) for c in _EXPAND_IDS], "concept_id string, curie string"
     )
     ans = expand.expand_concepts(ids, fixtures.kg_edges(spark), fixtures.kg_nodes(spark),
                                  queries={"pub": ("disease", "publication")},
                                  curie_prefixes={"disease": ["MONDO"]})
-    return expand.nodes_to_elements(ans, fixtures.kg_nodes(spark))
+    return expand.nodes_to_elements(ans, fixtures.kg_nodes(spark)).select(
+        "element_id", "element_name", "element_desc", "data_type",
+        "collection_id", "element_action",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -696,6 +702,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN cats c ON c.id = e.object AND "
             "(lower(c.category) = lower(t.object_category) OR c.category = t.object_type) "
             "WHERE i.curie != 'CHEBI:17336'"
+        ),
+        "kg_node_to_elements": (
+            f"WITH ids(concept_id, curie) AS (VALUES {_vals([(c, c) for c in _EXPAND_IDS])}), "
+            f"edges(subject, predicate, object) AS (VALUES {_vals(_HEART_EDGES)}), "
+            f"cats(id, category) AS (VALUES {_vals(_CAT_ROWS)}), "
+            f"nodes(id, name) AS (VALUES {_vals(_NODE_ROWS)}) "
+            "SELECT n.id AS element_id, n.name AS element_name, '' AS element_desc, "
+            "'cde' AS data_type, '' AS collection_id, '' AS element_action "
+            "FROM nodes n "
+            "WHERE EXISTS (SELECT 1 FROM cats c WHERE c.id = n.id "
+            "              AND c.category = 'biolink:Publication') "
+            "AND n.id LIKE 'HEALCDE%' "
+            "AND n.id IN (SELECT e.object FROM ids i JOIN edges e ON e.subject = i.curie "
+            "             WHERE split_part(i.curie, ':', 1) = 'MONDO' "
+            "             AND i.curie != 'CHEBI:17336' "
+            "             AND EXISTS (SELECT 1 FROM cats c2 WHERE c2.id = e.object "
+            "                 AND (lower(c2.category) = lower('biolink:Publication') "
+            "                      OR c2.category = 'publication')))"
         ),
         "rel_facet_exclude": (
             "WITH ev AS (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket FROM events) "
