@@ -539,9 +539,35 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-media feature extraction plumbing (deterministic stub codec)."""
+    """Binary-media feature extraction plumbing (deterministic stub codec).
+    Features projected to a fixed-precision CSV string so the row is
+    hashable/comparable across engines (array columns are not)."""
     media = multimodal.synthetic_media(spark, n=64)
-    return multimodal.extract_features(media, deterministic_fake=True)
+    feats = multimodal.extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
+    )
+
+
+def _multimodal_expected_rows() -> list[tuple[str, str, str]]:
+    """Independent pure-Python recomputation of the deterministic media
+    features (same spec as multimodal.synthetic_media + the sha256 stub
+    codec, re-derived here without importing either) — serves as the
+    DuckDB oracle VALUES table."""
+    import hashlib
+
+    rows = []
+    for i in range(64):
+        payload = hashlib.sha256(f"media-42-{i}".encode()).digest() * 4
+        mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        digest = hashlib.sha256(payload).digest()
+        csv = ",".join(f"{b / 255.0:.6f}" for b in digest[:16])
+        rows.append((f"m{i:04d}", mime, csv))
+    return rows
 
 
 def q_kg_node_to_elements(spark, sf_dir):
@@ -838,6 +864,11 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0 "
             "/ len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang "
             "FROM documents"
+        ),
+        "multimodal_features": (
+            "SELECT media_id, mime, features_csv FROM (VALUES "
+            + _vals(_multimodal_expected_rows())
+            + ") AS t(media_id, mime, features_csv)"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20), "

@@ -109,7 +109,13 @@ def annotate_mentions(
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = bc.value
-        trie = build_trie(list(local.keys()))
+        # the scan lowercases document text, so the trie must be keyed on
+        # lowercased terms or uppercase dictionary entries silently never
+        # match; the ORIGINAL term is kept for the emitted search_text
+        by_lower: dict[str, list] = {}
+        for _term, _ents in local.items():
+            by_lower.setdefault(_term.lower(), []).append((_term, _ents))
+        trie = build_trie(list(by_lower.keys()))
         for pdf in batches:
             texts = pdf[text_col]
             if do_pp:
@@ -120,14 +126,15 @@ def annotate_mentions(
                 "curie": [], "label": [], "types": [], "score": [],
             }
             for doc_id, text in zip(pdf[id_col], texts):
-                for term in sorted(scan_text(text.split(), trie)):
-                    for curie, label, types, score in local[term]:
-                        out["url"].append(doc_id)
-                        out["search_text"].append(term)
-                        out["curie"].append(curie)
-                        out["label"].append(label)
-                        out["types"].append(types)
-                        out["score"].append(score)
+                for key in sorted(scan_text(text.split(), trie)):
+                    for term, ents in by_lower[key]:
+                        for curie, label, types, score in ents:
+                            out["url"].append(doc_id)
+                            out["search_text"].append(term)
+                            out["curie"].append(curie)
+                            out["label"].append(label)
+                            out["types"].append(types)
+                            out["score"].append(score)
             # explicit dtypes: an empty batch must still yield object
             # columns (pandas defaults empty lists to float64, which
             # Arrow can't convert to list<string>)

@@ -102,6 +102,15 @@ def connected_components(
             labels = new_labels.select("id", "comp")
             if changed == 0:
                 break
+        else:
+            # min-label propagation needs O(diameter) rounds; exhausting
+            # max_iter means the labels are NOT a fixpoint — returning them
+            # would silently corrupt canonical ids downstream.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (equivalence chain longer than max_iter hops); "
+                "raise max_iter"
+            )
         return labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)

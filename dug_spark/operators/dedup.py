@@ -33,12 +33,18 @@ def exact_duplicates(
 
 
 def _shingles(text_col: str, k: int):
-    """Distinct k-word shingles of a space-tokenized text column."""
+    """Distinct k-word shingles of a space-tokenized text column.
+
+    Docs with fewer than k words yield an empty array: without the guard,
+    ``sequence(0, -1)`` evaluates to ``[0, -1]`` and the inner ``slice``
+    throws INVALID_PARAMETER_VALUE.START on the -1 index."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {k}, -1)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
-        )
+            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))) "
+            f"ELSE array() END"
+        ).cast("array<string>")
     )
 
 
@@ -145,15 +151,47 @@ def minhash_near_duplicates(
     shingle: int = 3,
     threshold: float = 0.9,
 ) -> DataFrame:
-    """MinHash LSH candidates verified with exact shingle Jaccard —
-    the scale path (LSH prunes) with the exactness of the direct method."""
+    """MinHash LSH candidates verified with exact shingle Jaccard.
+
+    The scale path: exact Jaccard runs ONLY on the LSH candidate pairs —
+    candidates are joined back to each doc's (checkpointed) shingle set and
+    intersection/union computed per candidate row with ``array_intersect``.
+    The all-pairs shingle self-join never runs; total cost is one
+    signature pass + Σ bucket² over LSH buckets + |candidates| set ops.
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
-    exact = shingle_jaccard_pairs(df, id_col, text_col, shingle, threshold)
-    # semi-join: keep only LSH-surfaced pairs (at scale, exact runs ONLY
-    # on the candidate set; expressed here as a join for plan clarity)
-    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+    # one shingle pass feeds both the signatures and the verify step;
+    # eager localCheckpoint so the banded join and the two verify joins
+    # read the materialized arrays instead of re-scanning the corpus
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.filter(_shingles(text_col, shingle), lambda s: F.length(s) > 0).alias(
+                "shs"
+            ),
+        )
+        .where(F.size("shs") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shs", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    cands = minhash_lsh_candidates(
+        sh.select("doc", sig.alias("sig")), bands, rows_per_band
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    j = inter * 1.0 / (F.size("shs_a") + F.size("shs_b") - inter)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .where(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
 
 
 def simhash(
@@ -226,23 +264,67 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 8,
+    exact: bool = False,
 ) -> DataFrame:
-    """Cosine near-dup pairs over an embedding column (brute force with
-    norm pre-computation; at scale, bucket by LSH hyperplanes first —
-    see operators/similarity.py)."""
+    """Cosine near-dup pairs over an embedding column.
+
+    Default (scale path): random-hyperplane LSH bucketing — candidates
+    share ≥1 signature band (similarity.lsh_signatures), exact cosine runs
+    on candidates only.  Recall at threshold≥0.95 is near-1 with 8 bands
+    of 2 bits (near-identical vectors get near-identical sign sketches).
+    ``exact=True`` keeps the O(n²) cross join for small inputs / recall
+    audits.
+    """
+    from . import similarity
+
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("norm").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("norm").alias("nb"))
+    if exact:
+        v = v.withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+            ),
+        )
+        a = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("norm").alias("na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("norm").alias("nb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        sigs = similarity.lsh_signatures(v, dim=dim, bits=bits, id_col="id", vec_col="e")
+        width = bits // bands
+        mask = (1 << width) - 1
+        banded = sigs.select(
+            "id",
+            "e",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        a = banded.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "band", "bucket")
+        b = banded.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "band", "bucket")
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        norm = lambda c: F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        pairs = pairs.withColumn("na", norm("ea")).withColumn("nb", norm("eb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
+        pairs.select(
+            "id_a", "id_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim")
+        )
         .where(F.col("cos_sim") >= threshold)
     )

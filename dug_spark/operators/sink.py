@@ -52,8 +52,19 @@ def merge_elements(spark: SparkSession, path: str, batch: DataFrame) -> DataFram
     )
     merged = old.join(b, old["element_id"] == b["_id"], "full_outer")
     out_cols = [F.coalesce("element_id", "_id").alias("element_id")]
-    for c in old.columns:
+    # schema evolution: batch-only columns are kept (Iceberg MERGE with
+    # schema evolution adds them as nullable), not silently dropped
+    all_cols = list(old.columns) + [
+        c for c in batch.columns if c not in old.columns
+    ]
+    for c in all_cols:
         if c == "element_id":
+            continue
+        if c not in old.columns:
+            out_cols.append(F.col(f"_new_{c}").alias(c))
+            continue
+        if c not in batch.columns:
+            out_cols.append(F.col(c))
             continue
         if c == "identifiers":
             out_cols.append(

@@ -113,8 +113,21 @@ class Pipeline:
                 eff = m.select(
                     F.col("search_text").alias("term"), "curie", "label", "types", "score"
                 )
-            self._effective_dict = eff.dropDuplicates(["term", "curie"]).localCheckpoint(
-                eager=True
+            # deterministic election when canonicalization merges several
+            # dictionary rows onto one (term, curie): keep the highest
+            # score, tie-broken by label — a bare dropDuplicates would pick
+            # an arbitrary survivor and make mention labels/scores vary
+            # across runs
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("term", "curie").orderBy(
+                F.desc("score"), F.asc("label")
+            )
+            self._effective_dict = (
+                eff.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .drop("_rk")
+                .localCheckpoint(eager=True)
             )
         return self._effective_dict
 

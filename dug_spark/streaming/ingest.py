@@ -125,7 +125,10 @@ def _session_fn(
     for pdf in rows:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        last_ts = pdf["ts"].max()
+        # Arrow batches are not ts-ordered: accumulate the max across
+        # chunks rather than keeping the last chunk's max
+        chunk_max = pdf["ts"].max()
+        last_ts = chunk_max if last_ts is None else max(last_ts, chunk_max)
     state.update((n, total))
     state.setTimeoutDuration(30 * 60 * 1000)  # 30 min idle
     yield pd.DataFrame(
