@@ -214,6 +214,7 @@ _TMPL_ROWS = [
 ]
 _CAT_ROWS = [(i, c) for (i, _n, cats, _s) in fixtures.KG_NODE_ROWS for c in cats]
 _NODE_ROWS = [(i, n) for (i, n, _cats, _s) in fixtures.KG_NODE_ROWS]
+_SYN_ROWS = [(i, s) for (i, _n, _cats, syns) in fixtures.KG_NODE_ROWS for s in syns]
 _HEART_EDGES = [(s, p, o) for (_i, s, p, o, _pub) in fixtures.KG_EDGE_ROWS]
 
 
@@ -228,8 +229,108 @@ def q_kg_expand(spark, sf_dir):
     )
 
 
+def q_search_kg(spark, sf_dir):
+    """search_kg (async_search.py:400-436): kg_answers docs where the
+    concept matches the unique id and the query matches search_targets."""
+    from dug_spark.operators import search
+
+    ids = spark.createDataFrame(
+        [(c, c) for c in _EXPAND_IDS], "concept_id string, curie string"
+    )
+    ans = expand.expand_concepts(ids, fixtures.kg_edges(spark), fixtures.kg_nodes(spark))
+    docs = ans.select(
+        F.concat_ws("_", "concept_id", "subject", "object").alias("doc_id"),
+        "concept_id",
+        F.array_distinct(F.array_union("node_names", "node_synonyms")).alias(
+            "search_targets"
+        ),
+        "subject",
+        "predicate",
+        "object",
+    ).distinct()
+    out = search.search_kg(docs, "MONDO:0005068", "heart infarction", size=10)
+    return out.select("doc_id", "concept_id", "subject", "predicate", "object", "score")
+
+
 # ---------------------------------------------------------------------------
 # Relational operators (SURVEY §2.2–2.6) over the TPC-H-ish testdata.
+
+
+def _vars_view(spark, sf_dir):
+    """Deterministic variables-index view derived from the events table
+    (the sf dirs carry no elements table; the oracle derives the identical
+    view in SQL)."""
+    ev = _pq(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("element_id"),
+        F.concat(F.lit("var "), (F.col("event_id") % 50).cast("string")).alias(
+            "element_name"
+        ),
+        F.col("props").alias("element_desc"),
+        F.col("event_type").alias("data_type"),
+        F.concat(F.lit("study_"), (F.col("user_id") % 20).cast("string")).alias(
+            "collection_id"
+        ),
+        F.concat(F.lit("Study "), (F.col("user_id") % 20).cast("string")).alias(
+            "collection_name"
+        ),
+        F.concat(F.lit("action_"), (F.col("user_id") % 5).cast("string")).alias(
+            "collection_action"
+        ),
+    )
+
+
+_SQL_VARS = (
+    "vars AS (SELECT CAST(event_id AS VARCHAR) AS element_id, "
+    "'var ' || CAST(event_id % 50 AS VARCHAR) AS element_name, "
+    "props AS element_desc, event_type AS data_type, "
+    "'study_' || CAST(user_id % 20 AS VARCHAR) AS collection_id, "
+    "'Study ' || CAST(user_id % 20 AS VARCHAR) AS collection_name, "
+    "'action_' || CAST(user_id % 5 AS VARCHAR) AS collection_action FROM events)"
+)
+
+
+def q_search_study(spark, sf_dir):
+    """search_study (async_search.py:437-472): study lookup by id match."""
+    from dug_spark.operators import search
+
+    return search.search_study(
+        _vars_view(spark, sf_dir), study_id="study_1", size=50
+    ).select("element_id", "collection_id", "collection_name")
+
+
+def q_search_program(spark, sf_dir):
+    """search_program (async_search.py:473-533): per-collection top_hits(1)
+    page filtered to one program (data_type)."""
+    from dug_spark.operators import search
+
+    return search.search_program(_vars_view(spark, sf_dir), program_name="click")
+
+
+def q_agg_data_types(spark, sf_dir):
+    """agg_data_type (async_search.py:91-110): variables-index data_type
+    terms-agg bucket keys + counts."""
+    from dug_spark.operators import search
+
+    return search.agg_data_types(_vars_view(spark, sf_dir))
+
+
+def q_search_concepts_simple(spark, sf_dir):
+    """Simple-query path (async_search.py:220-230, 738-789): a query
+    containing '\"' and '*' routes to simple_query_string semantics —
+    phrase + prefix OR-groups summed per field."""
+    from dug_spark.operators import search
+
+    concepts = _vars_view(spark, sf_dir).select(
+        F.col("element_id").alias("concept_id"),
+        F.col("element_name").alias("name"),
+        F.col("element_desc").alias("description"),
+        F.col("data_type").alias("type"),
+        F.array("data_type").alias("search_terms"),
+        F.array().cast("array<string>").alias("optional_terms"),
+    )
+    out = search.search_concepts(concepts, '"var 7" | error*', size=20)
+    return out["hits"].select("concept_id", "name", "type", "score")
 
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -586,6 +687,34 @@ def q_kg_node_to_elements(spark, sf_dir):
     )
 
 
+def _simple_concepts_oracle() -> str:
+    """Oracle for the simple-query path: the same simple_query_string
+    expansion ('\"var 7\"' phrase OR 'error*' prefix per field, summed
+    across name/description/search_terms) in DuckDB SQL."""
+
+    def field_match(f: str) -> str:
+        return (
+            f"CASE WHEN contains(' ' || lower(coalesce({f}, '')) || ' ', ' var 7 ') "
+            f"OR len(list_filter(string_split_regex(lower(trim({f})), '\\s+'), "
+            f"x -> starts_with(x, 'error'))) > 0 THEN 1.0 ELSE 0.0 END"
+        )
+
+    score = " + ".join(
+        field_match(f) for f in ["name", "description", "search_terms_joined"]
+    )
+    return (
+        f"WITH {_SQL_VARS}, "
+        "concepts AS (SELECT element_id AS concept_id, element_name AS name, "
+        "element_desc AS description, data_type AS type, "
+        "data_type AS search_terms_joined FROM vars), "
+        f"scored AS (SELECT concept_id, name, type, ROUND({score}, 6) AS score "
+        "FROM concepts WHERE length(coalesce(name, '')) > 0 "
+        "AND length(coalesce(description, '')) > 0) "
+        "SELECT concept_id, name, type, CAST(score AS DOUBLE) AS score FROM scored "
+        "WHERE score > 0 ORDER BY score DESC, concept_id ASC LIMIT 20"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 
@@ -618,6 +747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_mapping": q_kg_canonical_mapping,
         "kg_expand": q_kg_expand,
         "kg_node_to_elements": q_kg_node_to_elements,
+        "search_kg": q_search_kg,
+        "search_study": q_search_study,
+        "search_program": q_search_program,
+        "agg_data_types": q_agg_data_types,
+        "search_concepts_simple": q_search_concepts_simple,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_facet_exclude": q_rel_facet_exclude,
         "rel_top_hit_per_group": q_rel_top_hit_per_group,
@@ -747,6 +881,52 @@ def oracle_sql() -> dict[str, str]:
             "                 AND (lower(c2.category) = lower('biolink:Publication') "
             "                      OR c2.category = 'publication')))"
         ),
+        "search_kg": (
+            f"WITH ids(concept_id, curie) AS (VALUES {_vals([(c, c) for c in _EXPAND_IDS])}), "
+            f"tmpl(query_name, source_prefix, object_category, object_type) AS "
+            f"(VALUES {_vals(_TMPL_ROWS)}), "
+            f"edges(subject, predicate, object) AS (VALUES {_vals(_HEART_EDGES)}), "
+            f"cats(id, category) AS (VALUES {_vals(_CAT_ROWS)}), "
+            f"nodes(id, name) AS (VALUES {_vals(_NODE_ROWS)}), "
+            f"syns(id, syn) AS (VALUES {_vals(_SYN_ROWS)}), "
+            "targets AS (SELECT id, name AS t FROM nodes UNION SELECT id, syn FROM syns), "
+            "ans AS (SELECT DISTINCT i.concept_id AS concept_id, "
+            "  i.concept_id || '_' || i.curie || '_' || e.object AS doc_id, "
+            "  i.curie AS subject, e.predicate AS predicate, e.object AS object "
+            "  FROM ids i JOIN tmpl t ON split_part(i.curie, ':', 1) = t.source_prefix "
+            "  JOIN edges e ON e.subject = i.curie "
+            "  JOIN cats c ON c.id = e.object AND "
+            "  (lower(c.category) = lower(t.object_category) OR c.category = t.object_type) "
+            "  WHERE i.curie != 'CHEBI:17336'), "
+            "scored AS (SELECT doc_id, concept_id, subject, predicate, object, "
+            "  (CASE WHEN EXISTS (SELECT 1 FROM targets tg WHERE tg.id = ans.object "
+            "     AND contains(lower(tg.t), 'heart')) THEN 1.0 ELSE 0.0 END "
+            " + CASE WHEN EXISTS (SELECT 1 FROM targets tg WHERE tg.id = ans.object "
+            "     AND contains(lower(tg.t), 'infarction')) THEN 1.0 ELSE 0.0 END) AS score "
+            "  FROM ans WHERE concept_id = 'MONDO:0005068') "
+            "SELECT doc_id, concept_id, subject, predicate, object, "
+            "CAST(score AS DOUBLE) AS score FROM scored WHERE score > 0 "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "search_study": (
+            f"WITH {_SQL_VARS} "
+            "SELECT element_id, collection_id, collection_name FROM vars "
+            "WHERE contains(lower(collection_id), 'study_1') "
+            "ORDER BY element_id ASC LIMIT 50"
+        ),
+        "search_program": (
+            f"WITH {_SQL_VARS}, "
+            "ranked AS (SELECT collection_id, collection_name, collection_action, "
+            "ROW_NUMBER() OVER (PARTITION BY collection_id ORDER BY element_id ASC) AS rk "
+            "FROM vars WHERE lower(data_type) = 'click') "
+            "SELECT collection_id, collection_name, collection_action FROM ranked "
+            "WHERE rk = 1 ORDER BY collection_id ASC"
+        ),
+        "agg_data_types": (
+            f"WITH {_SQL_VARS} "
+            "SELECT data_type, COUNT(*) AS n FROM vars GROUP BY data_type"
+        ),
+        "search_concepts_simple": _simple_concepts_oracle(),
         "rel_facet_exclude": (
             "WITH ev AS (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket FROM events) "
             "SELECT 'event_type' AS facet, event_type AS value, COUNT(*) AS n FROM ev "

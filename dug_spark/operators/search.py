@@ -22,6 +22,9 @@ target is on triples, which don't depend on scores.
 
 from __future__ import annotations
 
+import re
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +63,100 @@ def _terms_phrase(arr_field, query: str):
     ).otherwise(0.0)
 
 
+# ---------------------------------------------------------------------------
+# Simple-query detection + simple_query_string semantics
+# (async_search.py:220-221: queries containing * " + - switch from the
+# boosted bool query to a simple_query_string DSL, :738-831).
+
+
+def is_simple_query(query: str) -> bool:
+    """is_simple_search_query (async_search.py:220-221)."""
+    return any(c in query for c in ('*', '"', '+', '-'))
+
+
+def parse_simple_query(query: str) -> list[list[tuple[str, str, bool]]]:
+    """Parse a simple_query_string query (default_operator=and, flags
+    OR|AND|NOT|PHRASE|PREFIX — async_search.py:741-746) into OR-groups of
+    (kind, token, negated): '|' separates OR groups; whitespace and '+'
+    both mean AND inside a group; a leading '-' negates (NOT); '"..."' is
+    a PHRASE; a trailing '*' is a PREFIX."""
+    groups: list[list[tuple[str, str, bool]]] = []
+    for part in query.split("|"):
+        terms: list[tuple[str, str, bool]] = []
+        for m in re.finditer(r'-?"[^"]*"|[^\s+]+', part):
+            tok = m.group(0)
+            neg = tok.startswith("-")
+            if neg:
+                tok = tok[1:]
+            if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+                kind, tok = "phrase", tok[1:-1]
+            elif tok.endswith("*") and len(tok) > 1:
+                kind, tok = "prefix", tok[:-1]
+            else:
+                kind = "term"
+            tok = tok.lower().strip()
+            if tok:
+                terms.append((kind, tok, neg))
+        if terms:
+            groups.append(terms)
+    return groups
+
+
+def _simple_field_match(field, query: str) -> F.Column:
+    """1.0 iff the field satisfies the parsed simple_query_string boolean
+    expression (ES scores vary; the deterministic stand-in scores each
+    field 0/1 and sums across fields — score_mode=sum, :786)."""
+    toks = _tokens(field)
+    pad = F.concat(F.lit(" "), F.lower(F.coalesce(field, F.lit(""))), F.lit(" "))
+
+    def pred(kind: str, tok: str) -> F.Column:
+        if kind == "phrase":
+            return pad.contains(f" {tok} ")
+        if kind == "prefix":
+            return F.exists(toks, lambda t: t.startswith(tok))
+        return F.array_contains(toks, tok)
+
+    group_cols = []
+    for terms in parse_simple_query(query):
+        g = None
+        for kind, tok, neg in terms:
+            p = pred(kind, tok)
+            if neg:
+                p = ~p
+            g = p if g is None else (g & p)
+        group_cols.append(g)
+    if not group_cols:
+        return F.lit(0.0)
+    return F.when(reduce(lambda a, b: a | b, group_cols), 1.0).otherwise(0.0)
+
+
+def simple_concept_score(query: str) -> F.Column:
+    """get_simple_concept_search_query (async_search.py:738-789): one
+    simple_query_string per field {name, description, search_terms},
+    summed (score_mode=sum)."""
+    return (
+        _simple_field_match(F.col("name"), query)
+        + _simple_field_match(F.col("description"), query)
+        + _simple_field_match(
+            F.array_join(F.coalesce("search_terms", F.array().cast("array<string>")), " "),
+            query,
+        )
+    )
+
+
+def simple_variable_score(query: str) -> F.Column:
+    """get_simple_variable_search_query (async_search.py:791-831): same
+    shape over element fields."""
+    return (
+        _simple_field_match(F.col("element_name"), query)
+        + _simple_field_match(F.col("element_desc"), query)
+        + _simple_field_match(
+            F.array_join(F.coalesce("search_terms", F.array().cast("array<string>")), " "),
+            query,
+        )
+    )
+
+
 def concept_score(query: str) -> F.Column:
     """Boost structure of _get_concepts_query (async_search.py:126-218)."""
     name, desc = F.col("name"), F.col("description")
@@ -85,11 +182,16 @@ def search_concepts(
     types: list[str] | None = None,
 ) -> dict:
     """Returns {hits, total_items, concept_types} like search_concepts
-    (async_search.py:223-276): paginated hits, count, type facet."""
+    (async_search.py:223-276): paginated hits, count, type facet.
+    Queries containing * \" + - route to simple_query_string semantics
+    (:227-230)."""
+    score = (
+        simple_concept_score(query) if is_simple_query(query) else concept_score(query)
+    )
     base = concepts.where(
         (F.length(F.coalesce("name", F.lit(""))) > 0)
         & (F.length(F.coalesce("description", F.lit(""))) > 0)
-    ).withColumn("score", F.round(concept_score(query), 6))
+    ).withColumn("score", F.round(score, 6))
     matched = base.where(F.col("score") > 0)
     # facet agg runs on the pre-post-filter plan (:232-242)
     facets = matched.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
@@ -124,8 +226,12 @@ def search_variables(
     size: int = 20,
 ) -> DataFrame:
     """Boosted variable search; with `concept`, adds the must-match
-    identifier membership (J10, async_search.py:730-736)."""
-    scored = variables.withColumn("score", F.round(variable_score(query), 6)).where(
+    identifier membership (J10, async_search.py:730-736).  Queries
+    containing * \" + - route to simple_query_string semantics (:292-295)."""
+    score = (
+        simple_variable_score(query) if is_simple_query(query) else variable_score(query)
+    )
+    scored = variables.withColumn("score", F.round(score, 6)).where(
         F.col("score") > 0
     )
     if concept:
@@ -209,3 +315,108 @@ def program_list(variables: DataFrame) -> DataFrame:
 def dump_concepts(concepts: DataFrame, offset: int = 0, size: int = 100) -> DataFrame:
     """dump_concepts (async_search.py:73-81): stable full export page."""
     return concepts.orderBy("concept_id").offset(offset).limit(size)
+
+
+def search_kg(
+    kg_answers: DataFrame,
+    unique_id: str,
+    query: str,
+    offset: int = 0,
+    size: int = 20,
+) -> DataFrame:
+    """search_kg (async_search.py:400-436, route server.py:111-119): the
+    concept MUST equal unique_id; the query matches ``search_targets``
+    (query_string, default OR).  Deterministic stand-in for the fuzzy
+    query_string: score = number of query tokens contained
+    (case-insensitive) in any search target.  Pagination offset/size;
+    ties broken by doc_id for determinism."""
+    qtoks = [t for t in query.lower().split() if t]
+
+    def _tok_hit(tok: str):
+        # closure factory: a default-arg lambda would read as a 2-arg
+        # (element, index) higher-order function to Spark
+        return F.when(
+            F.exists(
+                F.coalesce("search_targets", F.array().cast("array<string>")),
+                lambda s: F.lower(s).contains(tok),
+            ),
+            1.0,
+        ).otherwise(0.0)
+
+    hits = sum(_tok_hit(t) for t in qtoks) if qtoks else F.lit(0.0)
+    return (
+        kg_answers.where(F.col("concept_id") == unique_id)
+        .withColumn("score", hits.cast("double"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .offset(offset)
+        .limit(size)
+    )
+
+
+def search_study(
+    variables: DataFrame,
+    study_id: str | None = None,
+    study_name: str | None = None,
+    offset: int = 0,
+    size: int = 100,
+) -> DataFrame:
+    """search_study (async_search.py:437-472, route server.py:307-318):
+    variables filtered by collection_id and/or collection_name match.
+    ES ``match`` stand-in: case-insensitive containment.  Unfiltered
+    constant-score ordering is nondeterministic in ES; ordered by
+    element_id here."""
+    out = variables
+    if study_id:
+        out = out.where(F.lower("collection_id").contains(study_id.lower()))
+    if study_name:
+        out = out.where(F.lower("collection_name").contains(study_name.lower()))
+    return out.orderBy("element_id").offset(offset).limit(size)
+
+
+def search_program(
+    variables: DataFrame, program_name: str | None = None
+) -> DataFrame:
+    """search_program (async_search.py:473-533): optional data_type match
+    (standard-analyzer lowercase comparison), then per-collection_id
+    top_hits(1) projecting (collection_id, collection_name,
+    collection_action), sorted by collection_id (:527).  top_hits(1) is
+    made deterministic by electing the min element_id per collection."""
+    from pyspark.sql import Window
+
+    out = variables
+    if program_name:
+        out = out.where(F.lower("data_type") == program_name.lower())
+    w = Window.partitionBy("collection_id").orderBy(F.asc("element_id"))
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("collection_id", "collection_name", "collection_action")
+        .orderBy("collection_id")
+    )
+
+
+def agg_data_types(variables: DataFrame) -> DataFrame:
+    """agg_data_type (async_search.py:91-110): the distinct data_type
+    bucket keys of the variables index (terms agg), with bucket counts."""
+    return (
+        variables.groupBy("data_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("data_type"))
+    )
+
+
+def search_vars_unscored(
+    variables: DataFrame, query: str, concept: str | None = None
+) -> DataFrame:
+    """search_vars_unscored (async_search.py:317-339): same query shape as
+    search_variables but returns ALL matching docs (async_scan — no
+    pagination, no score in the result), ordered by element_id for
+    determinism."""
+    score = (
+        simple_variable_score(query) if is_simple_query(query) else variable_score(query)
+    )
+    out = variables.withColumn("_score", score).where(F.col("_score") > 0)
+    if concept:
+        out = out.where(F.array_contains("identifiers", concept))
+    return out.drop("_score").orderBy("element_id")

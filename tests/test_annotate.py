@@ -107,3 +107,21 @@ def test_overlapping_terms_both_match(spark):
     m = annotate.annotate_mentions(corpus, fixtures.heart_dictionary(spark))
     spans = {r["search_text"] for r in m.collect()}
     assert spans == {"heart", "heart attack", "attack"}
+
+
+def test_uppercase_dictionary_terms_match(spark):
+    """The scan lowercases text; uppercase dictionary surface terms must
+    still match (trie is keyed on lowercased terms, original kept)."""
+    from dug_spark.operators import annotate
+
+    corpus = spark.createDataFrame(
+        [("u1", "patient had a heart attack yesterday")], "url string, text string"
+    )
+    d = spark.createDataFrame(
+        [("Heart Attack", "MONDO:X", "heart attack", ["disease"], 0.9)],
+        "term string, curie string, label string, types array<string>, score double",
+    )
+    rows = annotate.annotate_mentions(corpus, d, preprocess=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["search_text"] == "Heart Attack"
+    assert rows[0]["curie"] == "MONDO:X"

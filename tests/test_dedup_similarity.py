@@ -122,3 +122,38 @@ def test_fingerprint_stability_and_discrimination(spark, docs):
     md5s = {r["fp_md5"] for r in fp}
     assert len(md5s) == len(fp)  # all sf docs are distinct
     assert all(r["fp_min"] is not None for r in fp)
+
+
+def test_short_docs_do_not_crash_shingles(spark):
+    """Docs shorter than the shingle width yield empty shingle sets
+    (previously: SparkRuntimeException from sequence(0,-1) slice)."""
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a"),
+         (4, "x y z w x y z w"), (5, "x y z w x y z w")],
+        "doc_id int, text string",
+    )
+    pairs = dedup.shingle_jaccard_pairs(short).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(4, 5, 1.0)]
+    mh = dedup.minhash_near_duplicates(short).collect()
+    assert [(r["id_a"], r["id_b"]) for r in mh] == [(4, 5)]
+
+
+def test_embedding_near_duplicates_lsh_subset_of_exact(spark, emb):
+    """The LSH path returns a subset of the exact pairs (no false
+    positives — every candidate is verified by exact cosine)."""
+    base = emb.where(F.col("vec_id") < 60)
+    sample = base.unionByName(base.withColumn("vec_id", F.col("vec_id") + 1000))
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_near_duplicates(sample, threshold=0.2, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_near_duplicates(sample, threshold=0.2).collect()
+    }
+    assert lsh <= exact
+    assert exact, "identical copies guarantee pairs at any threshold"
+    # identical vectors have identical sign sketches → full recall on them
+    identical = {p for p in exact if p[2] >= 0.999999}
+    assert len(identical) >= 60
+    assert identical <= lsh

@@ -112,3 +112,21 @@ def test_canonicalize_mentions_rewrites(spark):
     # all heart-anatomy variants collapse onto the canonical ids
     assert "UBERON:0015230" not in curies
     assert "UBERON:0000948" in curies
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from dug_spark.operators import canonicalize
+    import pytest as _pytest
+
+    # a 12-hop chain needs ~11 min-propagation rounds; max_iter=3 must
+    # fail loudly instead of returning unconverged (wrong) labels
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    sym = edges.unionByName(
+        edges.selectExpr("dst as src", "src as dst")
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        canonicalize.connected_components(sym, max_iter=3)
+    # and converges fine with enough rounds
+    out = canonicalize.connected_components(sym, max_iter=15)
+    assert {r["comp"] for r in out.collect()} == {"n00"}

@@ -151,3 +151,148 @@ def test_facet_counts_exclude_own_filter(spark):
     assert dt == {"dbGaP": 2}
     cn = {r["value"]: r["n"] for r in out["collection_name"].collect()}
     assert cn == {"Study One": 2}
+
+
+# ---------------------------------------------------------------------------
+# Simple-query detection + simple_query_string semantics
+# (async_search.py:220-230, 738-831)
+
+
+def test_is_simple_query_detector():
+    assert not search.is_simple_query("heart attack")
+    for q in ['"heart attack"', "heart*", "+heart", "heart -attack"]:
+        assert search.is_simple_query(q)
+
+
+def test_parse_simple_query_groups():
+    groups = search.parse_simple_query('"var 7" | error* -click plain')
+    assert groups == [
+        [("phrase", "var 7", False)],
+        [("prefix", "error", False), ("term", "click", True), ("term", "plain", False)],
+    ]
+
+
+def _simple_concepts(spark):
+    return spark.createDataFrame(
+        [
+            ("C:1", "asthma status", "patient has asthma", "disease", ["asthma attack"], []),
+            ("C:2", "heart rate", "beats per minute", "measure", ["pulse"], []),
+            ("C:3", "asthmatic cough", "cough description", "disease", [], []),
+        ],
+        "concept_id string, name string, description string, type string,"
+        "search_terms array<string>, optional_terms array<string>",
+    )
+
+
+def test_search_concepts_simple_phrase(spark):
+    # quoted phrase → simple path: only the exact word sequence matches
+    res = search.search_concepts(_simple_concepts(spark), '"asthma status"')
+    hits = [r["concept_id"] for r in res["hits"].collect()]
+    assert hits == ["C:1"]
+
+
+def test_search_concepts_simple_prefix_and_or(spark):
+    res = search.search_concepts(_simple_concepts(spark), 'asthm* | pulse')
+    got = {r["concept_id"]: r["score"] for r in res["hits"].collect()}
+    # C:1 matches in name+description+search_terms (3), C:3 in name (1),
+    # C:2 via pulse in search_terms (1)
+    assert got == {"C:1": 3.0, "C:2": 1.0, "C:3": 1.0}
+
+
+def test_search_variables_simple_negation(spark):
+    v = _variables_table(spark)
+    # default AND + NOT: asthma docs not mentioning 'attack' anywhere in
+    # the matched field
+    hits = search.search_variables(v, "asthma -status").collect()
+    # v1 name 'asthma status' fails (has status); desc 'has asthma' passes
+    assert [h["element_id"] for h in hits] == ["v1"]
+    none = search.search_variables(v, '"asthma of"').collect()
+    assert none == []
+
+
+# ---------------------------------------------------------------------------
+# search_kg / search_study / search_program / agg_data_types /
+# search_vars_unscored (async_search.py:91-110, 317-339, 400-533)
+
+
+def _kg_docs(spark):
+    return spark.createDataFrame(
+        [
+            ("MONDO:1_A_B", "MONDO:1", ["Myocardial infarction"], "A", "p", "B"),
+            ("MONDO:1_A_C", "MONDO:1", ["heart", "chambered heart"], "A", "p", "C"),
+            ("MONDO:2_A_D", "MONDO:2", ["heart"], "A", "p", "D"),
+        ],
+        "doc_id string, concept_id string, search_targets array<string>,"
+        "subject string, predicate string, object string",
+    )
+
+
+def test_search_kg_concept_must_match(spark):
+    out = search.search_kg(_kg_docs(spark), "MONDO:1", "heart infarction").collect()
+    assert [r["doc_id"] for r in out] == ["MONDO:1_A_B", "MONDO:1_A_C"]
+    assert all(r["score"] == 1.0 for r in out)
+    # two-token hit outranks one-token hit
+    out2 = search.search_kg(_kg_docs(spark), "MONDO:1", "chambered heart").collect()
+    assert out2[0]["doc_id"] == "MONDO:1_A_C" and out2[0]["score"] == 2.0
+    # no query match → empty
+    assert search.search_kg(_kg_docs(spark), "MONDO:1", "zzz").collect() == []
+
+
+def _study_vars(spark):
+    return spark.createDataFrame(
+        [
+            ("v1", "age", "years", "dbGaP", "phs001", "Heart Study", "a1"),
+            ("v2", "bmi", "kg/m2", "dbGaP", "phs001", "Heart Study", "a1"),
+            ("v3", "fev1", "liters", "topmed", "phs002", "Lung Study", "a2"),
+        ],
+        "element_id string, element_name string, element_desc string,"
+        "data_type string, collection_id string, collection_name string,"
+        "collection_action string",
+    )
+
+
+def test_search_study_by_id_and_name(spark):
+    v = _study_vars(spark)
+    by_id = search.search_study(v, study_id="phs001").collect()
+    assert [r["element_id"] for r in by_id] == ["v1", "v2"]
+    by_name = search.search_study(v, study_name="lung").collect()
+    assert [r["element_id"] for r in by_name] == ["v3"]
+    both = search.search_study(v, study_id="phs001", study_name="lung").collect()
+    assert both == []
+
+
+def test_search_program_top_hit_per_collection(spark):
+    v = _study_vars(spark)
+    out = search.search_program(v).collect()
+    assert [(r["collection_id"], r["collection_name"]) for r in out] == [
+        ("phs001", "Heart Study"), ("phs002", "Lung Study"),
+    ]
+    filtered = search.search_program(v, program_name="TOPMED").collect()
+    assert [r["collection_id"] for r in filtered] == ["phs002"]
+
+
+def test_agg_data_types(spark):
+    out = search.agg_data_types(_study_vars(spark)).collect()
+    assert [(r["data_type"], r["n"]) for r in out] == [("dbGaP", 2), ("topmed", 1)]
+
+
+def test_search_vars_unscored_returns_all_matches(spark):
+    v = _variables_table(spark)
+    out = search.search_vars_unscored(v, "asthma")
+    assert "score" not in out.columns and "_score" not in out.columns
+    assert [r["element_id"] for r in out.collect()] == ["v1"]
+    gated = search.search_vars_unscored(v, "asthma", concept="MONDO:1").collect()
+    assert [r["element_id"] for r in gated] == ["v1"]
+
+
+def test_merge_elements_keeps_batch_only_columns(spark, tmp_path):
+    p = str(tmp_path / "elements_evo")
+    sink.merge_elements(spark, p, _elements(spark, [("e1", "one", ["A"])]))
+    batch = _elements(spark, [("e2", "two", ["B"])]).withColumn(
+        "new_col", F.lit("fresh")
+    )
+    out = sink.merge_elements(spark, p, batch)
+    rows = {r["element_id"]: r for r in out.collect()}
+    # schema evolution: the batch-only column survives the merge
+    assert rows["e2"]["new_col"] == "fresh"
+    assert rows["e1"]["new_col"] is None
