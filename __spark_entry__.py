@@ -728,6 +728,9 @@ def entry(spark: SparkSession) -> DataFrame:
         dictionary=fixtures.vocab_dictionary(spark),
         curie_norm=fixtures.vocab_norm(spark),
         kg_edges=fixtures.vocab_kg_edges(spark),
+        kg_nodes=fixtures.vocab_kg_nodes(spark),
+        expand_queries=fixtures.VOCAB_EXPAND_QUERIES,
+        expand_prefixes=fixtures.VOCAB_EXPAND_PREFIXES,
         use_extracted_html=True,
     )
     return pipe.run(corpus).triples

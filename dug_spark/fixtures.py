@@ -224,6 +224,21 @@ VOCAB_NORM_ROWS = [
     ("EXPR:0001", "EXPR:0001", "vector expression", "", "expression", ["EXPR:0001"]),
 ]
 
+# Nodes for the vocab KG (targets of VOCAB_KG_EDGE_ROWS) so the flagship
+# pipeline can exercise KG expansion (crawler.py:71-95) on oracle-checked
+# dims: category "operator" matches the custom expand template below.
+VOCAB_KG_NODE_ROWS = [
+    ("OP:0000", "relational operator", ["operator"], ["op", "relational algebra operator"]),
+    ("OP:0001", "hash join operator", ["operator"], ["hash join"]),
+    ("OP:0003", "window operator", ["operator"], ["windowing"]),
+]
+
+# Custom expansion templates for the vocab KG (the biolink defaults only
+# fire on MONDO/HP/UBERON/CHEBI prefixes): every vocab concept type
+# expands to related "operator" nodes.
+VOCAB_EXPAND_QUERIES = {"op_rel": ("operator", "operator")}
+VOCAB_EXPAND_PREFIXES = {"operator": ["OP", "SYS", "EXPR", "PATO"]}
+
 VOCAB_KG_EDGE_ROWS = [
     ("v1", "OP:0001", "biolink:subclass_of", "OP:0000", []),
     ("v2", "OP:0002", "biolink:subclass_of", "OP:0000", []),
@@ -245,6 +260,13 @@ def vocab_norm(spark: SparkSession) -> DataFrame:
 
 def vocab_kg_edges(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(VOCAB_KG_EDGE_ROWS, schema=schemas.KG_EDGES)
+
+
+def vocab_kg_nodes(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, n, c, s, None) for (i, n, c, s) in VOCAB_KG_NODE_ROWS],
+        schema=schemas.KG_NODES,
+    )
 
 
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,6 +91,7 @@ def annotate_mentions(
     debreviator: dict[str, str] | None = None,
     stopwords: list[str] | None = None,
     entries: dict[str, list] | None = None,
+    lineage_acc=None,
 ) -> DataFrame:
     """corpus(id_col, text_col, …) × dictionary → MENTIONS.
 
@@ -99,6 +100,10 @@ def annotate_mentions(
     bound HTTP payloads; with 5-word overlap its match set equals the
     whole-text scan for terms ≤6 words).  Pass precollected ``entries``
     (from :func:`collect_dictionary`) to skip the per-call collect job.
+    Pass ``lineage_acc`` (plans.lineage.partition_lineage_accumulator) to
+    collect {source_partition: (input_docs, extracted_mentions)} as a
+    side-channel of the scan — the per-partition lineage metrics the
+    checkpoint manifest records.
     """
     spark = corpus.sparkSession
     if entries is None:
@@ -106,6 +111,7 @@ def annotate_mentions(
     bc = spark.sparkContext.broadcast(entries)
     deb, stop = debreviator, stopwords
     do_pp = preprocess
+    acc = lineage_acc
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = bc.value
@@ -135,6 +141,12 @@ def annotate_mentions(
                             out["label"].append(label)
                             out["types"].append(types)
                             out["score"].append(score)
+            if acc is not None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else -1
+                acc.add({pid: (len(pdf), len(out["url"]))})
             # explicit dtypes: an empty batch must still yield object
             # columns (pandas defaults empty lists to float64, which
             # Arrow can't convert to list<string>)

@@ -24,6 +24,21 @@ class PipelineResult:
     concepts: DataFrame
     element_concept: DataFrame
     triples: DataFrame
+    # KG expansion products (when the pipeline has kg_nodes): the TRAPI-
+    # style answer table and graph-extracted elements (crawler.py:71-95)
+    kg_answers: DataFrame | None = None
+    expanded_elements: DataFrame | None = None
+    # per-source-partition (input_docs, extracted_mentions) accumulator;
+    # populated after the first action on any derived DataFrame
+    lineage_acc: object | None = None
+
+    def lineage(self) -> dict[int, tuple[int, int]]:
+        """{source_partition: (input_rows, extracted_mentions)} — read
+        after an action has materialized the annotate scan.  CUMULATIVE
+        across actions that re-execute the scan (build_triples eagerly
+        checkpoints once at plan build); CheckpointManager.write_stage
+        snapshots before/after its write to attribute a single pass."""
+        return dict(self.lineage_acc.value) if self.lineage_acc is not None else {}
 
 
 @dataclass
@@ -38,6 +53,13 @@ class Pipeline:
     curie_norm: DataFrame | None = None
     synonyms: DataFrame | None = None
     kg_edges: DataFrame | None = None
+    # when kg_nodes is provided, the run expands mention concepts against
+    # the ontology KG (crawler.py:71-95): kg_answers are materialized,
+    # concept optional_terms (A4) filled from answer-node names/synonyms,
+    # and qualifying nodes cast to new elements (J9)
+    kg_nodes: DataFrame | None = None
+    expand_queries: dict[str, tuple[str, str]] | None = None
+    expand_prefixes: dict[str, list[str]] | None = None
     score_threshold: float = 0.8
     top_k: int = 10
     langs: list[str] = field(default_factory=lambda: ["en"])
@@ -45,6 +67,9 @@ class Pipeline:
     canonicalize: bool = True
     greenlist: list[str] | None = None  # None → reference default (F6)
     persist_mentions: bool = False
+    # collect {source_partition: (input_docs, mentions)} from the annotate
+    # scan via a Spark accumulator (plans/lineage.py) — zero extra jobs
+    track_lineage: bool = False
     # Fold link-scoring + normalization + canonicalization INTO the
     # broadcast dictionary (they are pure per-(term, curie) functions of
     # the dimension tables): the corpus-side plan becomes a single
@@ -148,14 +173,22 @@ class Pipeline:
             # BASELINE invariant: extract_text(html) byte-identical to text
             df = df.withColumn("text", extract_text_udf(F.col("html")))
 
+        acc = None
+        if self.track_lineage:
+            from .plans.lineage import partition_lineage_accumulator
+
+            acc = partition_lineage_accumulator(df.sparkSession)
+
         if self.fold_dimensions:
             if self._dict_entries is None:
                 self._dict_entries = annotate.collect_dictionary(
                     self.effective_dictionary()
                 )
-            m = annotate.annotate_mentions(df, None, entries=self._dict_entries)
+            m = annotate.annotate_mentions(
+                df, None, entries=self._dict_entries, lineage_acc=acc
+            )
         else:
-            m = annotate.annotate_mentions(df, self.dictionary)
+            m = annotate.annotate_mentions(df, self.dictionary, lineage_acc=acc)
             m = link.score_candidates(
                 m, self.score_threshold, self.top_k, dictionary=self.dictionary
             )
@@ -180,6 +213,48 @@ class Pipeline:
         conc = concepts.build_concepts(m)
         edges = concepts.element_concept_edges(m)
         trip = triples.build_triples(m, self.kg_edges)
+
+        # KG expansion (crawler.py:71-95): mention concepts × ontology KG →
+        # kg_answers; optional_terms (A4) from answer-node names/synonyms;
+        # qualifying nodes cast to new elements (J9).  The identifier set
+        # is dictionary-bounded (distinct canonical curies), so both joins
+        # against the KG broadcast the small side.
+        kg_answers = None
+        expanded_elements = None
+        if self.kg_nodes is not None and self.kg_edges is not None:
+            from .operators import expand
+
+            ids = m.select(
+                F.col("curie").alias("concept_id"), "curie"
+            ).distinct()
+            kg_answers = expand.expand_concepts(
+                ids,
+                self.kg_edges,
+                self.kg_nodes,
+                queries=self.expand_queries,
+                curie_prefixes=self.expand_prefixes,
+            )
+            opt = concepts.concept_optional_terms(kg_answers)
+            conc = (
+                conc.drop("optional_terms")
+                .join(F.broadcast(opt), "concept_id", "left")
+                .withColumn(
+                    "optional_terms",
+                    F.coalesce("optional_terms", F.array().cast("array<string>")),
+                )
+                .select(
+                    "concept_id", "name", "description", "type",
+                    "search_terms", "optional_terms",
+                )
+            )
+            expanded_elements = expand.nodes_to_elements(kg_answers, self.kg_nodes)
+
         return PipelineResult(
-            mentions=m, concepts=conc, element_concept=edges, triples=trip
+            mentions=m,
+            concepts=conc,
+            element_concept=edges,
+            triples=trip,
+            kg_answers=kg_answers,
+            expanded_elements=expanded_elements,
+            lineage_acc=acc,
         )

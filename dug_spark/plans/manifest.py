@@ -45,29 +45,65 @@ class CheckpointManager:
         return os.path.exists(os.path.join(self._stage_dir(stage), "_SUCCESS"))
 
     # -- lineage ----------------------------------------------------------
-    def _record(self, spark: SparkSession, stage: str, df_written: DataFrame, wall_ms: int):
-        """One manifest row per source partition of the written data."""
+    def _record(
+        self,
+        spark: SparkSession,
+        stage: str,
+        df_written: DataFrame,
+        wall_ms: int,
+        lineage: dict | None = None,
+    ):
+        """Manifest rows: one per output partition of the written data
+        (scope='output'), plus — when the caller passes the annotate scan's
+        lineage accumulator value — one per SOURCE partition with real
+        input_rows and extraction counts (scope='source'), satisfying the
+        per-partition lineage + extraction-count metric requirement."""
         per_part = (
             df_written.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("output_rows"))
             .withColumn("stage", F.lit(stage))
+            .withColumn("scope", F.lit("output"))
             .withColumn("input_rows", F.lit(None).cast("long"))
-            .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("wall_ms", F.lit(wall_ms).cast("long"))
             .withColumn("run_id", F.lit(self.run_id))
-            .select("stage", "partition_id", "input_rows", "output_rows", "wall_ms", "run_id")
+            .select(
+                "stage", "scope", "partition_id", "input_rows",
+                "output_rows", "wall_ms", "run_id",
+            )
         )
+        if lineage:
+            src_rows = [
+                (stage, "source", int(pid), int(n_in), int(n_out), wall_ms, self.run_id)
+                for pid, (n_in, n_out) in sorted(lineage.items())
+            ]
+            src = spark.createDataFrame(
+                src_rows,
+                "stage string, scope string, partition_id int, input_rows long, "
+                "output_rows long, wall_ms long, run_id string",
+            ).withColumn("partition_id", F.col("partition_id").cast("int"))
+            per_part = per_part.unionByName(src)
         per_part.write.mode("append").parquet(self._manifest_dir())
 
     def manifest(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._manifest_dir())
 
     # -- stage I/O ----------------------------------------------------------
-    def write_stage(self, stage: str, df: DataFrame) -> DataFrame:
+    def write_stage(
+        self, stage: str, df: DataFrame, lineage_acc=None
+    ) -> DataFrame:
         """Atomic write: tmp dir + rename; returns the re-read DataFrame
-        (reading back decouples downstream stages from upstream lineage)."""
+        (reading back decouples downstream stages from upstream lineage).
+        ``lineage_acc``: a plans.lineage accumulator threaded through the
+        stage's annotate scan — its value is read AFTER the write action
+        (which materializes the scan) and recorded per source partition."""
         spark = df.sparkSession
         final = self._stage_dir(stage)
         tmp = final + f".tmp-{self.run_id}"
+        # the accumulator is cumulative across every action that executes
+        # the annotate scan (e.g. build_triples' eager checkpoint); snapshot
+        # before the write so the recorded lineage is exactly this stage's
+        # pass over the source partitions
+        before = dict(lineage_acc.value) if lineage_acc is not None else {}
         t0 = time.monotonic()
         df.write.mode("overwrite").parquet(tmp)
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -75,19 +111,32 @@ class CheckpointManager:
             shutil.rmtree(final)
         os.rename(tmp, final)
         out = spark.read.parquet(final)
-        self._record(spark, stage, out, wall_ms)
+        lineage = None
+        if lineage_acc is not None:
+            after = dict(lineage_acc.value)
+            lineage = {
+                pid: (
+                    a - before.get(pid, (0, 0))[0],
+                    b - before.get(pid, (0, 0))[1],
+                )
+                for pid, (a, b) in after.items()
+                if (a, b) != before.get(pid, (0, 0))
+            }
+        self._record(spark, stage, out, wall_ms, lineage=lineage)
         return out
 
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._stage_dir(stage))
 
-    def run_or_resume(self, spark: SparkSession, stage: str, build) -> DataFrame:
+    def run_or_resume(
+        self, spark: SparkSession, stage: str, build, lineage_acc=None
+    ) -> DataFrame:
         """Exact resume: committed stages are read back, not recomputed
         (the skip-if-exists semantics of concept_expander.py:29-32 at
         stage granularity, with lineage recorded per partition)."""
         if self.is_done(stage):
             return self.read_stage(spark, stage)
-        return self.write_stage(stage, build())
+        return self.write_stage(stage, build(), lineage_acc=lineage_acc)
 
     def metrics(self, spark: SparkSession, stage: str | None = None) -> DataFrame:
         m = self.manifest(spark)

@@ -64,14 +64,20 @@ def main(argv: list[str] | None = None) -> None:
         curie_norm=fixtures.vocab_norm(spark),
         kg_edges=fixtures.vocab_kg_edges(spark),
         use_extracted_html=True,
+        track_lineage=True,
     )
     ckpt = CheckpointManager(args.output, run_id=args.run_id)
 
     from dug_spark.plans.skew import salted_repartition
 
-    mentions = ckpt.run_or_resume(
-        spark, "mentions", lambda: pipe.run(corpus).mentions
-    )
+    # the annotate scan's lineage accumulator fills during the stage write
+    # action; write_stage then records (input_docs, mentions) per source
+    # partition alongside the per-output-partition rows
+    if ckpt.is_done("mentions"):
+        mentions = ckpt.read_stage(spark, "mentions")
+    else:
+        r = pipe.run(corpus)
+        mentions = ckpt.write_stage("mentions", r.mentions, lineage_acc=r.lineage_acc)
 
     def _build_triples():
         t = triples_op.build_triples(mentions, fixtures.vocab_kg_edges(spark))

@@ -97,3 +97,55 @@ def test_pipeline_determinism(spark):
         for t in _pipeline(spark).run(corpus).triples.collect()
     }
     assert a == b
+
+
+def test_pipeline_kg_expansion_wiring(spark):
+    """crawler.py:71-95: the run expands mention concepts against the KG —
+    optional_terms (A4) fill from answer-node names+synonyms, answers are
+    materialized, qualifying nodes cast to elements (J9)."""
+    from dug_spark import fixtures
+    from dug_spark.operators import expand
+
+    pipe = Pipeline(
+        dictionary=fixtures.heart_dictionary(spark),
+        curie_norm=fixtures.curie_norm(spark),
+        kg_edges=fixtures.kg_edges(spark),
+        kg_nodes=fixtures.kg_nodes(spark),
+        expand_queries={**expand.DEFAULT_QUERIES, "pub": ("disease", "publication")},
+    )
+    res = pipe.run(fixtures.heart_corpus(spark))
+    assert res.kg_answers is not None
+    ans = res.kg_answers.collect()
+    assert any(a["concept_id"] == "MONDO:0005068" for a in ans)
+    conc = {r["concept_id"]: r for r in res.concepts.collect()}
+    # MI expands to HP:0001658 (disease query) + UBERON:0000948 (anat):
+    # optional_terms = sorted set of answer-node names ∪ synonyms
+    mi_terms = conc["MONDO:0005068"]["optional_terms"]
+    assert "heart" in mi_terms and "Myocardial infarction" in mi_terms
+    assert mi_terms == sorted(set(mi_terms))
+    # concepts with no KG answers keep empty optional_terms, not null
+    assert all(r["optional_terms"] is not None for r in conc.values())
+    # J9: the HEALCDE publication node becomes an element
+    els = res.expanded_elements.collect()
+    assert [e["element_id"] for e in els] == ["HEALCDE:Pain_CDE_v1.0.json"]
+
+
+def test_pipeline_vocab_expansion_optional_terms(spark):
+    """entry() flagship config: vocab KG expansion fills optional_terms."""
+    from dug_spark import fixtures
+
+    pipe = Pipeline(
+        dictionary=fixtures.vocab_dictionary(spark),
+        curie_norm=fixtures.vocab_norm(spark),
+        kg_edges=fixtures.vocab_kg_edges(spark),
+        kg_nodes=fixtures.vocab_kg_nodes(spark),
+        expand_queries=fixtures.VOCAB_EXPAND_QUERIES,
+        expand_prefixes=fixtures.VOCAB_EXPAND_PREFIXES,
+        use_extracted_html=True,
+    )
+    corpus = fixtures.corpus_from_documents(spark, "/root/testdata/sf0.001")
+    res = pipe.run(corpus)
+    conc = {r["concept_id"]: r["optional_terms"] for r in res.concepts.collect()}
+    # OP:0001 --related edge--> OP:0000 (relational operator + synonyms)
+    assert conc["SYS:0001"] == ["hash join", "hash join operator"]
+    assert conc["OP:0001"] == ["op", "relational algebra operator", "relational operator"]

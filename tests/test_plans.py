@@ -107,3 +107,37 @@ def test_write_triples_salted_partitioned(spark, tmp_path):
         .count()
     )
     assert hot_files > 1
+
+
+def test_manifest_records_source_lineage(spark, tmp_path):
+    """north_rule: per-partition lineage with REAL input_rows — the
+    annotate scan's accumulator feeds (input_docs, mentions) per source
+    partition into the manifest."""
+    from dug_spark import fixtures
+    from dug_spark.pipeline import Pipeline
+
+    pipe = Pipeline(
+        dictionary=fixtures.vocab_dictionary(spark),
+        curie_norm=fixtures.vocab_norm(spark),
+        use_extracted_html=True,
+        track_lineage=True,
+    )
+    corpus = fixtures.corpus_from_documents(spark, "/root/testdata/sf0.001")
+    res = pipe.run(corpus)
+    cm = CheckpointManager(str(tmp_path / "ckpt"), run_id="rl")
+    cm.write_stage("mentions", res.mentions, lineage_acc=res.lineage_acc)
+    m = cm.metrics(spark, "mentions").collect()
+    src = [r for r in m if r["scope"] == "source"]
+    out = [r for r in m if r["scope"] == "output"]
+    assert src and out
+    assert all(r["input_rows"] is not None and r["input_rows"] > 0 for r in src)
+    # input docs across source partitions = the en-corpus row count
+    n_en = corpus.where(F.col("lang") == "en").count()
+    assert sum(r["input_rows"] for r in src) == n_en
+    # extraction counts across source partitions = total mentions written
+    assert sum(r["output_rows"] for r in src) == sum(r["output_rows"] for r in out)
+    # PipelineResult.lineage() is cumulative across scan-executing actions
+    # (build_triples' eager checkpoint + the stage write = 2 passes here)
+    lin = res.lineage()
+    total = sum(v[0] for v in lin.values())
+    assert total >= n_en and total % n_en == 0
