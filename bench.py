@@ -37,7 +37,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LO, SCALE_HI = 2, 8
 SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
-SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "384"))
+# 768 × 5k docs = 3.84M docs per scaling sample: W (corpus-proportional
+# work) ≫ the few-second corpus-size-independent residue (plan compile,
+# AQE coordination, dimension broadcasts) while keeping each sample short
+# enough (~40 s hi / ~140 s lo calm) that best-of-N can dodge the
+# minutes-long host steal storms.
+SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "768"))
 
 
 def _corpus(spark, sf_dir: str, replicate: int = 1):
@@ -116,16 +121,29 @@ def run_pipeline_sample(cores: int, replicate: int) -> dict:
 
 
 def _child_sample(cores: int, replicate: int) -> dict:
+    # Pin the whole child (JVM + Python workers) to exactly `cores` CPUs:
+    # local[N] bounds concurrent TASKS, not hardware — Python worker
+    # processes, shuffle/GC threads all overflow onto extra CPUs, which
+    # inflates the low-core level and understates the true N→4N speedup.
+    # With taskset, "N cores" means N CPUs at both levels, which is what
+    # the executor count means on a real cluster.
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--pipeline-only",
+        "--cores",
+        str(cores),
+        "--replicate",
+        str(replicate),
+    ]
+    import shutil as _shutil
+
+    if _shutil.which("taskset"):
+        n_host = os.cpu_count() or 32
+        cpus = ",".join(str(n_host - cores + i) for i in range(cores))
+        cmd = ["taskset", "-c", cpus] + cmd
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--pipeline-only",
-            "--cores",
-            str(cores),
-            "--replicate",
-            str(replicate),
-        ],
+        cmd,
         capture_output=True,
         text=True,
         timeout=1800,
@@ -196,7 +214,7 @@ def main():
         # wall-time budget: under a host steal storm a sample can run 5×
         # long — stop sampling once the budget is spent (≥1 pair always
         # completes) so the whole bench stays bounded
-        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "900"))
+        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1200"))
         t_start = time.monotonic()
         los, his = [], []
         for i in range(SCALE_SAMPLES):

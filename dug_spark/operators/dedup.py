@@ -160,6 +160,12 @@ def minhash_near_duplicates(
     signature pass + Σ bucket² over LSH buckets + |candidates| set ops.
     """
     rows_per_band = num_hashes // bands
+    # parallelism floor: a small-file scan collapses to 1 partition and
+    # would serialize the (expensive) shingle+signature pass; at corpus
+    # scale the scan is already thousands of partitions wide — no-op
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     # one shingle pass feeds both the signatures and the verify step;
     # eager localCheckpoint so the banded join and the two verify joins
     # read the materialized arrays instead of re-scanning the corpus
