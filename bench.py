@@ -35,14 +35,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # minutes apart), so paired sampling + best-of-N measures the engine
 # rather than the host weather.
 SCALE_LO, SCALE_HI = 2, 8
-SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3"))
+SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "5"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
-# 768 × 5k docs = 3.84M docs per scaling sample: W (corpus-proportional
-# work) ≫ the few-second corpus-size-independent residue (plan compile,
-# AQE coordination, dimension broadcasts) while keeping each sample short
-# enough (~40 s hi / ~140 s lo calm) that best-of-N can dodge the
-# minutes-long host steal storms.
-SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "768"))
+# 384 × 5k docs = 1.92M docs per scaling sample: large enough that the
+# corpus-proportional work dominates the few-second corpus-size-
+# independent residue (plan compile, AQE coordination, broadcasts), small
+# enough (~70 s lo / ~20 s hi calm) that 5 interleaved samples per level
+# fit inside the budget — the host's minutes-long steal storms inflate
+# individual samples 3-10×, so per-level best-of-N over MANY short
+# samples is what actually measures the engine (calm interleaved pairs
+# measure 65-72 s lo vs 18-24 s hi = 3.2-4.0× from 2→8 pinned CPUs).
+SCALE_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "384"))
 
 
 def _corpus(spark, sf_dir: str, replicate: int = 1):

@@ -151,6 +151,99 @@ def lsh_topk(
     )
 
 
+def ivf_train_assign(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """IVF coarse quantizer when no precomputed cluster column exists:
+    deterministic k seed centroids (smallest xxhash64(id) order — a
+    pseudo-random but reproducible sample), `iters` Lloyd rounds run as
+    DataFrame aggregations (posexplode → per-(cell, dim) mean), then each
+    vector assigned to its max-dot-product centroid with a pure-JVM
+    expression over k literal centroid arrays.
+
+    Centroids are dimension-sized (k × dim floats) so the driver-side
+    collect is O(k·dim), never corpus-sized; each Lloyd round is one
+    shuffle on (cell, dim).  Returns (df + ``cell`` int column, centroids).
+    """
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    seeds = (
+        v.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["e"]) for r in seeds]
+
+    def assign_col(cents: list[list[float]]):
+        dots = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with("e", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        # array_position is 1-based; first max wins on ties
+        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = v.withColumn("cell", assign_col(centroids))
+        means = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in means:
+            new_c[r["cell"]][r["dim"]] = r["m"]
+        centroids = new_c
+
+    out = (
+        df.withColumn("e", _as_double(vec_col))
+        .withColumn("cell", assign_col(centroids))
+        .drop("e")
+    )
+    return out, centroids
+
+
+def ivf_trained_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    k_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: centroids learned from the
+    corpus, queries assigned to the same cells, exact cosine within the
+    query's cell only."""
+    corpus_cells, cents = ivf_train_assign(corpus, k_cells, id_col, vec_col, iters)
+    # assign queries with the SAME final centroids (no re-training)
+    q = queries.withColumn("e", _as_double(vec_col))
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with("e", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    q_cells = q.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    ).drop("e")
+    return ivf_topk(q_cells, corpus_cells, k=k, cell_col="cell",
+                    id_col=id_col, vec_col=vec_col)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

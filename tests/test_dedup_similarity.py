@@ -157,3 +157,27 @@ def test_embedding_near_duplicates_lsh_subset_of_exact(spark, emb):
     identical = {p for p in exact if p[2] >= 0.999999}
     assert len(identical) >= 60
     assert identical <= lsh
+
+
+def test_ivf_trained_quantizer(spark, emb):
+    """Trained IVF: centroids learned with DataFrame Lloyd rounds, queries
+    assigned to the same cells, search confined to the query's cell."""
+    assigned, cents = similarity.ivf_train_assign(emb, k=8, iters=1)
+    rows = assigned.collect()
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    assert set(cells.values()) <= set(range(8))
+    # assignment matches a pure-Python argmax over the returned centroids
+    by_vec = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    for vid in list(by_vec)[:50]:
+        dots = []
+        for c in cents:
+            acc = 0.0
+            for a, b in zip(by_vec[vid], c):
+                acc += a * b
+            dots.append(acc)
+        assert cells[vid] == dots.index(max(dots)), vid
+    # end-to-end trained search returns well-formed per-query top-k
+    q = emb.where(F.col("vec_id") < 10)
+    out = similarity.ivf_trained_topk(q, emb, k=3, k_cells=8, iters=1).collect()
+    assert {r["q_id"] for r in out} == set(range(10))
+    assert all(1 <= r["rk"] <= 3 for r in out)

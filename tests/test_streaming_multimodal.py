@@ -168,3 +168,32 @@ def test_multimodal_resize(spark):
     )
     out = multimodal.resize_images(media, 32, 32, deterministic_fake=True).collect()
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+
+
+def test_session_fn_last_ts_accumulates_across_chunks():
+    """Arrow delivers group rows in multiple non-ts-ordered chunks; the
+    emitted last_ts must be the max across ALL chunks, not the last
+    chunk's max."""
+    import pandas as pd
+
+    from dug_spark.streaming.ingest import _session_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, v):
+            self.v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    t1 = pd.Timestamp("2024-01-01 10:00:00")
+    t2 = pd.Timestamp("2024-01-01 09:00:00")  # later chunk, EARLIER ts
+    chunk_a = pd.DataFrame({"ts": [t1], "value": [1.0]})
+    chunk_b = pd.DataFrame({"ts": [t2], "value": [2.0]})
+    out = list(_session_fn((7,), iter([chunk_a, chunk_b]), FakeState()))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["last_ts"] == t1
+    assert row["n_events"] == 2 and row["total_value"] == 3.0
