@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> None:
         dictionary=dictionary,
         curie_norm=fixtures.vocab_norm(spark),
         kg_edges=fixtures.vocab_kg_edges(spark),
+        kg_nodes=fixtures.vocab_kg_nodes(spark),
+        expand_queries=fixtures.VOCAB_EXPAND_QUERIES,
+        expand_prefixes=fixtures.VOCAB_EXPAND_PREFIXES,
         use_extracted_html=True,
         track_lineage=True,
     )
@@ -92,12 +95,47 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     triples = ckpt.run_or_resume(spark, "triples", _build_triples)
-    concepts = ckpt.run_or_resume(
-        spark, "concepts", lambda: concepts_op.build_concepts(mentions)
-    )
+
+    # KG expansion stages (crawler.py:71-95): answers from the checkpointed
+    # mentions' concept set, optional_terms folded into concepts, nodes cast
+    # to elements — each its own resumable commit.
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import concepts as c_op
+    from dug_spark.operators import expand
+
+    def _build_answers():
+        ids = mentions.select(
+            F.col("curie").alias("concept_id"), "curie"
+        ).distinct()
+        return expand.expand_concepts(
+            ids, fixtures.vocab_kg_edges(spark), fixtures.vocab_kg_nodes(spark),
+            queries=fixtures.VOCAB_EXPAND_QUERIES,
+            curie_prefixes=fixtures.VOCAB_EXPAND_PREFIXES,
+        )
+
+    kg_answers = ckpt.run_or_resume(spark, "kg_answers", _build_answers)
+
+    def _build_concepts():
+        conc = concepts_op.build_concepts(mentions)
+        opt = c_op.concept_optional_terms(kg_answers)
+        return (
+            conc.drop("optional_terms")
+            .join(F.broadcast(opt), "concept_id", "left")
+            .withColumn(
+                "optional_terms",
+                F.coalesce("optional_terms", F.array().cast("array<string>")),
+            )
+        )
+
+    concepts = ckpt.run_or_resume(spark, "concepts", _build_concepts)
 
     n_m, n_t, n_c = mentions.count(), triples.count(), concepts.count()
-    print(f"RESULT mentions={n_m} triples={n_t} concepts={n_c} run_id={ckpt.run_id}")
+    n_a = kg_answers.count()
+    print(
+        f"RESULT mentions={n_m} triples={n_t} concepts={n_c} "
+        f"kg_answers={n_a} run_id={ckpt.run_id}"
+    )
     ckpt.metrics(spark).orderBy("stage", "partition_id").show(50, truncate=False)
 
 

@@ -226,3 +226,79 @@ def test_ivf_topk_python_recompute(spark, vecs):
         for rk, (cos, c) in enumerate(ranked, 1):
             expect.append((qid, c, rk, round(cos, 6)))
     assert got == expect
+
+
+def test_xxh64_int_arg_chaining(spark):
+    """Spark's multi-arg xxhash64 folds: seed 42 → hash(arg1) → that hash
+    seeds hash(arg2); int args take the 4-byte path."""
+    rows = (
+        spark.createDataFrame([("heart attack",)], "s string")
+        .select(*[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(4)])
+        .collect()[0]
+    )
+    h1 = xxh64("heart attack".encode(), 42) & _M
+    for i in range(4):
+        assert rows[f"h{i}"] == xxh64(i.to_bytes(4, "little"), h1)
+
+
+def _py_minhash_pairs(docs, num_hashes=32, bands=8, shingle=3, threshold=0.9):
+    """Full independent recompute of minhash_near_duplicates: shingles →
+    chained-xxhash64 signatures → band buckets → candidate pairs → exact
+    Jaccard on candidates only."""
+    sh = {}
+    for d, t in docs:
+        words = t.split(" ")
+        s = set()
+        if len(words) >= shingle:
+            s = {
+                " ".join(words[i : i + shingle])
+                for i in range(len(words) - shingle + 1)
+            }
+        s = {x for x in s if len(x) > 0}
+        if s:
+            sh[d] = s
+
+    def hv(s: str, i: int) -> int:
+        return xxh64(i.to_bytes(4, "little"), xxh64(s.encode(), 42) & _M)
+
+    sigs = {
+        d: [min(hv(s, i) for s in ss) for i in range(num_hashes)]
+        for d, ss in sh.items()
+    }
+    rpb = num_hashes // bands
+    buckets = defaultdict(set)
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = "_".join(str(sig[b * rpb + r]) for r in range(rpb))
+            buckets[(b, xxh64(key.encode(), 42))].add(d)
+    cands = set()
+    for mem in buckets.values():
+        for a in mem:
+            for b2 in mem:
+                if a < b2:
+                    cands.add((a, b2))
+    out = []
+    for a, b2 in sorted(cands):
+        inter = len(sh[a] & sh[b2])
+        j = inter / (len(sh[a]) + len(sh[b2]) - inter)
+        if j >= threshold:
+            out.append((a, b2, j))
+    return out
+
+
+def test_minhash_near_duplicates_python_recompute(spark):
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_near_duplicates(df).collect()
+    )
+    expect = _py_minhash_pairs(docs)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, jg), (_, _, je) in zip(got, expect):
+        assert abs(jg - je) < 1e-6

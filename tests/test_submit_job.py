@@ -21,13 +21,20 @@ def test_run_pipeline_job_and_resume(spark, tmp_path, capsys):
     n_triples = int(first.split("triples=")[1].split(" ")[0])
     assert n_triples > 0
 
-    # all three stages committed with lineage rows
-    for stage in ("mentions", "triples", "concepts"):
+    # all four stages committed with lineage rows
+    for stage in ("mentions", "triples", "kg_answers", "concepts"):
         assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
     manifest = spark.read.parquet(os.path.join(out, "_manifest"))
     assert set(r["stage"] for r in manifest.collect()) == {
-        "mentions", "triples", "concepts"
+        "mentions", "triples", "kg_answers", "concepts"
     }
+    # the mentions stage records real per-source-partition input rows
+    src = [
+        r
+        for r in manifest.collect()
+        if r["stage"] == "mentions" and r["scope"] == "source"
+    ]
+    assert src and all(r["input_rows"] > 0 for r in src)
 
     # exact resume: delete one stage's commit marker; rerun recomputes only
     # that stage (same outputs), leaving the others' manifest rows alone
