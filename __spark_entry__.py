@@ -315,6 +315,78 @@ def q_agg_data_types(spark, sf_dir):
     return search.agg_data_types(_vars_view(spark, sf_dir))
 
 
+def _grouped_hits_view(spark, sf_dir):
+    """Flat variable×study hits where element fields are functions of the
+    variable id (so first()-election in group_variables is deterministic)
+    and one variable appears in many studies."""
+    ev = _pq(spark, sf_dir, "events")
+    vid = (F.col("event_id") % 50).cast("string")
+    return ev.select(
+        vid.alias("element_id"),
+        F.concat(F.lit("var "), vid).alias("element_name"),
+        F.concat(F.lit("desc "), vid).alias("element_desc"),
+        F.when((F.col("event_id") % 50) % 2 == 0, "dbgap")
+        .otherwise("topmed")
+        .alias("data_type"),
+        F.concat(F.lit("study_"), (F.col("user_id") % 20).cast("string")).alias(
+            "collection_id"
+        ),
+        F.concat(F.lit("Study "), (F.col("user_id") % 20).cast("string")).alias(
+            "collection_name"
+        ),
+    )
+
+
+_SQL_GHITS = (
+    "ghits AS (SELECT CAST(event_id % 50 AS VARCHAR) AS element_id, "
+    "'var ' || CAST(event_id % 50 AS VARCHAR) AS element_name, "
+    "'desc ' || CAST(event_id % 50 AS VARCHAR) AS element_desc, "
+    "CASE WHEN (event_id % 50) % 2 = 0 THEN 'dbgap' ELSE 'topmed' END AS data_type, "
+    "'study_' || CAST(user_id % 20 AS VARCHAR) AS collection_id, "
+    "'Study ' || CAST(user_id % 20 AS VARCHAR) AS collection_name FROM events)"
+)
+_GROUPED_FILTERS = {"study name": ["Study 3", "Study 5"], "data_type": ["dbgap"]}
+
+
+def q_var_grouped_filtered(spark, sf_dir):
+    """/search_var_grouped (server.py:132-304): variables grouped across
+    studies, then filtered by study-name membership + data_type."""
+    from dug_spark.operators import search
+
+    res = search.search_var_grouped(
+        _grouped_hits_view(spark, sf_dir), filters=_GROUPED_FILTERS
+    )
+    v = res["variables"]
+    return v.select(
+        "element_id",
+        "element_name",
+        "data_type",
+        F.size("studies").alias("n_studies"),
+        F.concat_ws(
+            ",", F.transform("studies", lambda s: s["collection_id"])
+        ).alias("studies_csv"),
+    )
+
+
+def q_var_grouped_facets(spark, sf_dir):
+    """/search_var_grouped facet aggregation: exclude-own-filter counts,
+    title-cased values; Study Name counts per (variable, study)."""
+    from dug_spark.operators import search
+
+    res = search.search_var_grouped(
+        _grouped_hits_view(spark, sf_dir),
+        filters=_GROUPED_FILTERS,
+        facet_keys=["data_type", "study name"],
+    )
+    out = None
+    for display, df in res["agg_counts"].items():
+        part = df.withColumn("facet", F.lit(display)).select(
+            "facet", "key", "doc_count"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_search_concepts_simple(spark, sf_dir):
     """Simple-query path (async_search.py:220-230, 738-789): a query
     containing '\"' and '*' routes to simple_query_string semantics —
@@ -755,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_program": q_search_program,
         "agg_data_types": q_agg_data_types,
         "search_concepts_simple": q_search_concepts_simple,
+        "rel_var_grouped_filtered": q_var_grouped_filtered,
+        "rel_var_grouped_facets": q_var_grouped_facets,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_facet_exclude": q_rel_facet_exclude,
         "rel_top_hit_per_group": q_rel_top_hit_per_group,
@@ -930,6 +1004,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT data_type, COUNT(*) AS n FROM vars GROUP BY data_type"
         ),
         "search_concepts_simple": _simple_concepts_oracle(),
+        "rel_var_grouped_filtered": (
+            f"WITH {_SQL_GHITS}, "
+            "sel AS (SELECT element_id FROM ghits GROUP BY element_id "
+            "  HAVING bool_or(lower(collection_name) IN ('study 3', 'study 5'))) "
+            "SELECT g.element_id AS element_id, "
+            "  MIN(g.element_name) AS element_name, MIN(g.data_type) AS data_type, "
+            "  COUNT(DISTINCT g.collection_id) AS n_studies, "
+            "  string_agg(DISTINCT g.collection_id, ',' ORDER BY g.collection_id) AS studies_csv "
+            "FROM ghits g JOIN sel USING (element_id) "
+            "WHERE lower(g.data_type) = 'dbgap' "
+            "GROUP BY g.element_id"
+        ),
+        "rel_var_grouped_facets": (
+            f"WITH {_SQL_GHITS}, "
+            "sel AS (SELECT element_id FROM ghits GROUP BY element_id "
+            "  HAVING bool_or(lower(collection_name) IN ('study 3', 'study 5'))) "
+            # Data_Type facet: every filter EXCEPT data_type → study-name
+            # filter only; counts VARIABLES (grouped rows), title-cased key
+            "SELECT 'Data_Type' AS facet, "
+            "  upper(substr(data_type, 1, 1)) || substr(data_type, 2) AS key, "
+            "  COUNT(*) AS doc_count FROM "
+            "  (SELECT DISTINCT g.element_id, g.data_type FROM ghits g "
+            "   JOIN sel USING (element_id)) "
+            "GROUP BY data_type "
+            "UNION ALL "
+            # Study Name facet: every filter EXCEPT study name → data_type
+            # filter only; counts (variable, study) pairs
+            "SELECT 'Study Name', collection_name, COUNT(*) FROM "
+            "  (SELECT DISTINCT element_id, collection_id, collection_name "
+            "   FROM ghits WHERE lower(data_type) = 'dbgap') "
+            "GROUP BY collection_name"
+        ),
         "rel_facet_exclude": (
             "WITH ev AS (SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket FROM events) "
             "SELECT 'event_type' AS facet, event_type AS value, COUNT(*) AS n FROM ev "

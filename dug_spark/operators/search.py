@@ -282,6 +282,75 @@ def group_variables(hits: DataFrame) -> DataFrame:
     )
 
 
+def _grouped_filter(
+    grouped: DataFrame,
+    filters: dict[str, list[str]],
+    exclude_key: str | None = None,
+    column_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Variable-level filters of /search_var_grouped (server.py:198-229):
+    case-insensitive value match; the special key "study name" matches any
+    of the variable's studies' collection_name."""
+    cmap = column_map or {}
+    out = grouped
+    for key, vals in filters.items():
+        if not vals or (exclude_key and key.lower() == exclude_key.lower()):
+            continue
+        lv = [str(v).lower() for v in vals]
+        if key.lower() == "study name":
+            out = out.where(
+                F.exists(
+                    "studies",
+                    lambda s: F.lower(s["collection_name"]).isin(lv),
+                )
+            )
+        else:
+            col = cmap.get(key.lower(), key)
+            out = out.where(F.lower(F.col(col).cast("string")).isin(lv))
+    return out
+
+
+def search_var_grouped(
+    hits: DataFrame,
+    filters: dict[str, list[str]] | None = None,
+    facet_keys: list[str] | None = None,
+    column_map: dict[str, str] | None = None,
+) -> dict:
+    """The composed /search_var_grouped endpoint (server.py:132-304):
+    flatten variable×study hits → one row per variable with its studies →
+    apply ALL filters for the returned variables → for each facet key,
+    apply every OTHER filter and count values (title-cased; "Study Name"
+    counts one per (variable, study) and sorts by name asc, other keys
+    sort count desc then value asc).
+
+    Returns {"variables": df, "agg_counts": {display_key: df}}.
+    """
+    filters = filters or {}
+    facet_keys = facet_keys or []
+    grouped = group_variables(hits)
+    variables = _grouped_filter(grouped, filters, column_map=column_map)
+    agg_counts: dict[str, DataFrame] = {}
+    for key in facet_keys:
+        base = _grouped_filter(grouped, filters, exclude_key=key, column_map=column_map)
+        display = key.title()
+        if key.lower() == "study name":
+            fc = (
+                base.select(F.explode("studies").alias("s"))
+                .groupBy(F.col("s.collection_name").alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(F.asc("key"))
+            )
+        else:
+            col = (column_map or {}).get(key.lower(), key)
+            fc = (
+                base.groupBy(F.initcap(F.col(col).cast("string")).alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(F.desc("doc_count"), F.asc("key"))
+            )
+        agg_counts[display] = fc
+    return {"variables": variables, "agg_counts": agg_counts}
+
+
 def facet_counts(
     df: DataFrame, facet_cols: list[str], filters: dict[str, list[str]]
 ) -> dict[str, DataFrame]:

@@ -296,3 +296,36 @@ def test_merge_elements_keeps_batch_only_columns(spark, tmp_path):
     # schema evolution: the batch-only column survives the merge
     assert rows["e2"]["new_col"] == "fresh"
     assert rows["e1"]["new_col"] is None
+
+
+def test_search_var_grouped_composed(spark):
+    """/search_var_grouped (server.py:132-304): grouping, study-name
+    filter semantics, exclude-own-filter facets with title-cased keys."""
+    hits = spark.createDataFrame(
+        [
+            ("v1", "age", "d1", "dbgap", "s1", "Heart Study"),
+            ("v1", "age", "d1", "dbgap", "s2", "Lung Study"),
+            ("v2", "bmi", "d2", "dbgap", "s2", "Lung Study"),
+            ("v3", "fev1", "d3", "topmed", "s2", "Lung Study"),
+        ],
+        "element_id string, element_name string, element_desc string,"
+        "data_type string, collection_id string, collection_name string",
+    )
+    res = search.search_var_grouped(
+        hits,
+        filters={"study name": ["heart study"], "data_type": ["dbgap"]},
+        facet_keys=["data_type", "study name"],
+    )
+    # only v1 is in Heart Study AND dbgap
+    vars_ = res["variables"].collect()
+    assert [r["element_id"] for r in vars_] == ["v1"]
+    # v1 keeps BOTH its studies in the grouped row
+    assert [s["collection_id"] for s in vars_[0]["studies"]] == ["s1", "s2"]
+    # Data_Type facet excludes the data_type filter (study filter only):
+    # variables in Heart Study = {v1} → Dbgap:1
+    dt = {(r["key"], r["doc_count"]) for r in res["agg_counts"]["Data_Type"].collect()}
+    assert dt == {("Dbgap", 1)}
+    # Study Name facet excludes the study filter (dbgap only): v1 in 2
+    # studies + v2 in Lung → Heart:1, Lung:2; sorted by name asc
+    sn = [(r["key"], r["doc_count"]) for r in res["agg_counts"]["Study Name"].collect()]
+    assert sn == [("Heart Study", 1), ("Lung Study", 2)]
