@@ -123,3 +123,50 @@ def append_kg_answers(spark: SparkSession, path: str, answers: DataFrame) -> Dat
     fresh = docs.join(old.select("doc_id"), "doc_id", "left_anti")
     _atomic_overwrite(old.unionByName(fresh), path)
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 64,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write a table bucketed (and sorted) on its join key.
+
+    The 100 TB co-location story: element↔concept joins and repeated
+    concept-keyed aggregations shuffle on `curie` every run unless both
+    sides are bucketed on it — with matching bucket counts Spark plans a
+    sort-merge join with NO Exchange on either side (bucket pruning also
+    applies to point lookups).  On Iceberg the equivalent is a
+    `bucket(N, col)` partition transform + storage-partitioned joins.
+    Hive-style bucketing requires saveAsTable (bucket metadata lives in
+    the catalog, not the parquet files).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join_is_shuffle_free(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> bool:
+    """True iff joining the two bucketed tables on `key` plans without a
+    shuffle on either side (diagnostic used by tests and plan audits)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            spark.table(left_table)
+            .join(spark.table(right_table), key)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return "Exchange" not in plan

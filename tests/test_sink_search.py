@@ -329,3 +329,25 @@ def test_search_var_grouped_composed(spark):
     # studies + v2 in Lung → Heart:1, Lung:2; sorted by name asc
     sn = [(r["key"], r["doc_count"]) for r in res["agg_counts"]["Study Name"].collect()]
     assert sn == [("Heart Study", 1), ("Lung Study", 2)]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed on the key -> sort-merge join
+    with no Exchange in the physical plan (the shuffle a 100 TB
+    element<->concept join would otherwise pay every run)."""
+    ec = spark.createDataFrame(
+        [(f"e{i}", f"C:{i % 7}") for i in range(100)],
+        "element_id string, curie string",
+    )
+    co = spark.createDataFrame(
+        [(f"C:{i}", f"name {i}") for i in range(7)], "curie string, name string"
+    )
+    sink.write_bucketed(ec, "t_ec", "curie", num_buckets=4, path=str(tmp_path / "ec"))
+    sink.write_bucketed(co, "t_co", "curie", num_buckets=4, path=str(tmp_path / "co"))
+    try:
+        assert sink.bucketed_join_is_shuffle_free(spark, "t_ec", "t_co", "curie")
+        joined = spark.table("t_ec").join(spark.table("t_co"), "curie")
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ec")
+        spark.sql("DROP TABLE IF EXISTS t_co")
