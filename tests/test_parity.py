@@ -119,3 +119,52 @@ def test_pipeline_matches_python_reference(spark):
         f"P={precision:.3f} R={recall:.3f} missing={sorted(missing)[:5]} "
         f"extra={sorted(extra)[:5]}"
     )
+
+
+def test_expansion_optional_terms_parity(spark):
+    """crawler.py:71-95 parity: concept optional_terms from KG expansion
+    match an independent pure-Python expansion (template prefix gating,
+    object-category check, name∪synonym aggregation, sorted-set)."""
+    from dug_spark.operators import expand
+
+    corpus = fixtures.heart_corpus(spark, n_docs=64)
+    queries = {**expand.DEFAULT_QUERIES, "pub": ("disease", "publication")}
+    pipe = Pipeline(
+        dictionary=fixtures.heart_dictionary(spark),
+        curie_norm=fixtures.curie_norm(spark),
+        kg_edges=fixtures.kg_edges(spark),
+        kg_nodes=fixtures.kg_nodes(spark),
+        expand_queries=queries,
+    )
+    res = pipe.run(corpus)
+    got = {r["concept_id"]: list(r["optional_terms"]) for r in res.concepts.collect()}
+
+    # independent python expansion over the python-reference live concepts
+    expected_triples = _python_reference_triples(
+        [(r["url"], r["text"], r["lang"]) for r in corpus.collect()]
+    )
+    live = {o for (_s, p, o) in expected_triples if p == "HAS_CONCEPT"}
+    node_cat = {i: cats for (i, _n, cats, _s) in fixtures.KG_NODE_ROWS}
+    node_name = {i: n for (i, n, _c, _s) in fixtures.KG_NODE_ROWS}
+    node_syn = {i: syns for (i, _n, _c, syns) in fixtures.KG_NODE_ROWS}
+    expected = {}
+    for c in live:
+        if c == "CHEBI:17336":  # config.py:92 exclude list
+            continue
+        pfx = c.split(":")[0]
+        terms: set[str] = set()
+        for _qname, (src, objtype) in queries.items():
+            if pfx not in expand.CURIE_PREFIXES.get(src, []):
+                continue
+            target = expand._SNAKE_TO_CLASS.get(objtype, objtype)
+            for _i, s, _p, o, _pub in fixtures.KG_EDGE_ROWS:
+                if s != c or o not in node_cat:
+                    continue
+                cats = node_cat[o]
+                if any(cc.lower() == target.lower() for cc in cats) or objtype in cats:
+                    terms.add(node_name[o])
+                    terms.update(node_syn[o])
+        expected[c] = sorted(terms)
+    assert set(got) == live
+    for c in live:
+        assert got[c] == expected.get(c, []), c
