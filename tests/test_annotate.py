@@ -125,3 +125,24 @@ def test_uppercase_dictionary_terms_match(spark):
     assert len(rows) == 1
     assert rows[0]["search_text"] == "Heart Attack"
     assert rows[0]["curie"] == "MONDO:X"
+
+
+def test_annotator_registry(spark):
+    """SURVEY §2.10: named annotator lookup with error-on-unknown
+    (annotators/__init__.py:25-38) — 'monarch' = presence matching,
+    'sapbert' = + candidate ranking with threshold/top-k."""
+    import pytest as _pytest
+
+    from dug_spark import fixtures
+    from dug_spark.operators import AnnotatorNotFoundException, get_annotator
+
+    corpus = fixtures.heart_corpus(spark, n_docs=8).where("lang = 'en'")
+    d = fixtures.heart_dictionary(spark)
+    monarch = get_annotator("MONARCH")(corpus, d)
+    sapbert = get_annotator("sapbert")(corpus, d, score_threshold=0.8, top_k=10)
+    n_m, n_s = monarch.count(), sapbert.count()
+    assert n_m > 0
+    # sapbert's threshold can only shrink the mention set
+    assert 0 < n_s <= n_m
+    with _pytest.raises(AnnotatorNotFoundException, match="Cannot find annotator"):
+        get_annotator("llama")
