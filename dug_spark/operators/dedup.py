@@ -62,6 +62,11 @@ def shingle_jaccard_pairs(
     never meet — at corpus scale, pair with minhash banding first to cap
     bucket sizes.
     """
+    # parallelism floor: the shingle explode is the expensive narrow stage
+    # and a small-file scan collapses to 1 partition (no-op at corpus scale)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, shingle)).alias("s"))
         .where(F.length("s") > 0)
