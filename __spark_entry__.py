@@ -743,6 +743,51 @@ def _multimodal_expected_rows() -> list[tuple[str, str, str]]:
     return rows
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding cosine near-dup pairs (exact audit path on a subset —
+    the LSH scale path is pytest-validated as a verified-subset of this)."""
+    emb = _pq(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return dedup.embedding_near_duplicates(emb, threshold=0.35, exact=True)
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """Trained-quantizer IVF ANN: centroids learned with DataFrame Lloyd
+    rounds, queries assigned to the same cells (rows-only: the quantizer
+    is validated by a pure-Python recompute in test_dedup_similarity)."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return similarity.ivf_trained_topk(
+        emb.where(F.col("vec_id") < 30), emb, k=5, k_cells=8, iters=1
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling (1→N explode inside mapInPandas) with the
+    deterministic stub codec; frames projected to md5 hex so rows are
+    hashable across engines."""
+    media = multimodal.synthetic_media(spark, n=64)
+    frames = multimodal.sample_frames(media, every_ms=1000, deterministic_fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )
+
+
+def _multimodal_frame_rows() -> list[tuple[str, int, str]]:
+    """Independent recompute of the frame-sampling stub (same spec as
+    synthetic_media + sample_frames, re-derived without importing them)."""
+    import hashlib
+
+    rows = []
+    for i in range(64):
+        mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        payload = hashlib.sha256(f"media-42-{i}".encode()).digest() * 4
+        dur = 3000 if mime.startswith("video") else 0
+        n = max(dur // 1000, 1)
+        for fi in range(n):
+            frame = hashlib.sha256(payload + fi.to_bytes(4, "big")).digest()
+            rows.append((f"m{i:04d}", fi, hashlib.md5(frame).hexdigest()))
+    return rows
+
+
 def q_kg_node_to_elements(spark, sf_dir):
     """J9: cast qualifying KG nodes into new elements (crawler.py:203-276).
     Projects the scalar element columns (metadata map omitted — map-typed
@@ -850,11 +895,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "knn_cosine": q_knn_cosine,
-        # rows-only (no SQL-expressible oracle): LSH families, media
+        "dedup_embedding": q_dedup_embedding,
+        "multimodal_frames": q_multimodal_frames,
+        # rows-only (no SQL-expressible oracle — each has a pure-Python
+        # recompute oracle in pytest instead): xxhash64/hyperplane families
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1153,6 +1202,23 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0 "
             "/ len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang "
             "FROM documents"
+        ),
+        "dedup_embedding": (
+            "WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings "
+            "  WHERE vec_id < 300), "
+            "sums AS (SELECT a.id AS id_a, b.id AS id_b, "
+            "  SUM(CAST(a.e[t.i] AS DOUBLE) * CAST(b.e[t.i] AS DOUBLE)) AS dot, "
+            "  SUM(CAST(a.e[t.i] AS DOUBLE) * CAST(a.e[t.i] AS DOUBLE)) AS aa, "
+            "  SUM(CAST(b.e[t.i] AS DOUBLE) * CAST(b.e[t.i] AS DOUBLE)) AS bb "
+            "  FROM v a, v b, range(1, 65) t(i) WHERE a.id < b.id "
+            "  GROUP BY a.id, b.id) "
+            "SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cos_sim "
+            "FROM sums WHERE ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) >= 0.35"
+        ),
+        "multimodal_frames": (
+            "SELECT media_id, frame_idx, frame_md5 FROM (VALUES "
+            + _vals(_multimodal_frame_rows())
+            + ") AS t(media_id, frame_idx, frame_md5)"
         ),
         "multimodal_features": (
             "SELECT media_id, mime, features_csv FROM (VALUES "

@@ -137,7 +137,10 @@ def sample_frames(
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 if not fake:
                     raise NotImplementedError("video codecs unavailable; see media_codec")
-                n = max(int(dur or 0) // every_ms, 1)
+                # null duration arrives as NaN through Arrow (non-video
+                # rows); NaN is truthy so `dur or 0` would crash int()
+                dur_ms = int(dur) if pd.notna(dur) else 0
+                n = max(dur_ms // every_ms, 1)
                 raw = bytes(p) if p is not None else b""
                 for i in range(n):
                     ids.append(mid)
