@@ -771,6 +771,28 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize plumbing (stub codec): payload md5 + target dims."""
+    media = multimodal.synthetic_media(spark, n=64)
+    out = multimodal.resize_images(media, 32, 32, deterministic_fake=True)
+    return out.select(
+        "media_id", "mime", "width", "height", F.md5("payload").alias("payload_md5")
+    )
+
+
+def _multimodal_resize_rows() -> list[tuple[str, str, int, int, str]]:
+    """Independent recompute of the resize stub output."""
+    import hashlib
+
+    rows = []
+    for i in range(64):
+        mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        payload = hashlib.sha256(f"media-42-{i}".encode()).digest() * 4
+        resized = hashlib.sha256(payload + b"32x32").digest()
+        rows.append((f"m{i:04d}", mime, 32, 32, hashlib.md5(resized).hexdigest()))
+    return rows
+
+
 def _multimodal_frame_rows() -> list[tuple[str, int, str]]:
     """Independent recompute of the frame-sampling stub (same spec as
     synthetic_media + sample_frames, re-derived without importing them)."""
@@ -897,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
         # rows-only (no SQL-expressible oracle — each has a pure-Python
         # recompute oracle in pytest instead): xxhash64/hyperplane families
         "dedup_minhash": q_dedup_minhash,
@@ -1219,6 +1242,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, frame_idx, frame_md5 FROM (VALUES "
             + _vals(_multimodal_frame_rows())
             + ") AS t(media_id, frame_idx, frame_md5)"
+        ),
+        "multimodal_resize": (
+            "SELECT media_id, mime, width, height, payload_md5 FROM (VALUES "
+            + _vals(_multimodal_resize_rows())
+            + ") AS t(media_id, mime, width, height, payload_md5)"
         ),
         "multimodal_features": (
             "SELECT media_id, mime, features_csv FROM (VALUES "

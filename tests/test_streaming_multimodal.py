@@ -197,3 +197,20 @@ def test_session_fn_last_ts_accumulates_across_chunks():
     row = out[0].iloc[0]
     assert row["last_ts"] == t1
     assert row["n_events"] == 2 and row["total_value"] == 3.0
+
+
+def test_sample_frames_mixed_media_null_duration(spark):
+    """Regression: non-video rows have null duration_ms (NaN through
+    Arrow, which is truthy) — mixed batches must not crash and must emit
+    exactly one frame for zero-duration media."""
+    from dug_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=12)  # mixed image/audio/video
+    rows = multimodal.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # videos (every 3rd, 3000ms) → 3 frames; image/audio → 1 frame
+    for i in range(12):
+        expect = 3 if i % 3 == 2 else 1
+        assert sorted(by_media[f"m{i:04d}"]) == list(range(expect)), i
