@@ -826,6 +826,69 @@ def q_kg_node_to_elements(spark, sf_dir):
     )
 
 
+_PYORACLE_SF = "/root/testdata/sf0.01"  # the driver's comparison scale
+_pyoracle_values_cache: dict[str, str] | None = None
+
+
+def _values_or_empty(rows, cols: str) -> str:
+    if not rows:
+        names = [c.split()[0] for c in cols.split(",")]
+        return "SELECT " + ", ".join(f"NULL AS {n}" for n in names) + " WHERE FALSE"
+    return f"SELECT * FROM (VALUES {_vals(rows)}) AS t({cols})"
+
+
+def _pyoracle_values() -> dict[str, str]:
+    """VALUES oracles for the xxhash64/hyperplane families: results of the
+    spec-derived pure-Python recomputation (dug_spark/functions/pyoracle.py
+    — validated against Spark at sf0.001 by tests/test_python_oracles.py)
+    over the driver's sf0.01 tables, read WITHOUT Spark.  This upgrades
+    these queries from the rows-only check to full rows+schema+hash."""
+    global _pyoracle_values_cache
+    if _pyoracle_values_cache is not None:
+        return _pyoracle_values_cache
+    import duckdb
+
+    from dug_spark.functions import pyoracle as po
+
+    con = duckdb.connect()
+    docs = [
+        (int(d), t)
+        for d, t in con.execute(
+            f"SELECT doc_id, text FROM '{_PYORACLE_SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    vecs = [
+        (int(v), [float(x) for x in e], lab)
+        for v, e, lab in con.execute(
+            f"SELECT vec_id, embedding, label FROM '{_PYORACLE_SF}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    flat = [(v, e) for v, e, _l in vecs]
+    qs = [(v, e) for v, e, _l in vecs if v < 50]
+    qs3 = [t for t in vecs if t[0] < 50]
+    _pyoracle_values_cache = {
+        # params mirror the q_* queries exactly
+        "dedup_simhash": _values_or_empty(
+            po.simhash_pairs(docs, max_hamming=7, bands=8),
+            "id_a, id_b, hamming",
+        ),
+        "dedup_minhash": _values_or_empty(
+            po.minhash_pairs(docs, threshold=0.9),
+            "id_a, id_b, jaccard",
+        ),
+        "ann_lsh": _values_or_empty(
+            po.lsh_topk(qs, flat, dim=64, k=5, bits=16, bands=8),
+            "q_id, neighbor_id, rk, cos_sim",
+        ),
+        "ann_ivf": _values_or_empty(
+            po.ivf_topk(qs3, vecs, k=5),
+            "q_id, neighbor_id, rk, cos_sim",
+        ),
+    }
+    return _pyoracle_values_cache
+
+
 def _simple_concepts_oracle() -> str:
     """Oracle for the simple-query path: the same simple_query_string
     expansion ('\"var 7\"' phrase OR 'error*' prefix per field, summed
@@ -935,6 +998,9 @@ def oracle_sql() -> dict[str, str]:
     corpus_cte = f"WITH {_SQL_CORPUS}, {_SQL_DICT}, {_SQL_MENTIONS}"
     norm_cte = f"{corpus_cte}, {_SQL_NORM}, {_SQL_NMENTIONS}"
     return {
+        # xxhash64/hyperplane families: VALUES tables from the pure-Python
+        # recompute over the sf0.01 inputs (see _pyoracle_values)
+        **_pyoracle_values(),
         "kg_mentions": f"{corpus_cte} SELECT url, search_text, curie FROM mentions",
         "kg_mentions_scored": (
             f"WITH {_SQL_CORPUS}, {_SQL_DICT_SCORED}, "

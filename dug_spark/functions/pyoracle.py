@@ -1,0 +1,253 @@
+"""Pure-Python recomputation oracles for the xxhash64/hyperplane operator
+families that ANSI SQL cannot express (no xxhash64 in DuckDB).
+
+Used in two places:
+- tests/test_python_oracles.py validates these implementations against
+  Spark output at sf0.001;
+- __spark_entry__.oracle_sql() embeds their results as VALUES tables so
+  the driver's DuckDB gate checks rows+schema+hash for these queries too
+  (instead of the weaker rows-only check).
+
+Independence: the XXH64 implementation is written from the public xxHash
+spec (https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md) and
+the operator recomputations share no code with the Spark plans — only the
+operator *parameters* (band counts, thresholds, hyperplane seeds), which
+define the semantics.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 from the public spec; Spark's signed-long convention.
+    Spark hashes strings as UTF-8 bytes (seed 42); a following int
+    argument is hashed via the 4-byte path seeded with the prior hash."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i <= n - 32:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M, 31) * _P1) & _M)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M), 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def xxh64_chain_int(i: int, prev: int) -> int:
+    """Spark xxhash64(col, lit(int)): the int takes the 4-byte path seeded
+    with the previous hash."""
+    return xxh64(i.to_bytes(4, "little"), prev & _M)
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """Spark's ROUND for doubles: BigDecimal.valueOf(x) (shortest decimal
+    repr, same as Python repr) setScale(digits, HALF_UP)."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits), ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# Operator recomputations (mirror dug_spark.operators semantics)
+
+
+def simhash_value(text: str) -> int:
+    votes = [0] * 64
+    for tok in text.split(" "):
+        h = xxh64(tok.encode("utf-8"), 42) & _M
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    u = sum((1 << b) for b in range(64) if votes[b] > 0)
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def simhash_pairs(
+    docs: list[tuple[int, str]], max_hamming: int = 3, bands: int = 4
+) -> list[tuple[int, int, int]]:
+    """(id_a, id_b, hamming) pairs via banded block join, id_a < id_b."""
+    sigs = {d: simhash_value(t) & _M for d, t in docs}
+    width = 64 // bands
+    mask = (1 << width) - 1
+    buckets: dict = defaultdict(set)
+    for d, s in sigs.items():
+        for b in range(bands):
+            buckets[(b, (s >> (b * width)) & mask)].add(d)
+    out = {}
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    ham = bin(sigs[a] ^ sigs[b]).count("1")
+                    if ham <= max_hamming:
+                        out[(a, b)] = ham
+    return sorted((a, b, h) for (a, b), h in out.items())
+
+
+def _shingle_set(text: str, k: int) -> set[str]:
+    words = text.split(" ")
+    if len(words) < k:
+        return set()
+    return {
+        s
+        for i in range(len(words) - k + 1)
+        if len(s := " ".join(words[i : i + k])) > 0
+    }
+
+
+def minhash_pairs(
+    docs: list[tuple[int, str]],
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.9,
+) -> list[tuple[int, int, float]]:
+    """(id_a, id_b, jaccard≥threshold rounded 6) via LSH bands + exact
+    Jaccard on candidates."""
+    sh = {d: s for d, t in docs if (s := _shingle_set(t, shingle))}
+    # signatures: per DISTINCT shingle precompute the chained hash row
+    distinct = {s for ss in sh.values() for s in ss}
+    hrow = {}
+    for s in distinct:
+        base = xxh64(s.encode("utf-8"), 42)
+        hrow[s] = [xxh64_chain_int(i, base) for i in range(num_hashes)]
+    sigs = {
+        d: [min(hrow[s][i] for s in ss) for i in range(num_hashes)]
+        for d, ss in sh.items()
+    }
+    rpb = num_hashes // bands
+    buckets: dict = defaultdict(set)
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = "_".join(str(sig[b * rpb + r]) for r in range(rpb))
+            buckets[(b, xxh64(key.encode(), 42))].add(d)
+    cands = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cands.add((a, b))
+    out = []
+    for a, b in sorted(cands):
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= threshold:
+            out.append((a, b, round_half_up(j, 6)))
+    return out
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_sig(v: list[float], planes: list[list[float]]) -> int:
+    sig = 0
+    for i, p in enumerate(planes):
+        d = 0.0
+        for x, y in zip(v, p):
+            d += x * y
+        if d > 0:
+            sig |= 1 << i
+    return sig
+
+
+def lsh_topk(
+    queries: list[tuple[int, list[float]]],
+    corpus: list[tuple[int, list[float]]],
+    dim: int = 64,
+    k: int = 10,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> list[tuple[int, int, int, float]]:
+    """(q_id, neighbor_id, rk, cos rounded 6)."""
+    planes = hyperplanes(dim, bits, seed)
+    width = bits // bands
+    mask = (1 << width) - 1
+    csigs = {vid: lsh_sig(v, planes) for vid, v in corpus}
+    by_vec = dict(corpus)
+    buckets: dict = defaultdict(set)
+    for vid, s in csigs.items():
+        for b in range(bands):
+            buckets[(b, (s >> (b * width)) & mask)].add(vid)
+    out = []
+    for qid, qv in queries:
+        qs = lsh_sig(qv, planes)
+        cands = set()
+        for b in range(bands):
+            cands |= buckets[(b, (qs >> (b * width)) & mask)]
+        cands.discard(qid)
+        ranked = sorted(((_cos(qv, by_vec[c]), c) for c in cands), key=lambda t: (-t[0], t[1]))[:k]
+        for rk, (cos, c) in enumerate(ranked, 1):
+            out.append((qid, c, rk, round_half_up(cos, 6)))
+    return out
+
+
+def ivf_topk(
+    queries: list[tuple[int, list[float], object]],
+    corpus: list[tuple[int, list[float], object]],
+    k: int = 10,
+) -> list[tuple[int, int, int, float]]:
+    """(q_id, neighbor_id, rk, cos rounded 6) searching the query's cell."""
+    by_cell: dict = defaultdict(list)
+    for vid, v, cell in corpus:
+        by_cell[cell].append((vid, v))
+    out = []
+    for qid, qv, cell in queries:
+        cands = [(vid, v) for vid, v in by_cell[cell] if vid != qid]
+        ranked = sorted(((_cos(qv, v), vid) for vid, v in cands), key=lambda t: (-t[0], t[1]))[:k]
+        for rk, (cos, c) in enumerate(ranked, 1):
+            out.append((qid, c, rk, round_half_up(cos, 6)))
+    return out

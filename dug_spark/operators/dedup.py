@@ -92,6 +92,19 @@ def shingle_jaccard_pairs(
     )
 
 
+def _minhash_component(i: int):
+    """min over shingles of xxhash64(shingle, i) — built via a closure
+    factory: a `lambda s, i=i:` default-arg lambda reads as a TWO-arg
+    (element, index) higher-order function to PySpark, silently hashing
+    with the array POSITION instead of the permutation number, which
+    makes all signature components identical and collapses LSH recall."""
+    return F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i))))
+
+
+def minhash_signature_col(num_hashes: int):
+    return F.array(*[_minhash_component(i) for i in range(num_hashes)])
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -100,15 +113,9 @@ def minhash_signatures(
     shingle: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for permutation i, min over shingles
-    of xxhash64(shingle, seed=i).  Entirely JVM-side (no UDF)."""
+    of xxhash64(shingle, seed-chained i).  Entirely JVM-side (no UDF)."""
     sh = df.select(F.col(id_col).alias("doc"), _shingles(text_col, shingle).alias("shs"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform("shs", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return sh.select("doc", sig.alias("sig"))
+    return sh.select("doc", minhash_signature_col(num_hashes).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -184,14 +191,10 @@ def minhash_near_duplicates(
         .where(F.size("shs") > 0)
         .localCheckpoint(eager=True)
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform("shs", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
     cands = minhash_lsh_candidates(
-        sh.select("doc", sig.alias("sig")), bands, rows_per_band
+        sh.select("doc", minhash_signature_col(num_hashes).alias("sig")),
+        bands,
+        rows_per_band,
     )
     a = sh.select(F.col("doc").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("shs").alias("shs_b"))
