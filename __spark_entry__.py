@@ -98,7 +98,19 @@ _SQL_KGE = f"kg_edges(subject, predicate, object) AS (VALUES {_vals(_KGE)})"
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _record_sf_dir(sf_dir)
     return fixtures.corpus_from_documents(spark, sf_dir)
+
+
+_LAST_SF_DIR: str | None = None
+
+
+def _record_sf_dir(sf_dir: str) -> None:
+    """Remember the sf_dir the driver passes to queries(): oracle_sql()
+    takes no sf_dir argument, but the pyoracle VALUES tables must be
+    recomputed over the SAME input the Spark queries read."""
+    global _LAST_SF_DIR
+    _LAST_SF_DIR = sf_dir
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +129,7 @@ def _nmentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _record_sf_dir(sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -752,8 +765,9 @@ def q_dedup_embedding(spark, sf_dir):
 
 def q_ann_ivf_trained(spark, sf_dir):
     """Trained-quantizer IVF ANN: centroids learned with DataFrame Lloyd
-    rounds, queries assigned to the same cells (rows-only: the quantizer
-    is validated by a pure-Python recompute in test_dedup_similarity)."""
+    rounds (means rounded to 6 decimals for bit-reproducibility), queries
+    assigned to the same cells.  Full VALUES oracle via
+    pyoracle.ivf_trained_topk."""
     emb = _pq(spark, sf_dir, "embeddings")
     return similarity.ivf_trained_topk(
         emb.where(F.col("vec_id") < 30), emb, k=5, k_cells=8, iters=1
@@ -826,14 +840,33 @@ def q_kg_node_to_elements(spark, sf_dir):
     )
 
 
-_PYORACLE_SF = "/root/testdata/sf0.01"  # the driver's comparison scale
-_pyoracle_values_cache: dict[str, str] | None = None
+_pyoracle_values_cache: dict[str, dict[str, str]] = {}
 
 
-def _values_or_empty(rows, cols: str) -> str:
+def _pyoracle_sf() -> str:
+    """Input dir for the pure-Python recompute oracles: an explicit env
+    override, else the sf_dir the driver last passed to any queries()
+    callable, else the driver's documented comparison scale."""
+    import os
+
+    return (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF")
+        or _LAST_SF_DIR
+        or "/root/testdata/sf0.01"
+    )
+
+
+def _values_or_empty(rows, cols: str, types: str) -> str:
+    """VALUES table, or a correctly-TYPED empty relation: bare NULLs would
+    be typeless in DuckDB and fail the gate's schema comparison even when
+    an empty result is correct."""
+    names = [c.strip() for c in cols.split(",")]
     if not rows:
-        names = [c.split()[0] for c in cols.split(",")]
-        return "SELECT " + ", ".join(f"NULL AS {n}" for n in names) + " WHERE FALSE"
+        sel = ", ".join(
+            f"CAST(NULL AS {t.strip()}) AS {n}"
+            for n, t in zip(names, types.split(","))
+        )
+        return f"SELECT {sel} WHERE FALSE"
     return f"SELECT * FROM (VALUES {_vals(rows)}) AS t({cols})"
 
 
@@ -841,52 +874,70 @@ def _pyoracle_values() -> dict[str, str]:
     """VALUES oracles for the xxhash64/hyperplane families: results of the
     spec-derived pure-Python recomputation (dug_spark/functions/pyoracle.py
     — validated against Spark at sf0.001 by tests/test_python_oracles.py)
-    over the driver's sf0.01 tables, read WITHOUT Spark.  This upgrades
-    these queries from the rows-only check to full rows+schema+hash."""
-    global _pyoracle_values_cache
-    if _pyoracle_values_cache is not None:
-        return _pyoracle_values_cache
-    import duckdb
+    over the driver's comparison tables, read WITHOUT Spark.  This upgrades
+    these queries from the rows-only check to full rows+schema+hash.
 
-    from dug_spark.functions import pyoracle as po
+    Failure here (missing parquet at the resolved sf dir, duckdb import)
+    degrades ONLY these entries to the rows-only check — it never takes
+    down the other oracles by raising out of oracle_sql()."""
+    sf = _pyoracle_sf()
+    if sf in _pyoracle_values_cache:
+        return _pyoracle_values_cache[sf]
+    try:
+        import duckdb
 
-    con = duckdb.connect()
-    docs = [
-        (int(d), t)
-        for d, t in con.execute(
-            f"SELECT doc_id, text FROM '{_PYORACLE_SF}/documents.parquet'"
-        ).fetchall()
-    ]
-    vecs = [
-        (int(v), [float(x) for x in e], lab)
-        for v, e, lab in con.execute(
-            f"SELECT vec_id, embedding, label FROM '{_PYORACLE_SF}/embeddings.parquet'"
-        ).fetchall()
-    ]
-    con.close()
-    flat = [(v, e) for v, e, _l in vecs]
-    qs = [(v, e) for v, e, _l in vecs if v < 50]
-    qs3 = [t for t in vecs if t[0] < 50]
-    _pyoracle_values_cache = {
-        # params mirror the q_* queries exactly
-        "dedup_simhash": _values_or_empty(
-            po.simhash_pairs(docs, max_hamming=7, bands=8),
-            "id_a, id_b, hamming",
-        ),
-        "dedup_minhash": _values_or_empty(
-            po.minhash_pairs(docs, threshold=0.9),
-            "id_a, id_b, jaccard",
-        ),
-        "ann_lsh": _values_or_empty(
-            po.lsh_topk(qs, flat, dim=64, k=5, bits=16, bands=8),
-            "q_id, neighbor_id, rk, cos_sim",
-        ),
-        "ann_ivf": _values_or_empty(
-            po.ivf_topk(qs3, vecs, k=5),
-            "q_id, neighbor_id, rk, cos_sim",
-        ),
-    }
-    return _pyoracle_values_cache
+        from dug_spark.functions import pyoracle as po
+
+        con = duckdb.connect()
+        docs = [
+            (int(d), t)
+            for d, t in con.execute(
+                f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        vecs = [
+            (int(v), [float(x) for x in e], lab)
+            for v, e, lab in con.execute(
+                f"SELECT vec_id, embedding, label FROM '{sf}/embeddings.parquet'"
+            ).fetchall()
+        ]
+        con.close()
+        flat = [(v, e) for v, e, _l in vecs]
+        qs = [(v, e) for v, e, _l in vecs if v < 50]
+        qs3 = [t for t in vecs if t[0] < 50]
+        qs30 = [(v, e) for v, e, _l in vecs if v < 30]
+        vals = {
+            # params mirror the q_* queries exactly
+            "dedup_simhash": _values_or_empty(
+                po.simhash_pairs(docs, max_hamming=7, bands=8),
+                "id_a, id_b, hamming",
+                "BIGINT, BIGINT, INTEGER",
+            ),
+            "dedup_minhash": _values_or_empty(
+                po.minhash_pairs(docs, threshold=0.9),
+                "id_a, id_b, jaccard",
+                "BIGINT, BIGINT, DOUBLE",
+            ),
+            "ann_lsh": _values_or_empty(
+                po.lsh_topk(qs, flat, dim=64, k=5, bits=16, bands=8),
+                "q_id, neighbor_id, rk, cos_sim",
+                "BIGINT, BIGINT, INTEGER, DOUBLE",
+            ),
+            "ann_ivf": _values_or_empty(
+                po.ivf_topk(qs3, vecs, k=5),
+                "q_id, neighbor_id, rk, cos_sim",
+                "BIGINT, BIGINT, INTEGER, DOUBLE",
+            ),
+            "ann_ivf_trained": _values_or_empty(
+                po.ivf_trained_topk(qs30, flat, k=5, k_cells=8, iters=1),
+                "q_id, neighbor_id, rk, cos_sim",
+                "BIGINT, BIGINT, INTEGER, DOUBLE",
+            ),
+        }
+    except Exception:
+        vals = {}
+    _pyoracle_values_cache[sf] = vals
+    return vals
 
 
 def _simple_concepts_oracle() -> str:
@@ -983,8 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        # rows-only (no SQL-expressible oracle — each has a pure-Python
-        # recompute oracle in pytest instead): xxhash64/hyperplane families
+        # xxhash64/hyperplane families: full VALUES oracles from the
+        # pure-Python spec recompute (see _pyoracle_values)
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
@@ -1126,7 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "search_study": (
             f"WITH {_SQL_VARS} "
             "SELECT element_id, collection_id, collection_name FROM vars "
-            "WHERE contains(lower(collection_id), 'study_1') "
+            "WHERE list_contains(string_split_regex(lower(collection_id), '\\s+'), 'study_1') "
             "ORDER BY element_id ASC LIMIT 50"
         ),
         "search_program": (

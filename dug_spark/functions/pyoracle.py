@@ -235,6 +235,62 @@ def lsh_topk(
     return out
 
 
+def _assign_cell(v: list[float], centroids: list[list[float]]) -> int:
+    """Max-dot-product centroid; first max wins on ties (mirrors Spark's
+    ``array_position(dots, array_max(dots))``).  The dot product folds
+    left-to-right exactly like ``F.aggregate``'s sequential fold, so with
+    identical inputs the doubles are bitwise identical."""
+    best_i, best_d = 0, None
+    for i, c in enumerate(centroids):
+        d = 0.0
+        for x, y in zip(v, c):
+            d += x * y
+        if best_d is None or d > best_d:
+            best_i, best_d = i, d
+    return best_i
+
+
+def ivf_train(
+    vectors: list[tuple[int, list[float]]], k: int = 16, iters: int = 2
+) -> list[list[float]]:
+    """Recompute of similarity.ivf_train_assign's trained centroids:
+    seeds are the k vectors with smallest (xxhash64(str(id)), id); each
+    Lloyd round reassigns and takes the per-(cell, dim) mean ROUNDED to 6
+    decimals — the rounding is what makes the Spark aggregation (partial
+    sums in partition order) and this exact recompute (math.fsum) agree
+    bit-for-bit.  Cells that lose all members keep their centroid."""
+    order = sorted(vectors, key=lambda t: (xxh64(str(t[0]).encode("utf-8"), 42), t[0]))
+    centroids = [list(v) for _, v in order[:k]]
+    for _ in range(iters):
+        groups: dict = defaultdict(list)
+        for _vid, v in vectors:
+            groups[_assign_cell(v, centroids)].append(v)
+        new_c = [list(c) for c in centroids]
+        for cell, vs in groups.items():
+            for d in range(len(vs[0])):
+                new_c[cell][d] = round_half_up(
+                    math.fsum(v[d] for v in vs) / len(vs), 6
+                )
+        centroids = new_c
+    return centroids
+
+
+def ivf_trained_topk(
+    queries: list[tuple[int, list[float]]],
+    corpus: list[tuple[int, list[float]]],
+    k: int = 10,
+    k_cells: int = 16,
+    iters: int = 2,
+) -> list[tuple[int, int, int, float]]:
+    """Recompute of similarity.ivf_trained_topk: train on the corpus,
+    assign queries with the same final centroids, exact cosine within the
+    query's cell only."""
+    centroids = ivf_train(corpus, k_cells, iters)
+    c_with = [(vid, v, _assign_cell(v, centroids)) for vid, v in corpus]
+    q_with = [(qid, v, _assign_cell(v, centroids)) for qid, v in queries]
+    return ivf_topk(q_with, c_with, k)
+
+
 def ivf_topk(
     queries: list[tuple[int, list[float], object]],
     corpus: list[tuple[int, list[float], object]],

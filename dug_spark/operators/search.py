@@ -432,14 +432,29 @@ def search_study(
 ) -> DataFrame:
     """search_study (async_search.py:437-472, route server.py:307-318):
     variables filtered by collection_id and/or collection_name match.
-    ES ``match`` stand-in: case-insensitive containment.  Unfiltered
-    constant-score ordering is nondeterministic in ES; ordered by
-    element_id here."""
+    ES ``match`` stand-in at TOKEN level (standard analyzer): any
+    whitespace token of the lowercased query equals a whitespace token of
+    the lowercased field — substring containment would wrongly let
+    'study_1' match study_10..study_19.  Unfiltered constant-score
+    ordering is nondeterministic in ES; ordered by element_id here."""
+
+    def _match(col: str, query: str):
+        field_toks = F.split(F.lower(col), r"\s+")
+        conds = [
+            F.array_contains(field_toks, tok)
+            for tok in query.lower().split()
+            if tok
+        ]
+        out = conds[0] if conds else F.lit(False)
+        for c in conds[1:]:
+            out = out | c
+        return out
+
     out = variables
     if study_id:
-        out = out.where(F.lower("collection_id").contains(study_id.lower()))
+        out = out.where(_match("collection_id", study_id))
     if study_name:
-        out = out.where(F.lower("collection_name").contains(study_name.lower()))
+        out = out.where(_match("collection_name", study_name))
     return out.orderBy("element_id").offset(offset).limit(size)
 
 

@@ -157,13 +157,18 @@ def ivf_train_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
-) -> DataFrame:
+) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer when no precomputed cluster column exists:
     deterministic k seed centroids (smallest xxhash64(id) order — a
     pseudo-random but reproducible sample), `iters` Lloyd rounds run as
     DataFrame aggregations (posexplode → per-(cell, dim) mean), then each
     vector assigned to its max-dot-product centroid with a pure-JVM
     expression over k literal centroid arrays.
+
+    Lloyd means are rounded to 6 decimals: double summation order varies
+    with partitioning, and rounding ~1e-13 jitter away makes the trained
+    quantizer bit-reproducible across partition layouts (and recomputable
+    by the pure-Python oracle in dug_spark/functions/pyoracle.py).
 
     Centroids are dimension-sized (k × dim floats) so the driver-side
     collect is O(k·dim), never corpus-sized; each Lloyd round is one
@@ -196,7 +201,7 @@ def ivf_train_assign(
         means = (
             assigned.select("cell", F.posexplode("e").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .collect()
         )
         new_c = [list(c) for c in centroids]

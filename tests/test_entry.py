@@ -71,3 +71,26 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) >= {"subj", "pred", "obj"}
+
+
+def test_pyoracle_failure_degrades_to_rows_only(monkeypatch):
+    """An unreadable pyoracle input dir must degrade ONLY the recompute
+    VALUES entries to rows-only — never raise out of oracle_sql() and take
+    down the 44 SQL oracles with it."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", "/nonexistent/sfdir")
+    entry_mod._pyoracle_values_cache.pop("/nonexistent/sfdir", None)
+    sqls = entry_mod.oracle_sql()
+    assert "dedup_minhash" not in sqls and "ann_ivf_trained" not in sqls
+    assert "kg_mentions" in sqls and "rel_pricing_summary" in sqls
+
+
+def test_values_or_empty_is_typed(duck):
+    """Empty pyoracle results must produce TYPED null columns so DuckDB's
+    schema still matches Spark's (bigint/double), not typeless NULLs."""
+    sql = entry_mod._values_or_empty(
+        [], "id_a, id_b, jaccard", "BIGINT, BIGINT, DOUBLE"
+    )
+    cur = duck.execute(sql)
+    assert cur.fetchall() == []
+    types = [d[1] for d in cur.description]
+    assert all(t == "NUMBER" for t in types)

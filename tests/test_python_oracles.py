@@ -131,6 +131,38 @@ def test_ivf_topk_python_recompute(spark, vecs):
     assert got == expect
 
 
+def test_ivf_trained_topk_python_recompute(spark, vecs):
+    """The TRAINED quantizer path is bit-reproducible (Lloyd means rounded
+    to 6 decimals on both sides) so the full pipeline — deterministic
+    seeds, Lloyd round, cell assignment, per-cell cosine top-k — matches
+    the pure-Python recompute exactly.  This is the recompute that backs
+    the driver's ann_ivf_trained VALUES oracle."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    got = [
+        (r["q_id"], r["neighbor_id"], r["rk"], r["cos_sim"])
+        for r in similarity.ivf_trained_topk(q, emb, k=3, k_cells=8, iters=1)
+        .orderBy("q_id", "rk")
+        .collect()
+    ]
+    flat = [(v, e) for v, e, _l in vecs]
+    expect = po.ivf_trained_topk(
+        [(v, e) for v, e, _l in vecs if v < 10], flat, k=3, k_cells=8, iters=1
+    )
+    assert got == expect
+    # and with a second Lloyd round (re-assignment with rounded centroids)
+    got2 = [
+        (r["q_id"], r["neighbor_id"], r["rk"], r["cos_sim"])
+        for r in similarity.ivf_trained_topk(q, emb, k=3, k_cells=4, iters=2)
+        .orderBy("q_id", "rk")
+        .collect()
+    ]
+    expect2 = po.ivf_trained_topk(
+        [(v, e) for v, e, _l in vecs if v < 10], flat, k=3, k_cells=4, iters=2
+    )
+    assert got2 == expect2
+
+
 def test_round_half_up_matches_spark(spark):
     """Dyadic doubles hit EXACT .xxxxxx5 ties where Java HALF_UP and
     Python's bankers rounding diverge — pyoracle must follow Spark."""

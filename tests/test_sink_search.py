@@ -261,6 +261,24 @@ def test_search_study_by_id_and_name(spark):
     assert both == []
 
 
+def test_search_study_token_not_substring(spark):
+    """ES `match` is token-level: study_1 must NOT match study_10..19
+    (the substring-containment stand-in wrongly did)."""
+    v = spark.createDataFrame(
+        [
+            ("v1", "study_1", "Study 1"),
+            ("v2", "study_10", "Study 10"),
+            ("v3", "study_19", "Study 19"),
+        ],
+        "element_id string, collection_id string, collection_name string",
+    )
+    out = search.search_study(v, study_id="study_1").collect()
+    assert [r["element_id"] for r in out] == ["v1"]
+    # multi-token query: ES match default OR — any query token may hit
+    by_name = search.search_study(v, study_name="Study 10").collect()
+    assert [r["element_id"] for r in by_name] == ["v1", "v2", "v3"]
+
+
 def test_search_program_top_hit_per_collection(spark):
     v = _study_vars(spark)
     out = search.search_program(v).collect()
