@@ -118,14 +118,58 @@ def minhash_signatures(
     return sh.select("doc", minhash_signature_col(num_hashes).alias("sig"))
 
 
-def minhash_lsh_candidates(
+def cap_lsh_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket`` from an
+    exploded banded table before the candidate self-join.
+
+    At corpus scale an adversarial near-identical cluster (boilerplate
+    pages, mirrored sites) puts ALL its members in the same bucket in
+    EVERY band: the self-join cost Σ bucket² then grows quadratically in
+    the cluster size.  Capping bounds the worst bucket at max_bucket²
+    candidate pairs; a dropped pair can still surface through any OTHER
+    band whose bucket stays under the cap, so only pairs confined to
+    oversized buckets (i.e. members of degenerate mega-clusters) are
+    lost — for dedup those are exactly the documents exact-hash dedup
+    already removes.  Use ``lsh_bucket_stats`` to LOG what a cap drops —
+    silent truncation reads as full coverage."""
+    if not max_bucket:
+        return banded
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        banded.join(sizes.where(F.col("_bsz") <= max_bucket), ["band", "bucket"])
+        .drop("_bsz")
+    )
+
+
+def lsh_bucket_stats(banded: DataFrame, max_bucket: int | None = None) -> dict:
+    """Bucket-size distribution of an exploded (band, bucket) table:
+    ``n_buckets``, ``max_size``, ``sum_sq`` (≈ candidate-join row cost),
+    and — when a cap is given — ``dropped_buckets`` / ``dropped_pairs``
+    the cap would discard.  One small aggregation job; call before a
+    capped run to record the coverage actually lost."""
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_size"),
+        F.sum(F.col("sz") * F.col("sz")).alias("sum_sq"),
+    ]
+    if max_bucket:
+        over = F.col("sz") > max_bucket
+        aggs += [
+            F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+            F.sum(
+                F.when(over, F.col("sz") * (F.col("sz") - 1) / 2).otherwise(0)
+            ).alias("dropped_pairs"),
+        ]
+    row = sizes.agg(*aggs).collect()[0]
+    return row.asDict()
+
+
+def minhash_banded(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    One explode + one equi-join on (band, bucket-hash); Σ bucket² cost.
-    """
-    banded = signatures.select(
+    """Exploded (doc, band, bucket) table from minhash signatures."""
+    return signatures.select(
         "doc",
         F.posexplode(
             F.array(
@@ -144,6 +188,20 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    One explode + one equi-join on (band, bucket-hash); Σ bucket² cost,
+    bounded by ``max_bucket`` when set (see cap_lsh_buckets).
+    """
+    banded = cap_lsh_buckets(minhash_banded(signatures, bands, rows_per_band), max_bucket)
     a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
     return (
@@ -162,6 +220,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle: int = 3,
     threshold: float = 0.9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash LSH candidates verified with exact shingle Jaccard.
 
@@ -170,6 +229,8 @@ def minhash_near_duplicates(
     intersection/union computed per candidate row with ``array_intersect``.
     The all-pairs shingle self-join never runs; total cost is one
     signature pass + Σ bucket² over LSH buckets + |candidates| set ops.
+    ``max_bucket`` bounds Σ bucket² against adversarial near-identical
+    corpora (see cap_lsh_buckets for the recall contract).
     """
     rows_per_band = num_hashes // bands
     # parallelism floor: a small-file scan collapses to 1 partition and
@@ -195,6 +256,7 @@ def minhash_near_duplicates(
         sh.select("doc", minhash_signature_col(num_hashes).alias("sig")),
         bands,
         rows_per_band,
+        max_bucket=max_bucket,
     )
     a = sh.select(F.col("doc").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("shs").alias("shs_b"))
@@ -212,26 +274,47 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash over word tokens: bit b of the hash is 1 iff the sum
-    of ±1 votes (sign of token-hash bit b) is positive.  Pure DataFrame:
-    explode tokens → per-bit conditional sum → reassemble."""
+    of ±1 votes (sign of token-hash bit b) is positive — equivalently iff
+    bit b is set in MORE than half the token hashes (2·ones_b > n).
+
+    Pure DataFrame, SWAR bit-count: instead of 64 predicated conditional
+    sums per token row, sum 32 masked shifted copies of the hash — mask
+    0x0000000100000001 keeps bits j and j+32 as two independent 32-bit
+    lane counters inside one long-typed SUM (exact while a document has
+    < 2³¹ tokens, i.e. always).  Per token row that is 32 cheap
+    shift+AND+add updates and a 33-column aggregation state vs the former
+    64 WHEN-sums; the per-bit ones-counts are unpacked from the lane
+    fields AFTER the aggregate, on one row per doc."""
+    lane_mask = 0x0000000100000001  # lanes at bit 0 and bit 32
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(text_col, " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("doc").agg(
+    sums = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ]
+                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(lane_mask))
+            ).alias(f"s{j}")
+            for j in range(32)
+        ],
     )
+
+    def ones(b):
+        # ones-count of hash bit b: lane 0 (low 32 bits) of s_b, or lane 1
+        # (high 32 bits) of s_{b-32}
+        if b < 32:
+            return F.col(f"s{b}").bitwiseAND(F.lit((1 << 32) - 1))
+        return F.shiftrightunsigned(f"s{b - 32}", 32)
+
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(ones(b) * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
         sig = term if sig is None else sig + term
-    return votes.select("doc", sig.alias("simhash"))
+    return sums.select("doc", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -279,18 +362,22 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    bits: int = 16,
+    bits: int = 64,
     bands: int = 8,
     exact: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
     Default (scale path): random-hyperplane LSH bucketing — candidates
     share ≥1 signature band (similarity.lsh_signatures), exact cosine runs
-    on candidates only.  Recall at threshold≥0.95 is near-1 with 8 bands
-    of 2 bits (near-identical vectors get near-identical sign sketches).
-    ``exact=True`` keeps the O(n²) cross join for small inputs / recall
-    audits.
+    on candidates only.  8 bands × 8 bits: 256 buckets per band and ≈0.99
+    recall at cos ≥ 0.95 (≈1−1e−5 at ≥0.99) — see
+    similarity.hyperplane_banded for the width/recall/bucket-size math;
+    the old 2-bit bands had only 4 buckets each, making Σ bucket²
+    quadratic in the corpus at ANY skew.  ``exact=True`` keeps the O(n²)
+    cross join for small inputs / recall audits.  ``max_bucket`` bounds
+    Σ bucket² against near-identical mega-clusters (see cap_lsh_buckets).
     """
     from . import similarity
 
@@ -310,20 +397,7 @@ def embedding_near_duplicates(
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         sigs = similarity.lsh_signatures(v, dim=dim, bits=bits, id_col="id", vec_col="e")
-        width = bits // bands
-        mask = (1 << width) - 1
-        banded = sigs.select(
-            "id",
-            "e",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "bucket"),
-        )
+        banded = cap_lsh_buckets(similarity.hyperplane_banded(sigs, bits, bands), max_bucket)
         a = banded.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "band", "bucket")
         b = banded.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "band", "bucket")
         pairs = (

@@ -82,7 +82,11 @@ def lsh_signatures(
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
-    """Sign-bit sketch: bit i = (v · h_i) > 0, packed into a long."""
+    """Sign-bit sketch: bit i = (v · h_i) > 0, packed into a long
+    (bit 63, when used, is the sign bit — same two's-complement packing
+    as dedup.simhash)."""
+    if not 0 < bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
     planes = _hyperplanes(dim, bits, seed)
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
     sig = None
@@ -92,9 +96,36 @@ def lsh_signatures(
             F.zip_with("e", lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
         bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long")
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
         sig = term if sig is None else sig + term
     return v.select("id", "e", sig.alias("sig"))
+
+
+def hyperplane_banded(sigs: DataFrame, bits: int, bands: int) -> DataFrame:
+    """Explode a signature table (… , sig) into (…, band, bucket) rows —
+    one row per band, bucket = that band's bit-slice of the signature.
+
+    Band width (bits/bands) is the scale lever: buckets per band =
+    2^width, and the candidate self-join costs Σ bucket².  width 2 (the
+    old default) means FOUR buckets per band — every bucket holds n/4 of
+    the corpus and the join is quadratic no matter what.  width 8 gives
+    256 buckets/band with band-match probability p^8 where
+    p = 1 − arccos(cos)/π: ≈0.43 at cos 0.95, ≈0.69 at cos 0.99 — with 8
+    OR-ed bands that is ≈0.99 recall at cos ≥ 0.95 and ≈1 − 1e-5 at
+    cos ≥ 0.99."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return sigs.select(
+        *[c for c in sigs.columns if c != "sig"],
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
 
 
 def lsh_topk(
@@ -102,15 +133,17 @@ def lsh_topk(
     corpus: DataFrame,
     dim: int,
     k: int = 10,
-    bits: int = 16,
-    bands: int = 4,
+    bits: int = 64,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share ≥1 LSH band, exact
     re-rank on candidates only.  Recall rises with bands; cost is the
-    band-bucket join instead of the full cross product."""
+    band-bucket join instead of the full cross product.  Defaults give
+    8-bit bands (256 buckets each — see hyperplane_banded for the
+    width/recall/bucket-count trade)."""
     width = bits // bands
     mask = (1 << width) - 1
     qs = lsh_signatures(queries, dim, bits, id_col, vec_col, seed)

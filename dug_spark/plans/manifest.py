@@ -98,6 +98,13 @@ class CheckpointManager:
         (which materializes the scan) and recorded per source partition."""
         spark = df.sparkSession
         final = self._stage_dir(stage)
+        # garbage-collect tmp dirs left by KILLED runs: a crash anywhere
+        # before the rename leaves <stage>.tmp-<old-run> with partial (or
+        # even complete-but-uncommitted) parquet — never readable state,
+        # safe to drop, and dropping keeps resume storage bounded
+        for name in os.listdir(self.root):
+            if name.startswith(f"{stage}.tmp-") and name != f"{stage}.tmp-{self.run_id}":
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
         tmp = final + f".tmp-{self.run_id}"
         # the accumulator is cumulative across every action that executes
         # the annotate scan (e.g. build_triples' eager checkpoint); snapshot

@@ -181,3 +181,53 @@ def test_ivf_trained_quantizer(spark, emb):
     out = similarity.ivf_trained_topk(q, emb, k=3, k_cells=8, iters=1).collect()
     assert {r["q_id"] for r in out} == set(range(10))
     assert all(1 <= r["rk"] <= 3 for r in out)
+
+
+def test_lsh_bucket_cap_guards_adversarial_clusters(spark):
+    """A mega-cluster of identical docs lands in ONE bucket in EVERY band;
+    max_bucket drops those buckets (bounding the self-join at cap²) while
+    genuine near-dup pairs outside the cluster survive, and
+    lsh_bucket_stats reports exactly what was dropped."""
+    cluster = " ".join(f"c{i}" for i in range(30))  # disjoint vocab from pair
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, cluster) for i in range(200)]  # identical ×200
+    rows += [(1000, words), (1001, words + " tail")]  # jaccard 28/29 ≈ 0.966
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(df, threshold=0.9).collect()
+    }
+    assert (1000, 1001) in uncapped
+    assert len(uncapped) == 200 * 199 // 2 + 1
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(df, threshold=0.9, max_bucket=50).collect()
+    }
+    assert capped == {(1000, 1001)}, "cluster pairs dropped, genuine pair kept"
+
+    sh = df.select(
+        F.col("doc_id").alias("doc"),
+        dedup._shingles("text", 3).alias("shs"),
+    )
+    banded = dedup.minhash_banded(
+        sh.select("doc", dedup.minhash_signature_col(32).alias("sig"))
+    )
+    stats = dedup.lsh_bucket_stats(banded, max_bucket=50)
+    assert stats["max_size"] == 200
+    assert stats["dropped_buckets"] == 8  # the cluster bucket in all 8 bands
+    assert stats["dropped_pairs"] == 8 * (200 * 199 // 2)
+    assert stats["sum_sq"] >= 8 * 200 * 200
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """Same guard on the embedding near-dup LSH path."""
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    rows = [(i, base) for i in range(100)]  # identical direction ×100
+    rows += [(500, [x * 2.0 for x in base])]  # parallel → cos 1.0, same sketch
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = dedup.embedding_near_duplicates(df, threshold=0.99).count()
+    assert uncapped == 101 * 100 // 2
+    capped = dedup.embedding_near_duplicates(df, threshold=0.99, max_bucket=50).count()
+    assert capped == 0  # the single mega-bucket is dropped in every band

@@ -141,3 +141,77 @@ def test_manifest_records_source_lineage(spark, tmp_path):
     lin = res.lineage()
     total = sum(v[0] for v in lin.values())
     assert total >= n_en and total % n_en == 0
+
+
+def test_failure_injection_task_dies_mid_write(spark, tmp_path):
+    """A write action that dies mid-stage (one task raises — the local
+    stand-in for an executor loss past max retries) must leave NO commit:
+    resume under a fresh run id recomputes the stage exactly — no
+    duplicated and no missing rows — cleans the dead run's partial tmp,
+    and the manifest holds lineage only for the committed attempt."""
+    import os
+
+    import pytest
+    from pyspark.sql.types import LongType
+
+    root = str(tmp_path / "ckpt")
+    cm = CheckpointManager(root, run_id="r_kill")
+    cm.run_or_resume(spark, "s1", lambda: spark.range(500).repartition(4))
+
+    def bomb(x):
+        if x == 450:
+            raise RuntimeError("injected mid-write failure")
+        return x
+
+    bomb_udf = F.udf(bomb, LongType())
+    failing = spark.range(500).repartition(4).select(bomb_udf("id").alias("id"))
+    with pytest.raises(Exception, match="injected|Job aborted"):
+        cm.write_stage("s2", failing)
+    assert not cm.is_done("s2")
+    assert [n for n in os.listdir(root) if n.startswith("s2.tmp-")]
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(500).repartition(4).select(F.col("id"))
+
+    cm2 = CheckpointManager(root, run_id="r_resume")
+    # committed stage untouched by resume
+    cm2.run_or_resume(spark, "s1", lambda: (_ for _ in ()).throw(AssertionError))
+    out = cm2.run_or_resume(spark, "s2", build)
+    assert calls["n"] == 1
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(500)), "exact rows: no dups, none missing"
+    # dead run's partial tmp garbage-collected by the successful write
+    assert not [n for n in os.listdir(root) if n.startswith("s2.tmp-r_kill")]
+    m = cm2.metrics(spark, "s2").collect()
+    assert {r["run_id"] for r in m} == {"r_resume"}, "no lineage from the dead run"
+    assert sum(r["output_rows"] for r in m) == 500
+
+
+def test_failure_injection_crash_before_commit(spark, tmp_path, monkeypatch):
+    """Crash in the window AFTER the parquet write but BEFORE the atomic
+    rename: the stage data is complete on disk yet uncommitted — resume
+    must still treat it as never-run (rename is the only commit point)."""
+    import os
+
+    import pytest
+
+    from dug_spark.plans import manifest as mf
+
+    root = str(tmp_path / "ckpt")
+    cm = CheckpointManager(root, run_id="r_precommit")
+    real_rename = os.rename
+    monkeypatch.setattr(
+        mf.os, "rename", lambda *a: (_ for _ in ()).throw(OSError("killed"))
+    )
+    with pytest.raises(OSError, match="killed"):
+        cm.write_stage("s4", spark.range(100))
+    monkeypatch.setattr(mf.os, "rename", real_rename)
+    assert not cm.is_done("s4")
+    cm2 = CheckpointManager(root, run_id="r_after")
+    out = cm2.run_or_resume(spark, "s4", lambda: spark.range(100))
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+    m = cm2.metrics(spark, "s4").collect()
+    assert {r["run_id"] for r in m} == {"r_after"}

@@ -369,3 +369,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ec")
         spark.sql("DROP TABLE IF EXISTS t_co")
+
+
+def test_reference_brain_golden(spark):
+    """Golden parity vs the reference's canned 10-hit 'brain' ES response
+    (tests/unit/test_async_search.py: brain_result_json +
+    test_concepts_search): the canned hits are loaded from the reference
+    file itself, fed through search_concepts, and checked for (a) the
+    reference's result structure {hits, total_items, concept_types}
+    (async_search.py:274-276), (b) full recall — every hit ES returned for
+    'brain' also scores > 0 under the deterministic stand-in scorer, (c)
+    the ES top-3 set preserved, (d) the type-count facet histogram of the
+    response."""
+    import json
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/tests/unit/test_async_search.py")
+    if not ref.exists():
+        pytest.skip("reference checkout not available")
+    blob = ref.read_text().split('brain_result_json = """', 1)[1]
+    data = json.loads(blob[: blob.index('\n"""')])
+    hits = [h["_source"] for h in data["hits"]["hits"]]
+    assert len(hits) == 10
+    df = spark.createDataFrame(
+        [
+            (h["id"], h["name"], h["description"], h["type"],
+             h["search_terms"], h["optional_terms"])
+            for h in hits
+        ],
+        "concept_id string, name string, description string, type string,"
+        "search_terms array<string>, optional_terms array<string>",
+    )
+    res = search.search_concepts(df, "brain")
+    assert set(res) == {"hits", "total_items", "concept_types"}
+    out = res["hits"].collect()
+    assert {r["concept_id"] for r in out} == {h["id"] for h in hits}
+    es_top3 = [h["id"] for h in hits[:3]]
+    assert {r["concept_id"] for r in out[:3]} == set(es_top3)
+    assert res["total_items"].count() == 10
+    facets = {r["type"]: r["n"] for r in res["concept_types"].collect()}
+    assert facets == {"disease": 6, "anatomical entity": 4}
+    # the reference simplifies the ES terms-agg to {key: doc_count}
+    # (async_search.py:269-273) — same dict shape from the canned buckets
+    buckets = data["aggregations"]["type-count"]["buckets"]
+    concept_types = {b["key"]: b["doc_count"] for b in buckets}
+    assert len(concept_types) == 9
+    assert concept_types["anatomical entity"] == 10
