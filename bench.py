@@ -35,7 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # minutes apart), so paired sampling + best-of-N measures the engine
 # rather than the host weather.
 SCALE_LO, SCALE_HI = 2, 8
-SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "5"))
+SCALE_SAMPLES = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "6"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
 # 384 × 5k docs = 1.92M docs per scaling sample: large enough that the
 # corpus-proportional work dominates the few-second corpus-size-
@@ -92,6 +92,18 @@ def _pipeline(spark, realistic: bool = False):
     )
 
 
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — this VM's host steals CPU
+    in bursts; recording steal%% per timed run makes the artifact
+    self-documenting about which samples were storm-hit."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_pipeline_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     """Throughput sample in THIS process (call from a fresh JVM): `runs`
     back-to-back timed executions, best kept — repeat runs inside one warm
@@ -123,18 +135,26 @@ def run_pipeline_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     pipe = _pipeline(spark, realistic=True)
     warm = _corpus(spark, SF_DIR, max(replicate // 96, 2))
     pipe.run(warm).triples.count()
-    secs, n_triples = None, 0
+    secs, n_triples, steal_best = None, 0, None
+    steals = []
     for _ in range(max(runs, 1)):
+        st0, tt0 = _steal_ticks()
         t0 = time.monotonic()
         n_triples = pipe.run(corpus).triples.count()
         s = time.monotonic() - t0
-        secs = s if secs is None else min(secs, s)
+        st1, tt1 = _steal_ticks()
+        steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2)
+        steals.append(steal_pct)
+        if secs is None or s < secs:
+            secs, steal_best = s, steal_pct
     return {
         "cores": cores,
         "docs": n_docs,
         "triples": n_triples,
         "secs": round(secs, 3),
         "docs_per_sec": round(n_docs / secs, 1),
+        "steal_pcts": steals,
+        "steal_best": steal_best,
     }
 
 
@@ -252,6 +272,12 @@ def main():
         # one — and (b) a hi repeat costs ~20 s vs ~55 s at lo.
         runs_lo = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LO", "2"))
         runs_hi = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HI", "4"))
+        # FIXED sample count (no value-dependent stopping: any rule keyed
+        # to the measured efficiency is optional stopping and biases the
+        # estimate; the only early exit is the value-blind wall budget).
+        # min-of-N per level is an unbiased floor estimator — host steal
+        # only ever ADDS time — so every extra interleaved pair tightens
+        # both floors across the host's ~minutes-long storm cycles.
         eff_history = []
         for i in range(SCALE_SAMPLES):
             los.append(_child_sample(SCALE_LO, SCALE_REPLICATE, runs_lo))
@@ -262,17 +288,6 @@ def main():
             ) / (SCALE_HI / SCALE_LO)
             eff_history.append(round(cur, 3))
             if time.monotonic() - t_start > budget_s and i + 1 < SCALE_SAMPLES:
-                break
-            # SYMMETRIC stopping: stop only when the best-pair estimate has
-            # CONVERGED — unchanged (±0.015) across two consecutive pairs
-            # after at least 3 pairs — regardless of whether the stable
-            # value is good or bad.  (An "exit early once ≥0.85" rule
-            # would be optional stopping that biases the headline upward.)
-            if (
-                i >= 2
-                and abs(eff_history[-1] - eff_history[-2]) < 0.015
-                and abs(eff_history[-2] - eff_history[-3]) < 0.015
-            ):
                 break
         lo = min(los, key=lambda s: s["secs"])
         hi = min(his, key=lambda s: s["secs"])
@@ -286,6 +301,8 @@ def main():
             "secs_hi": hi["secs"],
             "all_secs_lo": [s["secs"] for s in los],
             "all_secs_hi": [s["secs"] for s in his],
+            "all_steal_lo": [s.get("steal_best") for s in los],
+            "all_steal_hi": [s.get("steal_best") for s in his],
             "docs": lo["docs"],
             "samples_per_level": len(los),
             "runs_per_sample": {"lo": runs_lo, "hi": runs_hi},
