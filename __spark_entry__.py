@@ -824,6 +824,75 @@ def _multimodal_frame_rows() -> list[tuple[str, int, str]]:
     return rows
 
 
+def q_search_bm25(spark, sf_dir):
+    """True BM25 top-20 over the documents table (the ES similarity
+    behind every boosted clause in async_search.py:113-218), fully
+    distributed: one stats aggregation + map-side scoring + top-k."""
+    from dug_spark.operators import search
+
+    return search.bm25_topk(
+        _pq(spark, sf_dir, "documents"), "spark window stream", k=20
+    ).select(F.col("id").alias("doc_id"), "score")
+
+
+def q_multimodal_real_features(spark, sf_dir):
+    """REAL decode path (round 3): from-spec stdlib PNG/WAV codecs
+    (dug_spark/functions/codecs.py) decode valid synthetic media inside
+    the Arrow mapInPandas plumbing — no deterministic_fake.  Features
+    projected to fixed-precision CSV for cross-engine hashing."""
+    media = multimodal.synthetic_real_media(spark, n=12)
+    feats = multimodal.extract_features(media)  # real decode
+    return feats.select(
+        "media_id",
+        "mime",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
+    )
+
+
+def _multimodal_real_rows() -> list[tuple[str, str, str]]:
+    """Driver-side recompute of the real-codec features: regenerates the
+    same synthetic media (same integer formulas) and decodes with the
+    same from-spec codecs — validates the Spark-side Arrow plumbing
+    delivers byte-identical payloads to the codec."""
+    from dug_spark.functions import codecs
+    from dug_spark.functions.pyoracle import round_half_up
+
+    def fmt(feats):
+        # Java String.format("%.6f") (the Spark-side projection) rounds
+        # HALF_UP; Python's %.6f is half-even — pre-round half-up so both
+        # engines print the same digits at exact ties
+        return ",".join(f"{round_half_up(x, 6):.6f}" for x in feats)
+
+    rows = []
+    for i in range(12):
+        if i % 2 == 0:
+            w, h = 24, 16
+            px = [
+                bytearray(
+                    b
+                    for x in range(w)
+                    for b in (
+                        (x * 7 + i * 13 + 7) % 256,
+                        (y * 11 + i * 5) % 256,
+                        (x * y + i) % 256,
+                    )
+                )
+                for y in range(h)
+            ]
+            payload = codecs.encode_png(w, h, 3, px)
+            feats = codecs.png_features(payload)
+            mime = "image/png"
+        else:
+            samples = [((t * (i + 3) + 7) % 2048 - 1024) * 16 for t in range(400)]
+            payload = codecs.encode_wav(8000, 1, samples)
+            feats = codecs.wav_features(payload)
+            mime = "audio/wav"
+        rows.append((f"r{i:04d}", mime, fmt(feats)))
+    return rows
+
+
 def q_kg_node_to_elements(spark, sf_dir):
     """J9: cast qualifying KG nodes into new elements (crawler.py:203-276).
     Projects the scalar element columns (metadata map omitted — map-typed
@@ -1042,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_features": q_multimodal_real_features,
+        "search_bm25": q_search_bm25,
     }
 
 
@@ -1369,6 +1440,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, mime, features_csv FROM (VALUES "
             + _vals(_multimodal_expected_rows())
             + ") AS t(media_id, mime, features_csv)"
+        ),
+        "multimodal_real_features": (
+            "SELECT media_id, mime, features_csv FROM (VALUES "
+            + _vals(_multimodal_real_rows())
+            + ") AS t(media_id, mime, features_csv)"
+        ),
+        # true BM25 (k1=1.2, b=0.75, ES idf) over documents.text for the
+        # query tokens {spark, stream, window} — same two-phase structure:
+        # corpus stats CTE, then the closed-form score per doc
+        "search_bm25": (
+            "WITH toks AS (SELECT doc_id, "
+            "  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tk "
+            "  FROM documents), "
+            "lens AS (SELECT doc_id, tk, len(tk) AS dl FROM toks), "
+            "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens), "
+            "q(tok) AS (VALUES ('spark'), ('stream'), ('window')), "
+            "tf AS (SELECT l.doc_id, l.dl, q.tok, "
+            "  len(list_filter(l.tk, x -> x = q.tok)) AS tf FROM lens l CROSS JOIN q), "
+            "df AS (SELECT tok, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY tok), "
+            "scored AS (SELECT t.doc_id, "
+            "  SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+            "      * t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))) AS score "
+            "  FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN stats s GROUP BY t.doc_id) "
+            "SELECT doc_id, ROUND(score, 6) AS score FROM scored WHERE score > 0 "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20), "

@@ -7,17 +7,24 @@ Design: media travel as ``binary`` columns with a typed metadata struct
 (mime, width/height or sample-rate, duration).  Per-item work (decode,
 feature-extract, resize, frame-sample) runs as Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, partition preservation,
-batch shape) is real and tested; the codec calls themselves are STUBBED
-behind ``media_codec`` (the image/audio libraries are not in this
-container): decode raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces a seeded, content-derived fake
-so pipelines are testable end-to-end.
+batch shape) is real and tested.
+
+Codec status (round 3): image/png and audio/wav decode are REAL —
+pure-stdlib codecs written from the public specs
+(dug_spark/functions/codecs.py: zlib+struct PNG with all five scanline
+filters; wave-module 16-bit PCM).  Only video decode remains stubbed
+(no container codec CAN decode mp4 from stdlib): it raises
+``NotImplementedError`` unless ``deterministic_fake=True``.  The
+``deterministic_fake=True`` mode is retained for all mimes as the
+seeded, content-derived fake used by the cross-engine oracle tables.
 """
 
 from __future__ import annotations
 
 import hashlib
 from typing import Iterator
+
+from dug_spark.functions import codecs
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -62,16 +69,22 @@ FRAMES_SCHEMA = StructType(
 
 
 def media_codec(payload: bytes, mime: str, deterministic_fake: bool):
-    """The stubbed decode boundary.  Real deployment: swap in
-    PIL/torchaudio/pyav here — the Spark plumbing doesn't change."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio codecs not present in this "
-            "container; pass deterministic_fake=True for the seeded stub"
-        )
-    # content-derived fake: stable 16-dim feature from the payload digest
-    digest = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in digest[:16]]
+    """The decode boundary.  PNG and WAV decode for real via the
+    from-spec stdlib codecs; video (no stdlib decoder exists) raises
+    unless ``deterministic_fake=True``.  The fake mode is kept for every
+    mime — it is what the cross-engine oracle tables pin down."""
+    if deterministic_fake:
+        # content-derived fake: stable 16-dim feature from the payload digest
+        digest = hashlib.sha256(payload or b"").digest()
+        return [b / 255.0 for b in digest[:16]]
+    if mime == "image/png":
+        return codecs.png_features(payload or b"")
+    if mime == "audio/wav":
+        return codecs.wav_features(payload or b"")
+    raise NotImplementedError(
+        f"no stdlib decoder for {mime}; video needs pyav/ffmpeg — pass "
+        "deterministic_fake=True for the seeded stub"
+    )
 
 
 def extract_features(
@@ -103,22 +116,37 @@ def extract_features(
 def resize_images(
     media: DataFrame, width: int, height: int, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Image resize: stub returns a deterministic truncated payload (real
-    impl: PIL resize inside the same batch loop)."""
+    """Image resize inside the batch loop: REAL for PNG (decode →
+    nearest-neighbour resample → re-encode, all from-spec stdlib);
+    ``deterministic_fake=True`` keeps the seeded digest stub used by the
+    oracle tables; other mimes pass through unchanged."""
     fake = deterministic_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            out, ws, hs = [], [], []
             for p, m in zip(pdf["payload"], pdf["mime"]):
-                if not fake:
-                    raise NotImplementedError("image codecs unavailable; see media_codec")
                 raw = bytes(p) if p is not None else b""
-                out.append(hashlib.sha256(raw + f"{width}x{height}".encode()).digest())
+                if fake:
+                    out.append(
+                        hashlib.sha256(raw + f"{width}x{height}".encode()).digest()
+                    )
+                    ws.append(width)
+                    hs.append(height)
+                elif m == "image/png":
+                    w0, h0, ch, rows = codecs.decode_png(raw)
+                    resized = codecs.resize_nearest(w0, h0, ch, rows, width, height)
+                    out.append(codecs.encode_png(width, height, ch, resized))
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    out.append(raw)  # non-image: pass through untouched
+                    ws.append(None)
+                    hs.append(None)
             res = pdf.copy()
             res["payload"] = pd.Series(out, dtype="object")
-            res["width"] = width
-            res["height"] = height
+            res["width"] = pd.Series(ws, dtype="object")
+            res["height"] = pd.Series(hs, dtype="object")
             yield res
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
@@ -157,6 +185,35 @@ def sample_frames(
     return media.select("media_id", "payload", "duration_ms").mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
+
+
+def synthetic_real_media(spark, n: int = 12, seed: int = 7) -> DataFrame:
+    """Deterministic VALID media: real PNG images (patterned RGB pixels)
+    and real 16-bit PCM WAV clips, generated from integer formulas — no
+    external data, decodable by the from-spec codecs."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 24, 16
+            px = [
+                bytearray(
+                    b
+                    for x in range(w)
+                    for b in (
+                        (x * 7 + i * 13 + seed) % 256,
+                        (y * 11 + i * 5) % 256,
+                        (x * y + i) % 256,
+                    )
+                )
+                for y in range(h)
+            ]
+            payload = codecs.encode_png(w, h, 3, px)
+            rows.append((f"r{i:04d}", "image/png", payload, w, h, None, None))
+        else:
+            samples = [((t * (i + 3) + seed) % 2048 - 1024) * 16 for t in range(400)]
+            payload = codecs.encode_wav(8000, 1, samples)
+            rows.append((f"r{i:04d}", "audio/wav", payload, None, None, 8000, 50))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 32, seed: int = 42) -> DataFrame:

@@ -157,6 +157,76 @@ def simple_variable_score(query: str) -> F.Column:
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """True BM25 (the Lucene/ES 'match' similarity behind every boost in
+    _get_concepts_query, async_search.py:113-218) as a distributed plan —
+    narrows the engine's documented score-fidelity deviation from
+    "structure-only stand-in" to "same similarity function".
+
+    Two passes, both scale-safe at 10^12 docs:
+      1. term statistics — ONE aggregation over the corpus collecting
+         N, avg field length, and per-query-token document frequency
+         (conditional sums; the result is |query|-sized, collected to
+         the driver and folded into literal idf weights);
+      2. scoring — map-side only: per-doc tf via array ops, the BM25
+         sum as a literal expression, then a global top-k
+         (TakeOrderedAndProject — no shuffle of the scored corpus).
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5));  score = Σ_t idf_t ·
+    tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen)).  Ties broken by id.
+    """
+    import math
+
+    toks = sorted({t for t in query.lower().split() if t})
+    toks_col = F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks")).withColumn(
+        "dl", F.size("toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.array_contains("toks", t), 1).otherwise(0)).alias(f"df_{i}")
+            for i, t in enumerate(toks)
+        ],
+    ).collect()[0]
+    n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if n == 0 or not toks:
+        return base.select("id", F.lit(0.0).alias("score")).where(F.lit(False))
+    def tf_col(tok: str) -> F.Column:
+        # closure factory, NOT a default-arg lambda: `lambda x, t=...`
+        # reads as a TWO-arg (element, index) HOF and silently compares
+        # against the array position (see dedup._minhash_component)
+        lit = F.lit(tok)
+        return F.size(F.filter("toks", lambda x: x == lit)).cast("double")
+
+    score = None
+    for i, t in enumerate(toks):
+        df_t = stats[f"df_{i}"]
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = tf_col(t)
+        term = F.lit(idf) * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+        )
+        score = term if score is None else score + term
+    return (
+        base.select("id", F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def concept_score(query: str) -> F.Column:
     """Boost structure of _get_concepts_query (async_search.py:126-218)."""
     name, desc = F.col("name"), F.col("description")

@@ -415,3 +415,39 @@ def test_reference_brain_golden(spark):
     concept_types = {b["key"]: b["doc_count"] for b in buckets}
     assert len(concept_types) == 9
     assert concept_types["anatomical entity"] == 10
+
+
+def test_bm25_topk_hand_check(spark):
+    """BM25 against a hand-computed mirror of the same formula, plus the
+    plan shape: global top-k must be TakeOrderedAndProject (no full sort
+    shuffle of the scored corpus)."""
+    import math
+
+    rows = [(1, "x y x"), (2, "x"), (3, "z z z z"), (4, "y y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = search.bm25_topk(df, "x", k=10).collect()
+    n, avgdl, df_x = 4, 10 / 4, 2  # field lengths 3+1+4+2
+    idf = math.log(1.0 + (n - df_x + 0.5) / (df_x + 0.5))
+
+    def score(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+
+    got = {r["id"]: r["score"] for r in out}
+    assert set(got) == {1, 2}, "only docs containing a query token score"
+    assert abs(got[1] - score(2, 3)) < 1e-9
+    assert abs(got[2] - score(1, 1)) < 1e-9
+    # doc 2: tf=1 but very short field -> length norm boosts it; ordering
+    # is by the real formula, not naive tf
+    assert [r["id"] for r in out] == sorted(got, key=lambda d: (-got[d], d))
+    plan = search.bm25_topk(df, "x y", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    # multi-token: disjoint-vocabulary doc still excluded
+    out2 = {r["id"] for r in search.bm25_topk(df, "x y", k=10).collect()}
+    assert out2 == {1, 2, 4}
+
+
+def test_bm25_empty_query_and_corpus(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert search.bm25_topk(df, "   ", k=5).collect() == []
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert search.bm25_topk(empty, "x", k=5).collect() == []

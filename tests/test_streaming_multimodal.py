@@ -214,3 +214,113 @@ def test_sample_frames_mixed_media_null_duration(spark):
     for i in range(12):
         expect = 3 if i % 3 == 2 else 1
         assert sorted(by_media[f"m{i:04d}"]) == list(range(expect)), i
+
+
+# ---------------------------------------------------------------------------
+# Real PNG/WAV codecs (dug_spark/functions/codecs.py — from-spec stdlib)
+
+
+def test_png_roundtrip_and_filters():
+    """encode → decode is lossless, and the decoder handles every scanline
+    filter type (a re-filtered stream from a strict encoder exercises
+    Sub/Up/Average/Paeth through synthetic re-encoding)."""
+    from dug_spark.functions import codecs
+    import struct
+    import zlib
+
+    w, h = 9, 7
+    rows = [
+        bytearray((x * 31 + y * 17 + c) % 256 for x in range(w) for c in (0, 1, 2))
+        for y in range(h)
+    ]
+    payload = codecs.encode_png(w, h, 3, rows)
+    w2, h2, ch, rows2 = codecs.decode_png(payload)
+    assert (w2, h2, ch) == (w, h, 3)
+    assert rows2 == rows
+    # hand-build a stream that uses filters 1-4 and check it unfilters
+    stride = w * 3
+
+    def filt(ftype, line, prev):
+        out = bytearray([ftype])
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            upleft = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                out.append((line[i] - left) & 0xFF)
+            elif ftype == 2:
+                out.append((line[i] - up) & 0xFF)
+            elif ftype == 3:
+                out.append((line[i] - ((left + up) >> 1)) & 0xFF)
+            else:
+                out.append((line[i] - codecs._paeth(left, up, upleft)) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytearray(stride)
+    for y, ftype in zip(range(h), [1, 2, 3, 4, 1, 2, 4]):
+        raw += filt(ftype, rows[y], prev)
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(raw))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png(payload2)[3] == rows
+
+
+def test_wav_roundtrip():
+    from dug_spark.functions import codecs
+
+    samples = [((t * 37) % 4096 - 2048) * 8 for t in range(256)]
+    payload = codecs.encode_wav(16000, 1, samples)
+    rate, nch, got = codecs.decode_wav(payload)
+    assert (rate, nch) == (16000, 1)
+    assert got == samples
+
+
+def test_real_media_features_and_resize(spark):
+    """The REAL decode path (deterministic_fake=False) works end-to-end
+    for PNG and WAV through the same Arrow mapInPandas plumbing; resized
+    PNGs re-decode at the target dimensions with sensible content."""
+    from dug_spark.functions import codecs
+    from dug_spark.operators import multimodal
+
+    media = multimodal.synthetic_real_media(spark, n=12)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert len(r["features"]) == 16
+        if r["mime"] == "image/png":
+            assert r["features"][0] == 24.0 and r["features"][1] == 16.0
+        else:
+            assert abs(r["features"][0] - 8000 / 48000) < 1e-9
+    out = {r["media_id"]: r for r in
+           multimodal.resize_images(media, 8, 8).collect()}
+    for mid, r in out.items():
+        if r["mime"] == "image/png":
+            w, h, ch, rows = codecs.decode_png(bytes(r["payload"]))
+            assert (w, h, ch) == (8, 8, 3)
+            assert r["width"] == 8 and r["height"] == 8
+        else:  # non-image passes through untouched
+            rate, nch, _s = codecs.decode_wav(bytes(r["payload"]))
+            assert rate == 8000
+
+
+def test_video_still_raises_without_fake(spark):
+    from dug_spark.operators import multimodal
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    media = multimodal.synthetic_media(spark, n=3)
+    video = media.where(F.col("mime") == "video/mp4")
+    with _pytest.raises(Exception, match="no stdlib decoder"):
+        multimodal.extract_features(video).collect()
+    # invalid bytes under a REAL mime also fail loudly, not silently
+    garbage = media.where(F.col("mime") == "audio/wav")  # sha payload, not RIFF
+    with _pytest.raises(Exception, match="RIFF"):
+        multimodal.extract_features(garbage).collect()
