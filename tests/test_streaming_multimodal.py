@@ -324,3 +324,23 @@ def test_video_still_raises_without_fake(spark):
     garbage = media.where(F.col("mime") == "audio/wav")  # sha payload, not RIFF
     with _pytest.raises(Exception, match="RIFF"):
         multimodal.extract_features(garbage).collect()
+
+
+def test_codec_roundtrip_fuzz():
+    """Deterministic fuzz: random pixels/samples across every supported
+    channel/color combination survive encode→decode bit-exactly."""
+    import random
+
+    from dug_spark.functions import codecs
+
+    rng = random.Random(99)
+    for _ in range(10):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        ch = rng.choice([1, 3, 4])
+        rows = [bytearray(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
+        assert codecs.decode_png(codecs.encode_png(w, h, ch, rows))[3] == rows
+    for _ in range(10):
+        n, nch = rng.randint(0, 800), rng.choice([1, 2])
+        n += n % 2 if nch == 2 else 0
+        s = [rng.randint(-32768, 32767) for _ in range(n)]
+        assert codecs.decode_wav(codecs.encode_wav(16000, nch, s))[2] == s
