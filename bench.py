@@ -217,6 +217,7 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
         "text_quality",
         "knn_cosine",
         "search_scored",
+        "search_bm25",
     ]
     qs = entry_mod.queries()
     # extra (non-oracle) heavy ops: minhash LSH + simhash + ANN-LSH
