@@ -1003,7 +1003,14 @@ def _pyoracle_values() -> dict[str, str]:
                 "BIGINT, BIGINT, INTEGER, DOUBLE",
             ),
         }
-    except Exception:
+    except (ImportError, OSError) as e:
+        # expected degradations only (missing parquet / no duckdb): a BUG
+        # in the recompute itself must raise, not silently weaken five
+        # queries to the rows-only check
+        import sys
+
+        print(f"pyoracle VALUES degraded to rows-only for {sf}: {e!r}",
+              file=sys.stderr)
         vals = {}
     _pyoracle_values_cache[sf] = vals
     return vals

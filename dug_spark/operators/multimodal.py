@@ -119,13 +119,18 @@ def resize_images(
     """Image resize inside the batch loop: REAL for PNG (decode →
     nearest-neighbour resample → re-encode, all from-spec stdlib);
     ``deterministic_fake=True`` keeps the seeded digest stub used by the
-    oracle tables; other mimes pass through unchanged."""
+    oracle tables.  Non-PNG **image** mimes raise NotImplementedError
+    (same contract as media_codec — a caller asking to resize image/jpeg
+    must not silently get the original bytes back); audio/video rows pass
+    through untouched with their original width/height."""
     fake = deterministic_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out, ws, hs = [], [], []
-            for p, m in zip(pdf["payload"], pdf["mime"]):
+            for p, m, w_in, h_in in zip(
+                pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]
+            ):
                 raw = bytes(p) if p is not None else b""
                 if fake:
                     out.append(
@@ -139,10 +144,17 @@ def resize_images(
                     out.append(codecs.encode_png(width, height, ch, resized))
                     ws.append(width)
                     hs.append(height)
+                elif m is not None and m.startswith("image/"):
+                    raise NotImplementedError(
+                        f"no stdlib decoder for {m}; only image/png resizes for "
+                        "real — pass deterministic_fake=True for the seeded stub"
+                    )
                 else:
-                    out.append(raw)  # non-image: pass through untouched
-                    ws.append(None)
-                    hs.append(None)
+                    # non-image: pass through with dims untouched (null-safe:
+                    # Arrow delivers null ints as NaN)
+                    out.append(raw)
+                    ws.append(int(w_in) if pd.notna(w_in) else None)
+                    hs.append(int(h_in) if pd.notna(h_in) else None)
             res = pdf.copy()
             res["payload"] = pd.Series(out, dtype="object")
             res["width"] = pd.Series(ws, dtype="object")

@@ -219,9 +219,14 @@ def bm25_topk(
             tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
         )
         score = term if score is None else score + term
+    # filter on the RAW score, then round for display: filtering the
+    # rounded value would drop a doc whose true score is in (0, 5e-7)
+    # while a SQL oracle's WHERE score > 0 (bound to the unrounded
+    # column) keeps it as 0.000000 — a latent gate mismatch at N ≳ 1e6
     return (
-        base.select("id", F.round(score, 6).alias("score"))
-        .where(F.col("score") > 0)
+        base.select("id", score.alias("_raw"))
+        .where(F.col("_raw") > 0)
+        .select("id", F.round("_raw", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )

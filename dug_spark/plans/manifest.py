@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 
 
 class CheckpointManager:
+    """SINGLE WRITER PER ROOT: one live CheckpointManager (one run) owns a
+    checkpoint root at a time — the same contract as the reference's
+    crawlspace directory.  Concurrent runs must use distinct roots; the
+    stale-tmp GC in ``write_stage`` assumes any other-run tmp dir older
+    than ``TMP_GC_AGE_S`` belongs to a DEAD run (a crash before rename),
+    and the age threshold is what keeps a briefly-overlapping writer's
+    in-flight tmp safe from deletion."""
+
+    #: other-run tmp dirs younger than this are left alone (a live writer
+    #: may still be streaming into them); older ones are dead-run debris
+    TMP_GC_AGE_S = 3600
+
     def __init__(self, root: str, run_id: str | None = None):
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
@@ -101,10 +113,20 @@ class CheckpointManager:
         # garbage-collect tmp dirs left by KILLED runs: a crash anywhere
         # before the rename leaves <stage>.tmp-<old-run> with partial (or
         # even complete-but-uncommitted) parquet — never readable state,
-        # safe to drop, and dropping keeps resume storage bounded
+        # safe to drop, and dropping keeps resume storage bounded.  Only
+        # dirs older than TMP_GC_AGE_S are dropped so that, should two
+        # managers ever (against the single-writer contract) share a root,
+        # one cannot delete the other's in-flight tmp mid-write
+        now = time.time()
         for name in os.listdir(self.root):
             if name.startswith(f"{stage}.tmp-") and name != f"{stage}.tmp-{self.run_id}":
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                path = os.path.join(self.root, name)
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age > self.TMP_GC_AGE_S:
+                    shutil.rmtree(path, ignore_errors=True)
         tmp = final + f".tmp-{self.run_id}"
         # the accumulator is cumulative across every action that executes
         # the annotate scan (e.g. build_triples' eager checkpoint); snapshot

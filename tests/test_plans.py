@@ -1,5 +1,7 @@
 """Checkpoint manifest (exact resume + lineage) and skew-salting tests."""
 
+import time
+
 from pyspark.sql import functions as F
 
 from dug_spark.plans.manifest import CheckpointManager
@@ -168,7 +170,14 @@ def test_failure_injection_task_dies_mid_write(spark, tmp_path):
     with pytest.raises(Exception, match="injected|Job aborted"):
         cm.write_stage("s2", failing)
     assert not cm.is_done("s2")
-    assert [n for n in os.listdir(root) if n.startswith("s2.tmp-")]
+    dead_tmps = [n for n in os.listdir(root) if n.startswith("s2.tmp-")]
+    assert dead_tmps
+    # age the dead tmp past the GC threshold (a fresh tmp is presumed to
+    # belong to a LIVE writer and must survive — see CheckpointManager
+    # single-writer contract); only old debris is collected
+    old = time.time() - CheckpointManager.TMP_GC_AGE_S - 60
+    for n in dead_tmps:
+        os.utime(os.path.join(root, n), (old, old))
 
     calls = {"n": 0}
 

@@ -170,6 +170,19 @@ def test_multimodal_resize(spark):
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
 
 
+def test_resize_real_raises_for_non_png_image(spark):
+    """A caller asking to really resize image/jpeg must get an error, not
+    the original payload silently passed back (same contract as
+    media_codec for undecodable mimes)."""
+    import pytest as _pytest
+
+    media = multimodal.synthetic_media(spark, n=3).withColumn(
+        "mime", F.lit("image/jpeg")
+    )
+    with _pytest.raises(Exception, match="image/jpeg"):
+        multimodal.resize_images(media, 8, 8).collect()
+
+
 def test_session_fn_last_ts_accumulates_across_chunks():
     """Arrow delivers group rows in multiple non-ts-ordered chunks; the
     emitted last_ts must be the max across ALL chunks, not the last
