@@ -216,7 +216,7 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
         "dedup_near_shingle",
         "text_quality",
         "knn_cosine",
-        "search_scored",
+        "search_concepts_bm25",
         "search_bm25",
     ]
     qs = entry_mod.queries()

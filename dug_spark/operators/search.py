@@ -13,11 +13,14 @@ Re-expresses the reference's Elasticsearch DSL as DataFrame plans:
   (:730-736).
 - facet helpers (server.py:234-291): exclude-own-filter counts, ordering.
 
-Scoring fidelity note: ES BM25 scores are not reproduced (SURVEY §7 risk
-register) — ranking uses the same boost structure over deterministic
-predicates (phrase containment / token overlap), which preserves the
-reference's *ordering semantics* for exact and near matches.  The P/R
-target is on triples, which don't depend on scores.
+Scoring fidelity: ``bm25_topk`` / ``bm25_boosted_topk`` implement the
+actual Lucene BM25 similarity behind every ES match clause, composed with
+the reference's per-field clause boosts and tokenized by the shared
+``std_with_stopwords`` analyzer (functions/analyzer.py).  The legacy
+``concept_score``/``variable_score`` structure-only predicates are kept
+for the deterministic fallback paths; remaining documented deviation is
+ES ``fuzziness`` (edit-distance term expansion) which has no
+deterministic cross-engine oracle.
 """
 
 from __future__ import annotations
@@ -27,6 +30,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dug_spark.functions import analyzer
 
 
 def _tokens(col):
@@ -165,11 +170,15 @@ def bm25_topk(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    stopwords: bool = True,
 ) -> DataFrame:
     """True BM25 (the Lucene/ES 'match' similarity behind every boost in
     _get_concepts_query, async_search.py:113-218) as a distributed plan —
     narrows the engine's documented score-fidelity deviation from
-    "structure-only stand-in" to "same similarity function".
+    "structure-only stand-in" to "same similarity function".  Text and
+    query tokenize through the shared ``std_with_stopwords`` analyzer
+    (functions/analyzer.py — the analyzer the reference declares on every
+    text field, index.py:87-117).
 
     Two passes, both scale-safe at 10^12 docs:
       1. term statistics — ONE aggregation over the corpus collecting
@@ -185,10 +194,8 @@ def bm25_topk(
     """
     import math
 
-    toks = sorted({t for t in query.lower().split() if t})
-    toks_col = F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: F.length(x) > 0
-    )
+    toks = sorted(set(analyzer.analyze(query, stopwords)))
+    toks_col = analyzer.analyze_col(F.col(text_col), stopwords)
     base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks")).withColumn(
         "dl", F.size("toks")
     )
@@ -229,6 +236,201 @@ def bm25_topk(
         .select("id", F.round("_raw", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
+    )
+
+
+# Per-field clause structure of the reference's boosted bool queries.
+# Each entry: (field key, [(gate, boost), ...]) where gate is how the ES
+# clause matches — "phrase" (match_phrase), "and" (match operator=and),
+# "or" (plain match; ES default operator, default boost 1.0).
+# _get_concepts_query (async_search.py:126-218): name phrase^10 + and^4;
+# description phrase^6 + and^3 + or^2; search_terms phrase^8 + and^5 +
+# or^1; optional_terms or^1 (no explicit boost = ES default 1).
+CONCEPT_BM25_CLAUSES: list[tuple[str, list[tuple[str, float]]]] = [
+    ("name", [("phrase", 10.0), ("and", 4.0)]),
+    ("description", [("phrase", 6.0), ("and", 3.0), ("or", 2.0)]),
+    ("search_terms", [("phrase", 8.0), ("and", 5.0), ("or", 1.0)]),
+    ("optional_terms", [("or", 1.0)]),
+]
+# _get_var_query (async_search.py:624-736): element_name phrase^10 +
+# and^4 + or^2; element_desc phrase^6 + and^3 + or^2; search_terms
+# phrase^8 + and^5 + or^1; optional_terms or^1.
+VARIABLE_BM25_CLAUSES: list[tuple[str, list[tuple[str, float]]]] = [
+    ("element_name", [("phrase", 10.0), ("and", 4.0), ("or", 2.0)]),
+    ("element_desc", [("phrase", 6.0), ("and", 3.0), ("or", 2.0)]),
+    ("search_terms", [("phrase", 8.0), ("and", 5.0), ("or", 1.0)]),
+    ("optional_terms", [("or", 1.0)]),
+]
+
+
+def bm25_boosted_topk(
+    df: DataFrame,
+    query: str,
+    fields: list[tuple[str, F.Column, list[tuple[str, float]]]],
+    id_col: str = "concept_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stopwords: bool = True,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multi-field boosted BM25 — the actual scoring semantics of the
+    reference's bool-should queries (async_search.py:126-218, :624-736):
+    every ES match-family clause scores its field with the Lucene BM25
+    similarity × the clause boost, and the bool query SUMS the matching
+    should clauses.  Composed here as
+
+        score = Σ_field bm25_field(query) × Σ_clauses boost_c · gate_c
+
+    with gate "phrase" = analyzed-phrase containment (match_phrase),
+    "and" = all query tokens present (match operator=and), "or" = 1
+    (plain match — bm25 is already 0 when no token matches, which also
+    realizes minimum_should_match=1 via the score > 0 filter).
+
+    Lucene statistics semantics: per-field docCount (docs with ≥1 token
+    in THAT field) drives both idf and avgdl; a field empty across the
+    corpus contributes nothing.  Plan shape is identical to bm25_topk and
+    scale-safe at 10^12 docs: ONE corpus aggregation (|fields|·|query|
+    conditional sums → one collected row), idf folded into literals,
+    map-side scoring, global top-k via TakeOrderedAndProject — the scored
+    corpus is never shuffled.
+
+    ``fields``: (key, string column expression, [(gate, boost), ...]).
+    Remaining deviations from ES, documented: no fuzziness (edit-distance
+    expansion), and phrase matching is contiguous on stopword-stripped
+    tokens (ES keeps position gaps where stopwords were removed).
+    """
+    import math
+
+    qtoks_ordered = analyzer.analyze(query, stopwords)
+    toks = sorted(set(qtoks_ordered))
+    phrase = " ".join(qtoks_ordered)
+    extra_cols = extra_cols or []
+    sel = [F.col(id_col).alias("id")] + [F.col(c) for c in extra_cols]
+    for fname, col, _clauses in fields:
+        sel.append(analyzer.analyze_col(col, stopwords).alias(f"tk_{fname}"))
+    base = df.select(*sel)
+    for fname, _col, _clauses in fields:
+        base = base.withColumn(f"dl_{fname}", F.size(f"tk_{fname}"))
+    if not toks:
+        return base.select(
+            "id", *extra_cols, F.lit(0.0).alias("score")
+        ).where(F.lit(False))
+    aggs = []
+    for fname, _col, _clauses in fields:
+        dl = F.col(f"dl_{fname}")
+        aggs.append(F.sum((dl > 0).cast("long")).alias(f"n_{fname}"))
+        aggs.append(F.sum(dl.cast("long")).alias(f"sumdl_{fname}"))
+        for i, t in enumerate(toks):
+            aggs.append(
+                F.sum(
+                    F.when(F.array_contains(f"tk_{fname}", t), 1).otherwise(0)
+                ).alias(f"df_{fname}_{i}")
+            )
+    stats = base.agg(*aggs).collect()[0]
+
+    def tf_col(fname: str, tok: str) -> F.Column:
+        # closure over a literal — NOT a default-arg lambda (2-arg HOF trap)
+        lit = F.lit(tok)
+        return F.size(F.filter(f"tk_{fname}", lambda x: x == lit)).cast("double")
+
+    total = None
+    for fname, _col, clauses in fields:
+        n_f = stats[f"n_{fname}"]
+        if not n_f:
+            continue  # field absent corpus-wide: no stats, no contribution
+        avgdl = stats[f"sumdl_{fname}"] / float(n_f)
+        bm25 = None
+        for i, t in enumerate(toks):
+            df_t = stats[f"df_{fname}_{i}"]
+            idf = math.log(1.0 + (n_f - df_t + 0.5) / (df_t + 0.5))
+            tf = tf_col(fname, t)
+            term = F.lit(idf) * tf * (k1 + 1.0) / (
+                tf
+                + k1
+                * (1.0 - b + b * F.col(f"dl_{fname}").cast("double") / F.lit(avgdl))
+            )
+            bm25 = term if bm25 is None else bm25 + term
+        mult = F.lit(0.0)
+        padded = F.concat(
+            F.lit(" "), F.array_join(f"tk_{fname}", " "), F.lit(" ")
+        )
+        all_present = reduce(
+            lambda a, b_: a & b_,
+            [F.array_contains(f"tk_{fname}", t) for t in toks],
+        )
+        for gate, boost in clauses:
+            if gate == "phrase":
+                g = F.when(padded.contains(f" {phrase} "), 1.0).otherwise(0.0)
+            elif gate == "and":
+                g = F.when(all_present, 1.0).otherwise(0.0)
+            else:  # "or": plain match — bm25 itself gates on any-token
+                g = F.lit(1.0)
+            mult = mult + F.lit(boost) * g
+        contrib = bm25 * mult
+        total = contrib if total is None else total + contrib
+    if total is None:
+        return base.select(
+            "id", *extra_cols, F.lit(0.0).alias("score")
+        ).where(F.lit(False))
+    return (
+        base.select("id", *extra_cols, total.alias("_raw"))
+        .where(F.col("_raw") > 0)
+        .select("id", *extra_cols, F.round("_raw", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def search_concepts_bm25(
+    concepts: DataFrame, query: str, k: int = 20, stopwords: bool = True
+) -> DataFrame:
+    """search_concepts with TRUE per-field BM25 × clause-boost scoring —
+    the actual ES semantics of _get_concepts_query (async_search.py:
+    113-218) including the non-empty name/description filter (:118-125).
+    Output: (concept_id, name, type, score) top-k."""
+    fields = [
+        (key, F.col(key) if key not in ("search_terms", "optional_terms")
+         else F.array_join(F.coalesce(key, F.array().cast("array<string>")), " "),
+         clauses)
+        for key, clauses in CONCEPT_BM25_CLAUSES
+    ]
+    base = concepts.where(
+        (F.length(F.coalesce("name", F.lit(""))) > 0)
+        & (F.length(F.coalesce("description", F.lit(""))) > 0)
+    )
+    out = bm25_boosted_topk(
+        base, query, fields, id_col="concept_id", k=k, stopwords=stopwords,
+        extra_cols=["name", "type"],
+    )
+    return out.select(F.col("id").alias("concept_id"), "name", "type", "score")
+
+
+def search_variables_bm25(
+    variables: DataFrame,
+    query: str,
+    concept: str | None = None,
+    k: int = 20,
+    stopwords: bool = True,
+) -> DataFrame:
+    """search_variables with true per-field BM25 × clause boosts
+    (_get_var_query, async_search.py:624-736), plus the must-match
+    concept-membership filter (:730-736)."""
+    fields = [
+        (key, F.col(key) if key not in ("search_terms", "optional_terms")
+         else F.array_join(F.coalesce(key, F.array().cast("array<string>")), " "),
+         clauses)
+        for key, clauses in VARIABLE_BM25_CLAUSES
+    ]
+    base = variables
+    if concept:
+        base = base.where(F.array_contains("identifiers", concept))
+    out = bm25_boosted_topk(
+        base, query, fields, id_col="element_id", k=k, stopwords=stopwords,
+        extra_cols=["element_name", "data_type"],
+    )
+    return out.select(
+        F.col("id").alias("element_id"), "element_name", "data_type", "score"
     )
 
 

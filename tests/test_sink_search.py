@@ -451,3 +451,145 @@ def test_bm25_empty_query_and_corpus(spark):
     assert search.bm25_topk(df, "   ", k=5).collect() == []
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert search.bm25_topk(empty, "x", k=5).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# std_with_stopwords analyzer + multi-field boosted BM25 (round 4)
+
+
+def test_analyzer_stopword_goldens(spark):
+    """Canned goldens for the shared std_with_stopwords analyzer (the
+    reference declares it on every text field, index.py:87-117), plus
+    Spark-column / pure-Python parity."""
+    from pyspark.sql import functions as F
+
+    from dug_spark.functions import analyzer
+
+    cases = {
+        "The heart of the matter": ["heart", "matter"],
+        "A stroke IS NOT an attack": ["stroke", "attack"],
+        "to be or not to be": [],          # all stopwords
+        "  x1, y-2 .. Z3  ": ["x1", "y", "2", "z3"],
+        "": [],
+    }
+    for text, want in cases.items():
+        assert analyzer.analyze(text) == want, text
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {
+        r["t"]: list(r["tk"])
+        for r in df.select("t", analyzer.analyze_col(F.col("t")).alias("tk")).collect()
+    }
+    assert got == cases
+    # stopwords=False keeps everything
+    assert analyzer.analyze("the heart", stopwords=False) == ["the", "heart"]
+
+
+def test_bm25_query_stopwords_ignored(spark):
+    """Stopwords in the QUERY are removed by the analyzer: 'the x' scores
+    exactly like 'x' (ES std_with_stopwords behavior), and document
+    stopwords don't count toward field length."""
+    rows = [(1, "x y x"), (2, "x"), (3, "z z z z"), (4, "y y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {(r["id"], r["score"]) for r in search.bm25_topk(df, "x", k=10).collect()}
+    b = {(r["id"], r["score"]) for r in search.bm25_topk(df, "the x", k=10).collect()}
+    assert a == b
+    # 'the' padding in a doc is invisible: same dl, same scores
+    rows2 = [(1, "the x the y the x"), (2, "x"), (3, "z z z z"), (4, "y the y")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    c = {(r["id"], r["score"]) for r in search.bm25_topk(df2, "x", k=10).collect()}
+    assert a == c
+
+
+def test_bm25_boosted_single_or_field_equals_plain(spark):
+    """With one field and a single or^1 clause, the multi-field machinery
+    reduces to bm25_topk (per-field docCount == corpus count when every
+    doc has tokens) — cross-validates the two implementations."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "x y x w"), (2, "x q"), (3, "z z z z"), (4, "y y w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = [
+        (r["id"], r["score"]) for r in search.bm25_topk(df, "x y", k=10).collect()
+    ]
+    boosted = [
+        (int(r["id"]), r["score"])
+        for r in search.bm25_boosted_topk(
+            df.select(F.col("doc_id").cast("string").alias("concept_id"), "text"),
+            "x y",
+            [("f", F.col("text"), [("or", 1.0)])],
+            id_col="concept_id",
+            k=10,
+        ).collect()
+    ]
+    assert sorted(plain) == sorted(boosted)
+
+
+def test_bm25_boosted_gates_and_empty_field(spark):
+    """Phrase gate outranks scattered tokens at equal tf; and-gate fires
+    only when every query token is present; a corpus-wide-empty field
+    (optional_terms) contributes nothing (per-field docCount skip)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("d1", "alpha beta", "pad pad pad"),   # exact phrase in name
+        ("d2", "beta alpha", "pad pad pad"),   # both tokens, no phrase
+        ("d3", "alpha gamma", "pad pad pad"),  # one token
+    ]
+    df = spark.createDataFrame(rows, "concept_id string, name string, other string")
+    fields = [
+        ("name", F.col("name"), [("phrase", 10.0), ("and", 4.0), ("or", 1.0)]),
+        ("opt", F.lit(""), [("or", 1.0)]),  # empty corpus-wide
+    ]
+    out = search.bm25_boosted_topk(df, "alpha beta", fields, k=10).collect()
+    got = {r["id"]: r["score"] for r in out}
+    assert set(got) == {"d1", "d2", "d3"}
+    # same per-field bm25 for d1/d2 (same tf/dl) but d1 carries the
+    # phrase boost: 15×bm25 vs 5×bm25 = exactly 3×
+    assert abs(got["d1"] / got["d2"] - 3.0) < 1e-6
+    assert got["d2"] > got["d3"]
+    # phrase gate requires ADJACENCY, not just both tokens
+    out2 = search.bm25_boosted_topk(
+        df, "alpha beta", [("name", F.col("name"), [("phrase", 1.0)])], k=10
+    ).collect()
+    # d2/d3 get multiplier 0 -> score 0 -> filtered; only d1 survives
+    assert [r["id"] for r in out2] == ["d1"]
+
+
+def test_search_variables_bm25_concept_filter(spark):
+    """Variables wrapper: _get_var_query boosts + must-match identifier
+    membership (async_search.py:730-736)."""
+    rows = [
+        ("v1", "blood pressure", "systolic reading", ["bp"], [], ["C1"]),
+        ("v2", "pressure cuff", "device pressure", ["cuff"], [], ["C2"]),
+        ("v3", "heart rate", "beats", ["hr"], [], ["C1"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "element_id string, element_name string, element_desc string, "
+        "search_terms array<string>, optional_terms array<string>, "
+        "identifiers array<string>",
+    ).withColumn("data_type", F.lit("dbgap"))
+    out = search.search_variables_bm25(df, "blood pressure", k=10).collect()
+    assert [r["element_id"] for r in out][0] == "v1"  # phrase + and boosts
+    assert {r["element_id"] for r in out} == {"v1", "v2"}
+    out2 = search.search_variables_bm25(df, "pressure", concept="C2", k=10).collect()
+    assert [r["element_id"] for r in out2] == ["v2"]
+
+
+def test_bm25_boosted_plan_takeordered(spark):
+    """The multi-field plan keeps the bm25_topk shape: map-side scoring +
+    TakeOrderedAndProject — the scored corpus is never sort-shuffled."""
+    from pyspark.sql import functions as F
+
+    rows = [(str(i), f"tok{i} alpha beta") for i in range(50)]
+    df = spark.createDataFrame(rows, "concept_id string, name string")
+    plan = (
+        search.bm25_boosted_topk(
+            df, "alpha beta", [("name", F.col("name"), [("phrase", 2.0), ("or", 1.0)])],
+            k=5,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan
