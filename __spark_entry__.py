@@ -826,8 +826,9 @@ def q_multimodal_real_features(spark, sf_dir):
 def _multimodal_real_rows() -> list[tuple[str, str, str]]:
     """Driver-side recompute of the real-codec features: regenerates the
     same synthetic media (same integer formulas) and decodes with the
-    same from-spec codecs — validates the Spark-side Arrow plumbing
-    delivers byte-identical payloads to the codec."""
+    PURE-PYTHON codec path (use_numpy=False) — independent of the numpy
+    fast path the executors run, validating both the Arrow plumbing and
+    the numpy/pure bit-identity contract."""
     from dug_spark.functions import codecs
     from dug_spark.functions.pyoracle import round_half_up
 
@@ -854,12 +855,12 @@ def _multimodal_real_rows() -> list[tuple[str, str, str]]:
                 for y in range(h)
             ]
             payload = codecs.encode_png(w, h, 3, px)
-            feats = codecs.png_features(payload)
+            feats = codecs.png_features(payload, use_numpy=False)
             mime = "image/png"
         else:
             samples = [((t * (i + 3) + 7) % 2048 - 1024) * 16 for t in range(400)]
             payload = codecs.encode_wav(8000, 1, samples)
-            feats = codecs.wav_features(payload)
+            feats = codecs.wav_features(payload, use_numpy=False)
             mime = "audio/wav"
         rows.append((f"r{i:04d}", mime, fmt(feats)))
     return rows

@@ -10,9 +10,30 @@ Supported PNG subset: 8-bit depth, color types 0 (grayscale), 2 (RGB),
 Average/Paeth) implemented per spec.  The encoder writes filter-0 rows.
 WAV: 16-bit PCM mono/stereo.
 
-Everything is deterministic pure Python over bytes, so codec outputs are
+Everything is deterministic over bytes, so codec outputs are
 bit-reproducible across executors and recomputable by driver-side
 oracles.
+
+Two execution paths, bit-identical by construction (round 4):
+
+- ``use_numpy=True`` (default when numpy imports — the EXECUTOR path):
+  defilter and statistics vectorized with numpy.  At 100 TB of media the
+  per-pixel interpreted-Python loops are the bottleneck; numpy is
+  available in executor Python (the LSH signature matmul already relies
+  on it).
+- ``use_numpy=False`` (the ORACLE path): the original pure-Python loops,
+  kept as the independent driver-side recompute.
+
+Bit-identity is guaranteed, not hoped for: every statistic is computed
+from EXACT integer moments (Σv and Σv² over uint8/int16 samples — exact
+in int64 on both paths), and the float ops applied to those moments
+(mean = S1/n, var = S2/n − mean², rms = √(S2/n)) are the same IEEE
+doubles in the same order on both paths.  The defilter itself is
+mod-256 integer arithmetic — exact everywhere.  Filters Average/Paeth
+carry a sequential cross-pixel dependency (recon[x] needs recon[x−1]) so
+both paths share the per-byte loop for those rows; None/Sub/Up — the
+filters our encoder and most minimal encoders emit — vectorize fully
+(Sub is a lane-wise uint8 cumulative sum, Up a wrapping row add).
 """
 
 from __future__ import annotations
@@ -22,8 +43,21 @@ import struct
 import wave
 import zlib
 
+try:  # executor fast path; pure-Python oracle path works without it
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy is baked into this env
+    _np = None
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _resolve_numpy(use_numpy: bool | None) -> bool:
+    if use_numpy is None:
+        return _np is not None
+    if use_numpy and _np is None:
+        raise RuntimeError("numpy requested but not importable")
+    return use_numpy
 
 
 # ---------------------------------------------------------------------------
@@ -38,7 +72,34 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
+def _defilter_row_py(
+    ftype: int, line: bytearray, prev, channels: int, stride: int
+) -> bytearray:
+    """Per-spec scanline reconstruction, pure-Python per byte (shared by
+    both paths for the sequentially-dependent Average/Paeth filters)."""
+    if ftype == 1:  # Sub
+        for i in range(channels, stride):
+            line[i] = (line[i] + line[i - channels]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(stride):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            upleft = prev[i - channels] if i >= channels else 0
+            line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+    elif ftype != 0:
+        raise ValueError(f"bad PNG filter {ftype}")
+    return line
+
+
+def decode_png(
+    payload: bytes, use_numpy: bool | None = None
+) -> tuple[int, int, int, list[bytearray]]:
     """→ (width, height, channels, rows) with rows[y] a bytearray of
     width*channels unfiltered samples."""
     if not payload.startswith(_PNG_SIG):
@@ -69,32 +130,61 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
+    if _resolve_numpy(use_numpy):
+        return width, height, channels, _defilter_np(
+            raw, width, height, channels, stride
+        )
     rows: list[bytearray] = []
     prev = bytearray(stride)
     for y in range(height):
         off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                upleft = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter {ftype}")
+        line = _defilter_row_py(
+            raw[off], bytearray(raw[off + 1 : off + 1 + stride]), prev,
+            channels, stride,
+        )
         rows.append(line)
         prev = line
     return width, height, channels, rows
+
+
+def _defilter_np(
+    raw: bytes, width: int, height: int, channels: int, stride: int
+) -> list[bytearray]:
+    """Vectorized reconstruction (mod-256 integer arithmetic — exact):
+    Sub is a lane-wise uint8 cumulative sum over the x axis (uint8
+    accumulate wraps mod 256 by construction), Up a wrapping row add.
+    Average/Paeth rows carry a strict recon[x-1] dependency and fall back
+    to the shared per-byte loop — our encoder (and most minimal encoders)
+    emit None/Sub/Up only."""
+    arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    out = _np.empty((height, stride), dtype=_np.uint8)
+    prev = _np.zeros(stride, dtype=_np.uint8)
+    for y in range(height):
+        f = int(ftypes[y])
+        line = arr[y, 1:]
+        if f == 0:
+            rec = line.copy()
+        elif f == 1:  # Sub: cumulative sum per channel lane, wrapping
+            rec = _np.add.accumulate(
+                line.reshape(width, channels), axis=0, dtype=_np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up: wrapping vector add
+            rec = line + prev  # uint8 + uint8 wraps mod 256
+        elif f in (3, 4):
+            rec = _np.frombuffer(
+                bytes(
+                    _defilter_row_py(
+                        f, bytearray(line.tobytes()), prev, channels, stride
+                    )
+                ),
+                dtype=_np.uint8,
+            )
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = out[y]
+    return [bytearray(out[y].tobytes()) for y in range(height)]
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -120,9 +210,24 @@ def encode_png(width: int, height: int, channels: int, rows: list[bytes]) -> byt
 
 
 def resize_nearest(
-    width: int, height: int, channels: int, rows: list[bytearray], new_w: int, new_h: int
+    width: int,
+    height: int,
+    channels: int,
+    rows: list[bytearray],
+    new_w: int,
+    new_h: int,
+    use_numpy: bool | None = None,
 ) -> list[bytearray]:
-    """Nearest-neighbour resample (deterministic integer mapping)."""
+    """Nearest-neighbour resample (deterministic integer mapping —
+    sx = x·width//new_w — so the numpy fancy-index path is byte-identical
+    to the loop path)."""
+    if _resolve_numpy(use_numpy):
+        arr = _np.frombuffer(b"".join(bytes(r) for r in rows), dtype=_np.uint8)
+        arr = arr.reshape(height, width, channels)
+        sy = (_np.arange(new_h) * height) // new_h
+        sx = (_np.arange(new_w) * width) // new_w
+        res = arr[sy][:, sx]
+        return [bytearray(res[y].tobytes()) for y in range(new_h)]
     out = []
     for y in range(new_h):
         sy = y * height // new_h
@@ -137,17 +242,38 @@ def resize_nearest(
     return out
 
 
-def png_features(payload: bytes, dims: int = 16) -> list[float]:
+def png_features(
+    payload: bytes, dims: int = 16, use_numpy: bool | None = None
+) -> list[float]:
     """Fixed-width image descriptor: dimensions + per-channel mean/std
-    (÷255), zero-padded to ``dims``."""
-    width, height, channels, rows = decode_png(payload)
+    (÷255), zero-padded to ``dims``.
+
+    Stats derive from EXACT integer moments (S1=Σv, S2=Σv² — exact in
+    int64 either way), then identical IEEE float ops on both paths:
+    mean = S1/n, var = S2/n − mean² (clamped at 0), std = √var — so the
+    numpy executor path and the pure-Python oracle path are bit-equal."""
+    un = _resolve_numpy(use_numpy)
+    width, height, channels, rows = decode_png(payload, use_numpy=un)
     feats = [float(width), float(height), float(channels)]
     n = width * height
+    if un:
+        arr = _np.frombuffer(b"".join(bytes(r) for r in rows), dtype=_np.uint8)
+        arr = arr.reshape(height * width, channels)
     for c in range(4):
         if c < channels:
-            vals = [row[i] for row in rows for i in range(c, len(row), channels)]
-            mean = sum(vals) / n
-            var = sum((v - mean) ** 2 for v in vals) / n
+            if un:
+                lane = arr[:, c].astype(_np.int64)
+                s1 = int(lane.sum())
+                s2 = int((lane * lane).sum())
+            else:
+                s1 = s2 = 0
+                for row in rows:
+                    for i in range(c, len(row), channels):
+                        v = row[i]
+                        s1 += v
+                        s2 += v * v
+            mean = s1 / n
+            var = max(s2 / n - mean * mean, 0.0)
             feats += [mean / 255.0, var**0.5 / 255.0]
         else:
             feats += [0.0, 0.0]
@@ -158,13 +284,17 @@ def png_features(payload: bytes, dims: int = 16) -> list[float]:
 # WAV (16-bit PCM via the stdlib wave module)
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """→ (sample_rate, n_channels, samples) — interleaved 16-bit values."""
+def _read_wav_frames(payload: bytes) -> tuple[int, int, bytes]:
+    """→ (sample_rate, n_channels, raw interleaved 16-bit LE frames)."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM WAV supported")
-        rate, nch, n = w.getframerate(), w.getnchannels(), w.getnframes()
-        frames = w.readframes(n)
+        return w.getframerate(), w.getnchannels(), w.readframes(w.getnframes())
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """→ (sample_rate, n_channels, samples) — interleaved 16-bit values."""
+    rate, nch, frames = _read_wav_frames(payload)
     samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
     return rate, nch, samples
 
@@ -179,24 +309,52 @@ def encode_wav(rate: int, nch: int, samples: list[int]) -> bytes:
     return buf.getvalue()
 
 
-def wav_features(payload: bytes, dims: int = 16) -> list[float]:
+def wav_features(
+    payload: bytes, dims: int = 16, use_numpy: bool | None = None
+) -> list[float]:
     """Fixed-width audio descriptor: rate, channels, length, mean, rms,
-    zero-crossing rate, min, max (scaled), zero-padded to ``dims``."""
-    rate, nch, samples = decode_wav(payload)
-    n = max(len(samples), 1)
-    mean = sum(samples) / n
-    rms = (sum(s * s for s in samples) / n) ** 0.5
-    zc = sum(
-        1 for i in range(1, len(samples)) if (samples[i - 1] < 0) != (samples[i] < 0)
-    )
+    zero-crossing rate, min, max (scaled), zero-padded to ``dims``.
+
+    Same exact-integer-moment contract as png_features: S1/S2/zc/min/max
+    are exact integers on both paths, the float ops identical — numpy
+    executor path ≡ pure-Python oracle path bit-for-bit."""
+    un = _resolve_numpy(use_numpy)
+    if un:
+        rate, nch, frames = _read_wav_frames(payload)
+        arr = _np.frombuffer(frames, dtype="<i2")
+        n_samples = len(arr)
+        n = max(n_samples, 1)
+    else:
+        rate, nch, samples = decode_wav(payload)
+        n_samples = len(samples)
+        n = max(n_samples, 1)
+    if un and n_samples:
+        a64 = arr.astype(_np.int64)
+        s1 = int(a64.sum())
+        s2 = int((a64 * a64).sum())
+        neg = arr < 0
+        zc = int((neg[:-1] != neg[1:]).sum())
+        mn, mx = int(arr.min()), int(arr.max())
+    elif un:
+        s1 = s2 = zc = mn = mx = 0
+    else:
+        s1 = sum(samples)
+        s2 = sum(s * s for s in samples)
+        zc = sum(
+            1
+            for i in range(1, len(samples))
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+        mn = min(samples, default=0)
+        mx = max(samples, default=0)
     feats = [
         float(rate) / 48000.0,
         float(nch),
-        float(len(samples)) / 1e6,
-        mean / 32768.0,
-        rms / 32768.0,
+        float(n_samples) / 1e6,
+        s1 / n / 32768.0,
+        (s2 / n) ** 0.5 / 32768.0,
         zc / n,
-        min(samples, default=0) / 32768.0,
-        max(samples, default=0) / 32768.0,
+        mn / 32768.0,
+        mx / 32768.0,
     ]
     return (feats + [0.0] * dims)[:dims]

@@ -357,3 +357,79 @@ def test_codec_roundtrip_fuzz():
         n += n % 2 if nch == 2 else 0
         s = [rng.randint(-32768, 32767) for _ in range(n)]
         assert codecs.decode_wav(codecs.encode_wav(16000, nch, s))[2] == s
+
+def test_codec_numpy_pure_bit_identity_fuzz():
+    """The numpy executor path and the pure-Python oracle path must be
+    BIT-identical (same exact integer moments, same IEEE float ops):
+    decode, features, and resize, fuzzed over sizes/channels/filters."""
+    import random
+    import struct
+    import zlib
+
+    from dug_spark.functions import codecs
+
+    rng = random.Random(1234)
+    for _ in range(12):
+        w, h = rng.randint(1, 48), rng.randint(1, 32)
+        ch = rng.choice([1, 3, 4])
+        rows = [bytearray(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
+        payload = codecs.encode_png(w, h, ch, rows)
+        assert codecs.decode_png(payload, use_numpy=True) == codecs.decode_png(
+            payload, use_numpy=False
+        )
+        fn = codecs.png_features(payload, use_numpy=True)
+        fp = codecs.png_features(payload, use_numpy=False)
+        assert fn == fp  # exact equality, not approx
+        nw, nh = rng.randint(1, 20), rng.randint(1, 20)
+        assert codecs.resize_nearest(
+            w, h, ch, rows, nw, nh, use_numpy=True
+        ) == codecs.resize_nearest(w, h, ch, rows, nw, nh, use_numpy=False)
+    # every scanline filter type through BOTH decoders (re-filtered stream)
+    w, h, ch = 11, 10, 3
+    stride = w * ch
+    rows = [
+        bytearray((x * 13 + y * 7) % 256 for x in range(stride)) for y in range(h)
+    ]
+
+    def filt(ftype, line, prev):
+        out = bytearray([ftype])
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            upleft = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                out.append(line[i])
+            elif ftype == 1:
+                out.append((line[i] - left) & 0xFF)
+            elif ftype == 2:
+                out.append((line[i] - prev[i]) & 0xFF)
+            elif ftype == 3:
+                out.append((line[i] - ((left + prev[i]) >> 1)) & 0xFF)
+            else:
+                out.append((line[i] - codecs._paeth(left, prev[i], upleft)) & 0xFF)
+        return bytes(out)
+
+    raw, prev = b"", bytearray(stride)
+    for y, ftype in zip(range(h), [0, 1, 2, 3, 4, 1, 2, 3, 4, 0]):
+        raw += filt(ftype, rows[y], prev)
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(raw))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png(payload, use_numpy=True)[3] == rows
+    assert codecs.decode_png(payload, use_numpy=False)[3] == rows
+    assert codecs.png_features(payload, use_numpy=True) == codecs.png_features(
+        payload, use_numpy=False
+    )
+    # WAV: numpy frombuffer path vs pure unpack path
+    for _ in range(8):
+        n, nch = rng.randint(0, 600), rng.choice([1, 2])
+        n += n % 2 if nch == 2 else 0
+        s = [rng.randint(-32768, 32767) for _ in range(n)]
+        payload = codecs.encode_wav(16000, nch, s)
+        assert codecs.wav_features(payload, use_numpy=True) == codecs.wav_features(
+            payload, use_numpy=False
+        )
