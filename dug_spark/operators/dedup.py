@@ -366,6 +366,8 @@ def embedding_near_duplicates(
     bands: int = 8,
     exact: bool = False,
     max_bucket: int | None = None,
+    band_width: int | str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
@@ -378,6 +380,14 @@ def embedding_near_duplicates(
     quadratic in the corpus at ANY skew.  ``exact=True`` keeps the O(n²)
     cross join for small inputs / recall audits.  ``max_bucket`` bounds
     Σ bucket² against near-identical mega-clusters (see cap_lsh_buckets).
+
+    ``band_width``: bits per band beyond the single-long cap —
+    an int uses ``similarity.lsh_band_buckets`` (independent plane banks)
+    at that width; ``"auto"`` selects it from the corpus size via
+    ``similarity.auto_band_width`` (2048-bucket bands saturate at ~1.6M
+    rows — measured, BASELINE.md round 3).  ``n_rows`` supplies the count
+    for "auto" (pass table-stat cardinality at scale; when omitted, one
+    count() scan).
     """
     from . import similarity
 
@@ -385,6 +395,10 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
+    if band_width == "auto":
+        band_width = similarity.auto_band_width(
+            n_rows if n_rows is not None else v.count()
+        )
     if exact:
         v = v.withColumn(
             "norm",
@@ -396,8 +410,17 @@ def embedding_near_duplicates(
         b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("norm").alias("nb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        sigs = similarity.lsh_signatures(v, dim=dim, bits=bits, id_col="id", vec_col="e")
-        banded = cap_lsh_buckets(similarity.hyperplane_banded(sigs, bits, bands), max_bucket)
+        if band_width is not None:
+            raw_banded = similarity.lsh_band_buckets(
+                v, dim=dim, width=int(band_width), bands=bands,
+                id_col="id", vec_col="e",
+            )
+        else:
+            sigs = similarity.lsh_signatures(
+                v, dim=dim, bits=bits, id_col="id", vec_col="e"
+            )
+            raw_banded = similarity.hyperplane_banded(sigs, bits, bands)
+        banded = cap_lsh_buckets(raw_banded, max_bucket)
         a = banded.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), "band", "bucket")
         b = banded.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), "band", "bucket")
         pairs = (

@@ -117,6 +117,88 @@ def lsh_signatures(
     return v.select("id", "e", sig_udf("e").alias("sig"))
 
 
+#: expected bucket occupancy the auto rule aims for: with n/2^w rows per
+#: bucket, the banded self-join costs ≈ bands · n · (n/2^w) rows — keeping
+#: n/2^w near this constant keeps per-bucket work flat as n grows.
+LSH_TARGET_BUCKET = 64
+
+
+def auto_band_width(
+    n_rows: int, min_width: int = 8, max_width: int = 16
+) -> int:
+    """Band width (bits per band) as a function of corpus size — the
+    SCALE.md §Dedup prescription ("widen hyperplane bands to 12-16 bits at
+    ≥10M rows") made executable:
+
+        width = clamp(⌈log2(n / LSH_TARGET_BUCKET)⌉, 8, 16)
+
+    i.e. pick the width whose 2^width buckets hold ~LSH_TARGET_BUCKET rows
+    each under a uniform sketch.  160k rows → 12 bits (4096 buckets/band),
+    1.6M → 15, ≥4.2M → 16 (cap).  The floor keeps recall predictable on
+    small corpora (8 bits ≈ 0.99 recall at cos ≥ 0.95 with 8 OR-ed bands);
+    the cap bounds signature cost — beyond it, bucket occupancy is
+    controlled by ``cap_lsh_buckets`` instead.  Candidate recall at width
+    w with B OR-ed bands is 1 − (1 − p^w)^B, p = 1 − arccos(cos)/π:
+    at cos 0.95 (p≈0.899): w=8 → 0.990, w=12 → 0.926, w=16 → 0.801;
+    at cos 0.99 (p≈0.955): w=12 → 0.9990, w=16 → 0.995 — and the
+    verify-exact re-rank means lost candidates only cost recall, never
+    precision."""
+    import math
+
+    if n_rows <= 0:
+        return min_width
+    return max(
+        min_width,
+        min(max_width, math.ceil(math.log2(max(n_rows / LSH_TARGET_BUCKET, 2.0)))),
+    )
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    dim: int,
+    width: int,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """(id, e, band, bucket) rows from ``bands`` INDEPENDENT hyperplane
+    banks of ``width`` planes each — one Arrow-batched numpy matmul of
+    (n, dim) @ (dim, bands·width), then per-band sign-bit packing into
+    its own long.
+
+    This removes the single-long packing cap of ``lsh_signatures`` +
+    ``hyperplane_banded`` (bands × width ≤ 64): band width can follow
+    ``auto_band_width`` past 8 bits while keeping 8 OR-ed bands.  Matmul
+    cost is flat in width up to memory bandwidth (measured round 3)."""
+    if width <= 0 or width > 63:
+        raise ValueError(f"width must be in 1..63, got {width}")
+    from pyspark.sql.functions import pandas_udf
+
+    total = bands * width
+    planes_t = [
+        [row[i] for row in _hyperplanes(dim, total, seed)] for i in range(dim)
+    ]
+
+    @pandas_udf("array<long>")
+    def bks_udf(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        m = np.asarray(planes_t, dtype=np.float64)  # (dim, bands*width)
+        arr = np.vstack(e.to_numpy())  # (n, dim)
+        bits = (arr @ m > 0).astype(np.int64)  # (n, total)
+        weights = np.int64(1) << np.arange(width, dtype=np.int64)
+        out = np.empty((len(e), bands), dtype=np.int64)
+        for b_i in range(bands):
+            out[:, b_i] = bits[:, b_i * width : (b_i + 1) * width] @ weights
+        return pd.Series(list(out))
+
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    return v.select(
+        "id", "e", F.posexplode(bks_udf("e")).alias("band", "bucket")
+    )
+
+
 def hyperplane_banded(sigs: DataFrame, bits: int, bands: int) -> DataFrame:
     """Explode a signature table (… , sig) into (…, band, bucket) rows —
     one row per band, bucket = that band's bit-slice of the signature.

@@ -119,6 +119,101 @@ def main():
         "stats_secs": round(time.monotonic() - t0, 1),
         **{k: int(v) for k, v in stats_o.items()},
     }
+
+    # --- auto band-width (round 4): width follows corpus size ------------
+    # at ~1.6M rows auto_band_width -> 15 bits (32768 buckets/band) vs the
+    # fixed 8-bit rows above; on the ORGANIC corpus this divides Σ bucket²
+    # by ~2^(15-8); on the adversarial identical-cluster corpus the
+    # mega-buckets persist at any width (clones share every bank) — the
+    # cap stays the guard there, which is the point of recording both
+    w_auto = similarity.auto_band_width(n_vec)
+    out["auto_band_width"] = w_auto
+    for label, src, cap in [
+        ("embedding_adversarial_auto", ident, args.cap),
+        ("embedding_organic_auto", organic, None),
+    ]:
+        banded_a = similarity.lsh_band_buckets(
+            src, dim=64, width=w_auto, bands=8, id_col="vec_id",
+            vec_col="embedding",
+        )
+        t0 = time.monotonic()
+        stats_a = dedup.lsh_bucket_stats(banded_a, max_bucket=cap)
+        out[label] = {
+            "vecs": n_vec,
+            "width": w_auto,
+            "stats_secs": round(time.monotonic() - t0, 1),
+            **{k: int(v) for k, v in stats_a.items()},
+        }
+    t0 = time.monotonic()
+    n_pairs_a = dedup.embedding_near_duplicates(
+        ident, threshold=0.95, band_width="auto", n_rows=n_vec,
+        max_bucket=args.cap,
+    ).count()
+    out["embedding_adversarial_auto"]["capped_run_secs"] = round(
+        time.monotonic() - t0, 1
+    )
+    out["embedding_adversarial_auto"]["capped_pairs"] = n_pairs_a
+
+    # --- search family at 1.6M docs (round 4) ---------------------------
+    # bm25: ONE stats agg + map-side score + TakeOrderedAndProject — the
+    # scored corpus is never shuffled, so wall time ~= one corpus scan;
+    # search_var_grouped: group/flatten + exclude-own-filter facets
+    from dug_spark.operators import search
+
+    t0 = time.monotonic()
+    bm = search.bm25_topk(docs, "spark window stream", k=20)
+    n_bm = bm.count()
+    out["search_bm25"] = {
+        "docs": n_docs,
+        "secs": round(time.monotonic() - t0, 1),
+        "rows": n_bm,
+    }
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    out["search_bm25"]["take_ordered_plan"] = "TakeOrdered" in plan
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .repartition(64)
+        .crossJoin(reps)
+        .select(
+            (F.col("event_id") * args.replicate + F.col("rep")).alias("eid"),
+            "event_id",
+            "user_id",
+        )
+    )
+    hits = ev.select(
+        (F.col("eid") % 50000).cast("string").alias("element_id"),
+        F.concat(F.lit("var "), (F.col("eid") % 50000).cast("string")).alias(
+            "element_name"
+        ),
+        F.concat(F.lit("desc "), (F.col("eid") % 50000).cast("string")).alias(
+            "element_desc"
+        ),
+        F.when((F.col("eid") % 50000) % 2 == 0, "dbgap")
+        .otherwise("topmed")
+        .alias("data_type"),
+        F.concat(F.lit("study_"), (F.col("user_id") % 2000).cast("string")).alias(
+            "collection_id"
+        ),
+        F.concat(F.lit("Study "), (F.col("user_id") % 2000).cast("string")).alias(
+            "collection_name"
+        ),
+    )
+    n_hits = hits.count()
+    t0 = time.monotonic()
+    res = search.search_var_grouped(
+        hits,
+        filters={"study name": ["Study 3", "Study 5"], "data_type": ["dbgap"]},
+        facet_keys=["data_type", "study name"],
+    )
+    n_vars = res["variables"].count()
+    n_facets = sum(df.count() for df in res["agg_counts"].values())
+    out["search_var_grouped"] = {
+        "hits": n_hits,
+        "secs": round(time.monotonic() - t0, 1),
+        "variables": n_vars,
+        "facet_rows": n_facets,
+    }
     print(json.dumps(out))
 
 

@@ -231,3 +231,71 @@ def test_embedding_lsh_bucket_cap(spark):
     assert uncapped == 101 * 100 // 2
     capped = dedup.embedding_near_duplicates(df, threshold=0.99, max_bucket=50).count()
     assert capped == 0  # the single mega-bucket is dropped in every band
+
+
+# ---------------------------------------------------------------------------
+# Auto band-width (round 4): width follows corpus size past the 64-bit cap
+
+
+def test_auto_band_width_selection_rule():
+    """width = clamp(ceil(log2(n / 64)), 8, 16) — the SCALE.md prescription
+    (12-16 bits at >=10M rows) as an executable rule."""
+    assert similarity.auto_band_width(0) == 8
+    assert similarity.auto_band_width(5_000) == 8        # floor
+    assert similarity.auto_band_width(160_000) == 12
+    assert similarity.auto_band_width(1_600_000) == 15
+    assert similarity.auto_band_width(4_200_000) == 16   # cap reached
+    assert similarity.auto_band_width(100_000_000) == 16  # cap holds
+    # monotone non-decreasing in n
+    widths = [similarity.auto_band_width(n) for n in
+              (1, 10**3, 10**4, 10**5, 10**6, 10**7, 10**9)]
+    assert widths == sorted(widths)
+
+
+def test_lsh_band_buckets_shape_and_range(spark, emb):
+    """Independent-bank banding: bands rows per vector, buckets inside
+    [0, 2^width), deterministic across runs."""
+    v = emb.where(F.col("vec_id") < 40)
+    out = similarity.lsh_band_buckets(v, dim=64, width=12, bands=8).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["id"], []).append((r["band"], r["bucket"]))
+        assert 0 <= r["bucket"] < (1 << 12)
+    assert all(len(v_) == 8 for v_ in per.values())
+    assert len(per) == 40
+    again = similarity.lsh_band_buckets(v, dim=64, width=12, bands=8).collect()
+    assert {(r["id"], r["band"], r["bucket"]) for r in again} == {
+        (r["id"], r["band"], r["bucket"]) for r in out
+    }
+
+
+def test_embedding_near_dup_auto_width_subset_and_identical_recall(spark, emb):
+    """band_width='auto' keeps the verify-exact contract: output is a
+    subset of the exact pairs, and identical vectors (equal sketches in
+    every bank) are always recovered."""
+    base = emb.where(F.col("vec_id") < 60)
+    sample = base.unionByName(base.withColumn("vec_id", F.col("vec_id") + 1000))
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_near_duplicates(
+            sample, threshold=0.2, exact=True
+        ).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_near_duplicates(
+            sample, threshold=0.2, band_width="auto"
+        ).collect()
+    }
+    assert auto <= exact
+    identical = {p for p in exact if p[2] >= 0.999999}
+    assert len(identical) >= 60
+    assert identical <= auto
+    # explicit width beyond the 64-bit single-long cap also works
+    wide = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_near_duplicates(
+            sample, threshold=0.2, band_width=12
+        ).collect()
+    }
+    assert identical <= wide <= exact
