@@ -94,10 +94,32 @@ class CheckpointManager:
                 "output_rows long, wall_ms long, run_id string",
             ).withColumn("partition_id", F.col("partition_id").cast("int"))
             per_part = per_part.unionByName(src)
-        per_part.write.mode("append").parquet(self._manifest_dir())
+        # ATOMIC manifest record: each _record lands in its own
+        # tmp-written-then-renamed subdir.  The record itself is a Spark
+        # job (a groupBy over the written data — seconds at 10M+ rows), so
+        # a kill mid-record must not leave PARTIAL lineage rows that would
+        # read as complete; with rename-commit, an interrupted record is
+        # simply absent and run_or_resume's backfill repairs it on resume.
+        # (On an object store this rename is the piece Iceberg's snapshot
+        # commit would provide — same deviation note as SCALE.md §Iceberg.)
+        target = os.path.join(
+            self._manifest_dir(),
+            f"{stage}-{self.run_id}-{uuid.uuid4().hex[:8]}",
+        )
+        tmp = target + ".tmp"
+        per_part.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, target)
 
     def manifest(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._manifest_dir())
+        base = self._manifest_dir()
+        dirs = sorted(
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if not d.endswith(".tmp")
+        )
+        if not dirs:
+            raise FileNotFoundError(f"no manifest records under {base}")
+        return spark.read.parquet(*dirs)
 
     # -- stage I/O ----------------------------------------------------------
     def write_stage(
@@ -157,14 +179,47 @@ class CheckpointManager:
     def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self._stage_dir(stage))
 
+    def backfill_manifest(self, spark: SparkSession, stage: str, df: DataFrame):
+        """Repair the crash window between a stage's rename-commit and its
+        manifest record: if the committed stage has no manifest rows,
+        record output-partition rows from the committed data (wall_ms=-1
+        sentinel; source-scope lineage from the dead run is unrecoverable
+        and stays absent).  Idempotent."""
+        if not self._has_manifest_rows(spark, stage):
+            self._record(spark, stage, df, wall_ms=-1, lineage=None)
+
+    def _has_manifest_rows(self, spark: SparkSession, stage: str) -> bool:
+        try:
+            return (
+                self.manifest(spark)
+                .where(F.col("stage") == stage)
+                .limit(1)
+                .count()
+                > 0
+            )
+        except Exception:  # no _manifest dir yet
+            return False
+
     def run_or_resume(
         self, spark: SparkSession, stage: str, build, lineage_acc=None
     ) -> DataFrame:
         """Exact resume: committed stages are read back, not recomputed
         (the skip-if-exists semantics of concept_expander.py:29-32 at
-        stage granularity, with lineage recorded per partition)."""
+        stage granularity, with lineage recorded per partition).
+
+        Crash-window backfill: the commit point is the rename, and the
+        manifest append happens AFTER it — a kill in between leaves a
+        committed stage with no lineage rows (observed in the 1.6M-doc
+        resume evidence run).  On resume, such a stage gets its
+        output-partition manifest rows backfilled from the committed data
+        under THIS run id with wall_ms=-1 (the sentinel for "recovered,
+        wall time unknown").  Source-scope lineage from the dead run's
+        accumulator is genuinely unrecoverable and stays absent — the
+        backfill records that honestly rather than inventing it."""
         if self.is_done(stage):
-            return self.read_stage(spark, stage)
+            out = self.read_stage(spark, stage)
+            self.backfill_manifest(spark, stage, out)
+            return out
         return self.write_stage(stage, build(), lineage_acc=lineage_acc)
 
     def metrics(self, spark: SparkSession, stage: str | None = None) -> DataFrame:

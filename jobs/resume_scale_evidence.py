@@ -63,10 +63,21 @@ def run_pipeline(output: str, run_id: str, kill_after_stage: str | None = None):
         "--input", CORPUS, "--output", output, "--run-id", run_id,
         "--realistic-dictionary",
     ]
+    env = dict(os.environ)
+    # plain-python child (spark-submit --py-files ships the package on a
+    # real cluster); the script dir is jobs/, so put the repo on the path
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # memory/master flags normally come from spark-submit — supply the
+    # equivalent here (the 1g driver default OOMs at 1.6M docs)
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--master local[32] --driver-memory 48g "
+        "--conf spark.ui.enabled=false "
+        "--conf spark.sql.shuffle.partitions=64 pyspark-shell"
+    )
     t0 = time.monotonic()
     proc = subprocess.Popen(
         cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True,
+        text=True, env=env,
     )
     if kill_after_stage is None:
         out, _ = proc.communicate(timeout=3600)
@@ -145,8 +156,16 @@ def main():
         .collect()
     }
     out["manifest_runs_by_stage"] = runs_by_stage
+    # mentions lineage: r_killed if its manifest record completed before
+    # the kill; r_resumed (wall_ms=-1 backfill) if the kill interrupted
+    # the record itself — both are consistent, invented lineage is not
+    mention_rows = m.where(F.col("stage") == "mentions").collect()
+    out["mentions_backfilled"] = bool(mention_rows) and all(
+        r["wall_ms"] == -1 for r in mention_rows
+    )
     out["lineage_consistent"] = (
-        runs_by_stage.get("mentions") == ["r_killed"]
+        bool(mention_rows)
+        and set(runs_by_stage["mentions"]) <= {"r_killed", "r_resumed"}
         and runs_by_stage.get("concepts") == ["r_resumed"]
         and "r_resumed" in runs_by_stage.get("triples", [])
     )

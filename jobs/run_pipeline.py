@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> None:
         expand_prefixes=fixtures.VOCAB_EXPAND_PREFIXES,
         use_extracted_html=True,
         track_lineage=True,
+        # the synthetic dictionary's CURIE prefixes must pass the
+        # normalization greenlist, else every mention is filtered (F6)
+        greenlist=["SYN", "OP", "EXPR", "SYS", "PATO"]
+        if args.realistic_dictionary
+        else None,
     )
     ckpt = CheckpointManager(args.output, run_id=args.run_id)
 
@@ -78,6 +83,10 @@ def main(argv: list[str] | None = None) -> None:
     # partition alongside the per-output-partition rows
     if ckpt.is_done("mentions"):
         mentions = ckpt.read_stage(spark, "mentions")
+        # the manifest record is its own atomic commit AFTER the stage
+        # rename; a kill in between leaves the committed stage without
+        # lineage — repair with output-partition rows (wall_ms=-1)
+        ckpt.backfill_manifest(spark, "mentions", mentions)
     else:
         r = pipe.run(corpus)
         mentions = ckpt.write_stage("mentions", r.mentions, lineage_acc=r.lineage_acc)

@@ -224,3 +224,32 @@ def test_failure_injection_crash_before_commit(spark, tmp_path, monkeypatch):
     assert sorted(r["id"] for r in out.collect()) == list(range(100))
     m = cm2.metrics(spark, "s4").collect()
     assert {r["run_id"] for r in m} == {"r_after"}
+
+
+def test_resume_backfills_manifest_after_crash_window(spark, tmp_path):
+    """A kill between the atomic rename and the manifest append leaves a
+    committed stage with no lineage rows; resume must backfill the
+    output-partition rows (wall_ms=-1 sentinel) instead of leaving the
+    committed stage invisible to metrics."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "ckpt")
+    cm = CheckpointManager(root, run_id="r_dead")
+    cm.write_stage("s", spark.range(100).repartition(4))
+    # simulate the crash window: stage committed, manifest rows gone
+    shutil.rmtree(os.path.join(root, "_manifest"))
+    assert cm.is_done("s")
+
+    cm2 = CheckpointManager(root, run_id="r_back")
+    out = cm2.run_or_resume(spark, "s", lambda: (_ for _ in ()).throw(AssertionError))
+    assert out.count() == 100
+    m = cm2.metrics(spark, "s").collect()
+    assert m, "backfilled manifest rows exist"
+    assert all(r["run_id"] == "r_back" and r["wall_ms"] == -1 for r in m)
+    assert sum(r["output_rows"] for r in m) == 100
+    assert all(r["scope"] == "output" for r in m), "no invented source lineage"
+    # second resume does NOT duplicate the backfill
+    cm3 = CheckpointManager(root, run_id="r_back2")
+    cm3.run_or_resume(spark, "s", lambda: (_ for _ in ()).throw(AssertionError))
+    assert {r["run_id"] for r in cm3.metrics(spark, "s").collect()} == {"r_back"}

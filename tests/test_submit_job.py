@@ -24,7 +24,9 @@ def test_run_pipeline_job_and_resume(spark, tmp_path, capsys):
     # all four stages committed with lineage rows
     for stage in ("mentions", "triples", "kg_answers", "concepts"):
         assert os.path.exists(os.path.join(out, stage, "_SUCCESS"))
-    manifest = spark.read.parquet(os.path.join(out, "_manifest"))
+    from dug_spark.plans.manifest import CheckpointManager
+
+    manifest = CheckpointManager(out).manifest(spark)
     assert set(r["stage"] for r in manifest.collect()) == {
         "mentions", "triples", "kg_answers", "concepts"
     }
@@ -42,7 +44,7 @@ def test_run_pipeline_job_and_resume(spark, tmp_path, capsys):
     main(["--input", SF, "--output", out, "--run-id", "r2"])
     second = capsys.readouterr().out
     assert f"triples={n_triples}" in second
-    m2 = spark.read.parquet(os.path.join(out, "_manifest"))
+    m2 = CheckpointManager(out).manifest(spark)
     runs_by_stage = {
         r["stage"]: set(r["run_ids"])
         for r in m2.groupBy("stage")
