@@ -925,8 +925,9 @@ def _pyoracle_values() -> dict[str, str]:
     sf = _pyoracle_sf()
     if sf in _pyoracle_values_cache:
         return _pyoracle_values_cache[sf]
+    import duckdb
+
     try:
-        import duckdb
 
         from dug_spark.functions import pyoracle as po
 
@@ -976,10 +977,10 @@ def _pyoracle_values() -> dict[str, str]:
                 "BIGINT, BIGINT, INTEGER, DOUBLE",
             ),
         }
-    except (ImportError, OSError) as e:
-        # expected degradations only (missing parquet / no duckdb): a BUG
-        # in the recompute itself must raise, not silently weaken five
-        # queries to the rows-only check
+    except (ImportError, OSError, duckdb.Error) as e:
+        # expected degradations only (missing/unreadable parquet, no
+        # duckdb): a BUG in the recompute itself must raise, not silently
+        # weaken five queries to the rows-only check
         import sys
 
         print(f"pyoracle VALUES degraded to rows-only for {sf}: {e!r}",
