@@ -162,6 +162,53 @@ def simple_variable_score(query: str) -> F.Column:
     )
 
 
+def fuzzy_expand_terms(
+    df: DataFrame,
+    tk_col,
+    qtoks: list[str],
+    fuzziness: int = 1,
+    prefix_length: int = 3,
+    max_expansions: int = 50,
+) -> dict[str, list[str]]:
+    """ES ``match`` fuzziness (the reference passes ``fuzziness=1,
+    prefix_length=3`` to every match clause — async_search.py:126-218,
+    :624-736): each query token expands to the field's indexed terms
+    within ``fuzziness`` edits that share its first ``prefix_length``
+    characters exactly (the token itself is always in its group).
+
+    Scale shape: ONE distinct-token aggregation over the field (the
+    shuffle is vocabulary-sized, not corpus-sized), the prefix +
+    levenshtein predicates evaluated JVM-side, and only the matching
+    terms — ≤ |query| · max_expansions after the cap — reach the driver.
+    The cap keeps the widest group bounded (ES default max_expansions=50);
+    deterministic keep-order: matched terms sorted ascending (ES keeps
+    top-by-frequency — documented deviation, irrelevant until a group
+    exceeds the cap).  Returns {query token: sorted expansion group}."""
+    if not qtoks:
+        return {}
+    vocab = df.select(F.explode(tk_col).alias("t")).distinct()
+    flags = [
+        (
+            F.col("t").startswith(q[:prefix_length])
+            & (F.levenshtein(F.col("t"), F.lit(q)) <= fuzziness)
+        ).alias(f"m_{i}")
+        for i, q in enumerate(qtoks)
+    ]
+    rows = vocab.select("t", *flags).where(
+        reduce(lambda a, b_: a | b_, [F.col(f"m_{i}") for i in range(len(qtoks))])
+    ).collect()
+    groups: dict[str, list[str]] = {q: {q} for q in qtoks}
+    for r in rows:
+        for i, q in enumerate(qtoks):
+            if r[f"m_{i}"]:
+                groups[q].add(r["t"])
+    return {
+        q: sorted(terms)[:max_expansions] if len(terms) > max_expansions
+        else sorted(terms)
+        for q, terms in groups.items()
+    }
+
+
 def bm25_topk(
     df: DataFrame,
     query: str,
@@ -171,6 +218,8 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     stopwords: bool = True,
+    fuzziness: int = 0,
+    prefix_length: int = 3,
 ) -> DataFrame:
     """True BM25 (the Lucene/ES 'match' similarity behind every boost in
     _get_concepts_query, async_search.py:113-218) as a distributed plan —
@@ -191,6 +240,13 @@ def bm25_topk(
 
     idf = ln(1 + (N − df + 0.5)/(df + 0.5));  score = Σ_t idf_t ·
     tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen)).  Ties broken by id.
+
+    ``fuzziness`` > 0 expands each query token to its edit-distance
+    neighborhood in the field vocabulary (fuzzy_expand_terms) and scores
+    each group with Lucene SynonymQuery semantics — the blend ES applies
+    to fuzzy-expanded match terms: one BM25 evaluation per group with
+    tf = Σ member tfs and docFreq = max member df.  fuzziness=0 makes
+    every group a singleton and reduces to plain BM25 exactly.
     """
     import math
 
@@ -199,17 +255,24 @@ def bm25_topk(
     base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks")).withColumn(
         "dl", F.size("toks")
     )
+    if fuzziness > 0:
+        groups = fuzzy_expand_terms(base, F.col("toks"), toks, fuzziness, prefix_length)
+    else:
+        groups = {t: [t] for t in toks}
+    terms = sorted({t for g in groups.values() for t in g})
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum(F.when(F.array_contains("toks", t), 1).otherwise(0)).alias(f"df_{i}")
-            for i, t in enumerate(toks)
+            for i, t in enumerate(terms)
         ],
     ).collect()[0]
     n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
     if n == 0 or not toks:
         return base.select("id", F.lit(0.0).alias("score")).where(F.lit(False))
+    df_by_term = {t: stats[f"df_{i}"] for i, t in enumerate(terms)}
+
     def tf_col(tok: str) -> F.Column:
         # closure factory, NOT a default-arg lambda: `lambda x, t=...`
         # reads as a TWO-arg (element, index) HOF and silently compares
@@ -218,10 +281,13 @@ def bm25_topk(
         return F.size(F.filter("toks", lambda x: x == lit)).cast("double")
 
     score = None
-    for i, t in enumerate(toks):
-        df_t = stats[f"df_{i}"]
+    for q in toks:
+        group = groups[q]
+        df_t = max(df_by_term[t] for t in group)  # SynonymQuery docFreq
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
-        tf = tf_col(t)
+        tf = tf_col(group[0])
+        for t in group[1:]:
+            tf = tf + tf_col(t)  # SynonymQuery tf = Σ member tfs
         term = F.lit(idf) * tf * (k1 + 1.0) / (
             tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
         )
@@ -273,6 +339,8 @@ def bm25_boosted_topk(
     b: float = 0.75,
     stopwords: bool = True,
     extra_cols: list[str] | None = None,
+    fuzziness: int = 0,
+    prefix_length: int = 3,
 ) -> DataFrame:
     """Multi-field boosted BM25 — the actual scoring semantics of the
     reference's bool-should queries (async_search.py:126-218, :624-736):
@@ -296,9 +364,14 @@ def bm25_boosted_topk(
     corpus is never shuffled.
 
     ``fields``: (key, string column expression, [(gate, boost), ...]).
-    Remaining deviations from ES, documented: no fuzziness (edit-distance
-    expansion), and phrase matching is contiguous on stopword-stripped
-    tokens (ES keeps position gaps where stopwords were removed).
+    ``fuzziness`` > 0 expands each query token against each FIELD's own
+    vocabulary (fuzzy_expand_terms — ES expands per field) and scores
+    groups with SynonymQuery blending (tf = Σ member tfs, docFreq = max);
+    match_phrase clauses stay exact (ES match_phrase has no fuzziness),
+    and the "and" gate requires every group to have ≥1 member present.
+    Remaining deviation, documented: phrase matching is contiguous on
+    stopword-stripped tokens (ES keeps position gaps where stopwords were
+    removed).
     """
     import math
 
@@ -316,12 +389,22 @@ def bm25_boosted_topk(
         return base.select(
             "id", *extra_cols, F.lit(0.0).alias("score")
         ).where(F.lit(False))
+    fgroups: dict[str, dict[str, list[str]]] = {}
+    fterms: dict[str, list[str]] = {}
+    for fname, _col, _clauses in fields:
+        if fuzziness > 0:
+            fgroups[fname] = fuzzy_expand_terms(
+                base, F.col(f"tk_{fname}"), toks, fuzziness, prefix_length
+            )
+        else:
+            fgroups[fname] = {t: [t] for t in toks}
+        fterms[fname] = sorted({t for g in fgroups[fname].values() for t in g})
     aggs = []
     for fname, _col, _clauses in fields:
         dl = F.col(f"dl_{fname}")
         aggs.append(F.sum((dl > 0).cast("long")).alias(f"n_{fname}"))
         aggs.append(F.sum(dl.cast("long")).alias(f"sumdl_{fname}"))
-        for i, t in enumerate(toks):
+        for i, t in enumerate(fterms[fname]):
             aggs.append(
                 F.sum(
                     F.when(F.array_contains(f"tk_{fname}", t), 1).otherwise(0)
@@ -340,11 +423,17 @@ def bm25_boosted_topk(
         if not n_f:
             continue  # field absent corpus-wide: no stats, no contribution
         avgdl = stats[f"sumdl_{fname}"] / float(n_f)
+        df_by_term = {
+            t: stats[f"df_{fname}_{i}"] for i, t in enumerate(fterms[fname])
+        }
         bm25 = None
-        for i, t in enumerate(toks):
-            df_t = stats[f"df_{fname}_{i}"]
+        for q in toks:
+            group = fgroups[fname][q]
+            df_t = max(df_by_term[t] for t in group)  # SynonymQuery docFreq
             idf = math.log(1.0 + (n_f - df_t + 0.5) / (df_t + 0.5))
-            tf = tf_col(fname, t)
+            tf = tf_col(fname, group[0])
+            for t in group[1:]:
+                tf = tf + tf_col(fname, t)  # SynonymQuery tf = Σ member tfs
             term = F.lit(idf) * tf * (k1 + 1.0) / (
                 tf
                 + k1
@@ -357,7 +446,16 @@ def bm25_boosted_topk(
         )
         all_present = reduce(
             lambda a, b_: a & b_,
-            [F.array_contains(f"tk_{fname}", t) for t in toks],
+            [
+                reduce(
+                    lambda x, y: x | y,
+                    [
+                        F.array_contains(f"tk_{fname}", t)
+                        for t in fgroups[fname][q]
+                    ],
+                )
+                for q in toks
+            ],
         )
         for gate, boost in clauses:
             if gate == "phrase":
@@ -383,11 +481,19 @@ def bm25_boosted_topk(
 
 
 def search_concepts_bm25(
-    concepts: DataFrame, query: str, k: int = 20, stopwords: bool = True
+    concepts: DataFrame,
+    query: str,
+    k: int = 20,
+    stopwords: bool = True,
+    fuzziness: int = 0,
 ) -> DataFrame:
     """search_concepts with TRUE per-field BM25 × clause-boost scoring —
     the actual ES semantics of _get_concepts_query (async_search.py:
     113-218) including the non-empty name/description filter (:118-125).
+    The reference calls it with fuzziness=1; the cross-engine contract
+    query pins fuzziness=0 (the expansion depends on the field vocabulary,
+    which a closed-form SQL oracle can't fold) — fuzzy behavior is
+    pytest-verified against a pure-Python recompute instead.
     Output: (concept_id, name, type, score) top-k."""
     fields = [
         (key, F.col(key) if key not in ("search_terms", "optional_terms")
@@ -401,7 +507,7 @@ def search_concepts_bm25(
     )
     out = bm25_boosted_topk(
         base, query, fields, id_col="concept_id", k=k, stopwords=stopwords,
-        extra_cols=["name", "type"],
+        extra_cols=["name", "type"], fuzziness=fuzziness,
     )
     return out.select(F.col("id").alias("concept_id"), "name", "type", "score")
 
@@ -412,6 +518,7 @@ def search_variables_bm25(
     concept: str | None = None,
     k: int = 20,
     stopwords: bool = True,
+    fuzziness: int = 0,
 ) -> DataFrame:
     """search_variables with true per-field BM25 × clause boosts
     (_get_var_query, async_search.py:624-736), plus the must-match
@@ -427,7 +534,7 @@ def search_variables_bm25(
         base = base.where(F.array_contains("identifiers", concept))
     out = bm25_boosted_topk(
         base, query, fields, id_col="element_id", k=k, stopwords=stopwords,
-        extra_cols=["element_name", "data_type"],
+        extra_cols=["element_name", "data_type"], fuzziness=fuzziness,
     )
     return out.select(
         F.col("id").alias("element_id"), "element_name", "data_type", "score"

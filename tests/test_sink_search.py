@@ -593,3 +593,106 @@ def test_bm25_boosted_plan_takeordered(spark):
         .toString()
     )
     assert "TakeOrdered" in plan
+
+
+# ---------------------------------------------------------------------------
+# ES fuzziness (round 4): per-field edit-distance expansion + SynonymQuery
+# blending — validated against an independent pure-Python recompute
+
+
+def test_fuzzy_expand_terms_prefix_and_distance(spark):
+    """fuzziness=1, prefix_length=3 (the reference's match-clause
+    parameters): expansion requires an EXACT 3-char prefix and ≤1 edit;
+    the query token is always in its own group."""
+    docs = [(1, "spark spork sparks spring stark sparkly")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from dug_spark.functions import analyzer
+
+    base = df.select(analyzer.analyze_col(F.col("text")).alias("tk"))
+    groups = search.fuzzy_expand_terms(base, F.col("tk"), ["spark"])
+    # spork fails the prefix (spo), spring fails (spr), stark fails (sta),
+    # sparkly is 2 edits away
+    assert groups == {"spark": ["spark", "sparks"]}
+    # a query token absent from the vocabulary keeps its singleton group
+    groups2 = search.fuzzy_expand_terms(base, F.col("tk"), ["zzz"])
+    assert groups2 == {"zzz": ["zzz"]}
+
+
+def _py_fuzzy_bm25(rows, qtoks, groups, k1=1.2, b=0.75):
+    """Independent recompute: SynonymQuery blending over analyzed docs."""
+    import math
+
+    from dug_spark.functions import analyzer
+
+    toks = {i: analyzer.analyze(t) for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df_t = {
+        t: sum(1 for v in toks.values() if t in v)
+        for g in groups.values()
+        for t in g
+    }
+    scores = {}
+    for i, v in toks.items():
+        s = 0.0
+        for q in qtoks:
+            blend = max(df_t[t] for t in groups[q])
+            idf = math.log(1.0 + (n - blend + 0.5) / (blend + 0.5))
+            tf = float(sum(v.count(t) for t in groups[q]))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_bm25_fuzzy_matches_python_recompute(spark):
+    rows = [
+        (1, "spark jobs run fast"),
+        (2, "sparks fly high tonight"),
+        (3, "spark sparks spark engines"),
+        (4, "other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r["score"]
+        for r in search.bm25_topk(df, "spark", k=10, fuzziness=1).collect()
+    }
+    expected = _py_fuzzy_bm25(rows, ["spark"], {"spark": ["spark", "sparks"]})
+    assert out == expected
+    # doc 2 (only the fuzzy form) scores, and fuzziness=0 excludes it
+    assert 2 in out
+    out0 = {
+        r["id"] for r in search.bm25_topk(df, "spark", k=10, fuzziness=0).collect()
+    }
+    assert 2 not in out0 and {1, 3} <= out0
+
+
+def test_bm25_boosted_fuzzy_and_gate(spark):
+    """The operator=and clauses fire when every query token is matched
+    ALLOWING fuzzy forms (ES match operator=and with fuzziness=1), and
+    match_phrase stays exact."""
+    rows = [
+        ("d1", "sparks stream daily"),   # fuzzy 'spark' + exact 'stream'
+        ("d2", "spark stream daily"),    # exact both (+ phrase)
+        ("d3", "spark only here"),       # one token
+    ]
+    df = spark.createDataFrame(rows, "concept_id string, name string")
+    fields = [("name", F.col("name"), [("phrase", 10.0), ("and", 4.0), ("or", 1.0)])]
+    out = {
+        r["id"]: r["score"]
+        for r in search.bm25_boosted_topk(
+            df, "spark stream", fields, k=10, fuzziness=1
+        ).collect()
+    }
+    assert set(out) == {"d1", "d2", "d3"}
+    # d2 carries the exact phrase (15×) and d1 the and-gate (5×); with the
+    # same dl and blended stats, multiplier ordering must hold
+    assert out["d2"] > out["d1"] > out["d3"]
+    # without fuzziness the and-gate on d1 does NOT fire
+    out0 = {
+        r["id"]: r["score"]
+        for r in search.bm25_boosted_topk(
+            df, "spark stream", fields, k=10, fuzziness=0
+        ).collect()
+    }
+    assert out0["d1"] < out["d1"]
