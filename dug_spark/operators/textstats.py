@@ -82,6 +82,89 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", best_lang)
 
 
+# Seed text per language for the char-trigram profiles (written for this
+# module — short generic sentences, no external data).  Profiles are the
+# most frequent character trigrams of the seed, computed deterministically
+# at import time.
+_NGRAM_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the children "
+        "watch the evening light fall over the quiet water and the old "
+        "houses along the shore where they have lived for many years"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund waehrend "
+        "die kinder das abendliche licht ueber dem stillen wasser und den "
+        "alten haeusern am ufer beobachten wo sie seit vielen jahren wohnen"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux pendant "
+        "que les enfants regardent la lumiere du soir tomber sur l eau "
+        "tranquille et les vieilles maisons le long du rivage ou ils vivent "
+        "depuis de nombreuses annees"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso mientras los "
+        "ninos miran la luz de la tarde caer sobre el agua tranquila y las "
+        "viejas casas a lo largo de la orilla donde viven desde hace muchos "
+        "anos"
+    ),
+}
+
+
+def _trigram_profile(text: str, top: int = 40) -> list[str]:
+    """Most frequent char trigrams, ties broken lexicographically —
+    deterministic, so executors and tests derive identical profiles."""
+    counts: dict[str, int] = {}
+    for i in range(len(text) - 2):
+        g = text[i : i + 3]
+        counts[g] = counts.get(g, 0) + 1
+    return [g for g, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]]
+
+
+NGRAM_PROFILES: dict[str, list[str]] = {
+    lang: _trigram_profile(seed) for lang, seed in _NGRAM_SEEDS.items()
+}
+
+
+def language_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+    min_score: float = 0.08,
+) -> DataFrame:
+    """Character-trigram language ID (Cavnar–Trenkle-style profile
+    matching, simplified to coverage instead of rank-distance): score for
+    language L = |distinct trigrams(text) ∩ profile_L| / |profile_L|;
+    argmax with deterministic (sorted-language, strict >) tie-break, 'unk'
+    below ``min_score``.
+
+    Entirely JVM-side: the text's distinct-trigram array is computed once
+    (substr over a sequence — whole-stage codegen), each language score is
+    ONE ``array_intersect`` against a literal profile array — no UDF, no
+    join, no shuffle.  Catches what word-level stopword profiles miss
+    (agglutinative text, missing spaces, short fragments)."""
+    profiles = profiles or NGRAM_PROFILES
+    # substring needs a column start position — SQL transform handles it
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)), "
+            f"i -> substring(lower({text_col}), i, 3))"
+        )
+    )
+    best_lang = F.lit("unk")
+    best_score = F.lit(float(min_score))
+    for lang in sorted(profiles):
+        prof = F.array(*[F.lit(g) for g in profiles[lang]])
+        score = F.size(F.array_intersect(grams, prof)).cast("double") / F.lit(
+            float(len(profiles[lang]))
+        )
+        cond = score > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return df.withColumn("pred_lang_ngram", best_lang)
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8
 ) -> DataFrame:

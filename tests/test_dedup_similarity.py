@@ -299,3 +299,47 @@ def test_embedding_near_dup_auto_width_subset_and_identical_recall(spark, emb):
         ).collect()
     }
     assert identical <= wide <= exact
+
+
+def test_language_id_ngram_holdout_sentences(spark):
+    """Char-trigram profile ID classifies HELD-OUT sentences (not the seed
+    text) for all four profiled languages; gibberish → 'unk'; purely
+    column-level plan (no UDF/shuffle: single Project over the source)."""
+    holdout = [
+        ("en", "she walked through the garden in the morning and the birds were singing there"),
+        ("de", "er ging am morgen durch den garten und die voegel sangen in den baeumen ueber dem wasser"),
+        ("fr", "elle marchait dans le jardin le matin et les oiseaux chantaient dans les arbres pres de l eau"),
+        ("es", "ella caminaba por el jardin por la manana y los pajaros cantaban en los arboles sobre el agua"),
+        ("unk", "zzqx vvkk qqpp zzrr xxyy wwtt"),
+    ]
+    df = spark.createDataFrame(holdout, "lang string, text string")
+    out = {r["lang"]: r["pred_lang_ngram"]
+           for r in textstats.language_id_ngram(df).collect()}
+    assert out == {k: k for k, _ in holdout}
+    # deterministic across runs
+    again = {r["lang"]: r["pred_lang_ngram"]
+             for r in textstats.language_id_ngram(df).collect()}
+    assert again == out
+    # plan: no Exchange (pure map-side), no BatchEvalPython
+    plan = (
+        textstats.language_id_ngram(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bm25_scan_prunes_columns(spark):
+    """Column pruning reaches the parquet scan: the BM25 plan reads ONLY
+    (doc_id, text) from the documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from dug_spark.operators import search
+
+    plan = (
+        search.bm25_topk(docs, "spark window", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[:2000]
