@@ -993,12 +993,15 @@ def _pyoracle_values() -> dict[str, str]:
 def _simple_concepts_oracle() -> str:
     """Oracle for the simple-query path: the same simple_query_string
     expansion ('\"var 7\"' phrase OR 'error*' prefix per field, summed
-    across name/description/search_terms) in DuckDB SQL."""
+    across name/description/search_terms) in DuckDB SQL — fields analyzed
+    with the SAME std_with_stopwords analyzer as the Spark side (round 4:
+    ES applies the index analyzer to simple_query_string too)."""
 
     def field_match(f: str) -> str:
+        an = _analyzer_sql(f"coalesce({f}, '')")
         return (
-            f"CASE WHEN contains(' ' || lower(coalesce({f}, '')) || ' ', ' var 7 ') "
-            f"OR len(list_filter(string_split_regex(lower(trim({f})), '\\s+'), "
+            f"CASE WHEN contains(' ' || array_to_string({an}, ' ') || ' ', ' var 7 ') "
+            f"OR len(list_filter({an}, "
             f"x -> starts_with(x, 'error'))) > 0 THEN 1.0 ELSE 0.0 END"
         )
 

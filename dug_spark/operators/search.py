@@ -110,15 +110,27 @@ def parse_simple_query(query: str) -> list[list[tuple[str, str, bool]]]:
 def _simple_field_match(field, query: str) -> F.Column:
     """1.0 iff the field satisfies the parsed simple_query_string boolean
     expression (ES scores vary; the deterministic stand-in scores each
-    field 0/1 and sums across fields — score_mode=sum, :786)."""
-    toks = _tokens(field)
-    pad = F.concat(F.lit(" "), F.lower(F.coalesce(field, F.lit(""))), F.lit(" "))
+    field 0/1 and sums across fields — score_mode=sum, :786).
 
-    def pred(kind: str, tok: str) -> F.Column:
+    Field text and query terms go through the shared std_with_stopwords
+    analyzer (the indexes declare it, index.py:96-117): term/phrase
+    matching is over analyzed tokens, and stopword-only terms/phrases
+    vanish from the query exactly as ES's query-time analysis drops them
+    (a group left empty is ignored)."""
+    toks = analyzer.analyze_col(field)
+    pad = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    stop = set(analyzer.ENGLISH_STOPWORDS)
+
+    def pred(kind: str, tok: str) -> F.Column | None:
         if kind == "phrase":
-            return pad.contains(f" {tok} ")
+            phrase = " ".join(analyzer.analyze(tok))
+            if not phrase:
+                return None  # stopword-only phrase: dropped by analysis
+            return pad.contains(f" {phrase} ")
         if kind == "prefix":
             return F.exists(toks, lambda t: t.startswith(tok))
+        if tok in stop:
+            return None  # stopword term: dropped by analysis
         return F.array_contains(toks, tok)
 
     group_cols = []
@@ -126,10 +138,13 @@ def _simple_field_match(field, query: str) -> F.Column:
         g = None
         for kind, tok, neg in terms:
             p = pred(kind, tok)
+            if p is None:
+                continue
             if neg:
                 p = ~p
             g = p if g is None else (g & p)
-        group_cols.append(g)
+        if g is not None:
+            group_cols.append(g)
     if not group_cols:
         return F.lit(0.0)
     return F.when(reduce(lambda a, b: a | b, group_cols), 1.0).otherwise(0.0)

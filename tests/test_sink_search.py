@@ -206,8 +206,13 @@ def test_search_variables_simple_negation(spark):
     hits = search.search_variables(v, "asthma -status").collect()
     # v1 name 'asthma status' fails (has status); desc 'has asthma' passes
     assert [h["element_id"] for h in hits] == ["v1"]
-    none = search.search_variables(v, '"asthma of"').collect()
-    assert none == []
+    # query-time analysis (round 4): the stopword 'of' drops from the
+    # phrase — '"asthma of"' is the phrase "asthma", which DOES match
+    # (ES std_with_stopwords behavior); a stopword-ONLY phrase matches
+    # nothing (the clause vanishes entirely)
+    some = search.search_variables(v, '"asthma of"').collect()
+    assert [h["element_id"] for h in some] == ["v1"]
+    assert search.search_variables(v, '"the of"').collect() == []
 
 
 # ---------------------------------------------------------------------------
