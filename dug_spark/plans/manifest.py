@@ -102,9 +102,22 @@ class CheckpointManager:
         # simply absent and run_or_resume's backfill repairs it on resume.
         # (On an object store this rename is the piece Iceberg's snapshot
         # commit would provide — same deviation note as SCALE.md §Iceberg.)
+        base = self._manifest_dir()
+        # GC record tmp dirs left by killed runs (same age rule as stage
+        # tmps: younger ones may belong to a briefly-overlapping writer)
+        if os.path.isdir(base):
+            now = time.time()
+            for name in os.listdir(base):
+                if not name.endswith(".tmp"):
+                    continue
+                path = os.path.join(base, name)
+                try:
+                    if now - os.path.getmtime(path) > self.TMP_GC_AGE_S:
+                        shutil.rmtree(path, ignore_errors=True)
+                except OSError:
+                    pass
         target = os.path.join(
-            self._manifest_dir(),
-            f"{stage}-{self.run_id}-{uuid.uuid4().hex[:8]}",
+            base, f"{stage}-{self.run_id}-{uuid.uuid4().hex[:8]}"
         )
         tmp = target + ".tmp"
         per_part.write.mode("overwrite").parquet(tmp)
