@@ -925,8 +925,15 @@ def _pyoracle_values() -> dict[str, str]:
     sf = _pyoracle_sf()
     if sf in _pyoracle_values_cache:
         return _pyoracle_values_cache[sf]
-    import duckdb
+    import sys
 
+    try:
+        import duckdb
+    except ImportError as e:  # degrade, don't take down the SQL oracles
+        print(f"pyoracle VALUES degraded to rows-only for {sf}: {e!r}",
+              file=sys.stderr)
+        _pyoracle_values_cache[sf] = {}
+        return {}
     try:
 
         from dug_spark.functions import pyoracle as po
@@ -977,12 +984,10 @@ def _pyoracle_values() -> dict[str, str]:
                 "BIGINT, BIGINT, INTEGER, DOUBLE",
             ),
         }
-    except (ImportError, OSError, duckdb.Error) as e:
-        # expected degradations only (missing/unreadable parquet, no
-        # duckdb): a BUG in the recompute itself must raise, not silently
-        # weaken five queries to the rows-only check
-        import sys
-
+    except (OSError, duckdb.Error) as e:
+        # expected degradations only (missing/unreadable parquet): a BUG
+        # in the recompute itself must raise, not silently weaken five
+        # queries to the rows-only check
         print(f"pyoracle VALUES degraded to rows-only for {sf}: {e!r}",
               file=sys.stderr)
         vals = {}

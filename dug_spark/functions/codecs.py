@@ -172,10 +172,15 @@ def _defilter_np(
         elif f == 2:  # Up: wrapping vector add
             rec = line + prev  # uint8 + uint8 wraps mod 256
         elif f in (3, 4):
+            # hand prev to the shared loop as a bytearray, NOT the numpy
+            # row: under NumPy 2.x weak-scalar promotion (NEP 50),
+            # `int + np.uint8` stays uint8 and `(left + prev[i]) >> 1` /
+            # Paeth's `a + b - c` would silently wrap mod 256
             rec = _np.frombuffer(
                 bytes(
                     _defilter_row_py(
-                        f, bytearray(line.tobytes()), prev, channels, stride
+                        f, bytearray(line.tobytes()),
+                        bytearray(prev.tobytes()), channels, stride,
                     )
                 ),
                 dtype=_np.uint8,

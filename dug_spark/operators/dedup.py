@@ -395,10 +395,6 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
-    if band_width == "auto":
-        band_width = similarity.auto_band_width(
-            n_rows if n_rows is not None else v.count()
-        )
     if exact:
         v = v.withColumn(
             "norm",
@@ -410,6 +406,12 @@ def embedding_near_duplicates(
         b = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("norm").alias("nb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
+        if band_width == "auto":
+            # resolved only on the LSH branch — exact=True never uses it,
+            # so it must not pay the corpus count scan
+            band_width = similarity.auto_band_width(
+                n_rows if n_rows is not None else v.count()
+            )
         if band_width is not None:
             raw_banded = similarity.lsh_band_buckets(
                 v, dim=dim, width=int(band_width), bands=bands,

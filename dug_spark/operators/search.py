@@ -117,6 +117,10 @@ def _simple_field_match(field, query: str) -> F.Column:
     matching is over analyzed tokens, and stopword-only terms/phrases
     vanish from the query exactly as ES's query-time analysis drops them
     (a group left empty is ignored)."""
+    # null-safe: without the coalesce, a NULL field makes every predicate
+    # NULL, so a purely-NEGATED clause (ES must_not matches docs missing
+    # the phrase) would wrongly evaluate to no-match
+    field = F.coalesce(field, F.lit(""))
     toks = analyzer.analyze_col(field)
     pad = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
     stop = set(analyzer.ENGLISH_STOPWORDS)
@@ -217,11 +221,13 @@ def fuzzy_expand_terms(
         for i, q in enumerate(qtoks):
             if r[f"m_{i}"]:
                 groups[q].add(r["t"])
-    return {
-        q: sorted(terms)[:max_expansions] if len(terms) > max_expansions
-        else sorted(terms)
-        for q, terms in groups.items()
-    }
+    def _cap(q: str, terms: set[str]) -> list[str]:
+        # the original token ALWAYS stays in its group (ES keeps the
+        # distance-0 term); only the expansions compete for the cap
+        rest = sorted(t for t in terms if t != q)[: max_expansions - 1]
+        return sorted([q] + rest)
+
+    return {q: _cap(q, terms) for q, terms in groups.items()}
 
 
 def bm25_topk(
@@ -378,7 +384,14 @@ def bm25_boosted_topk(
     map-side scoring, global top-k via TakeOrderedAndProject — the scored
     corpus is never shuffled.
 
-    ``fields``: (key, string column expression, [(gate, boost), ...]).
+    ``fields``: (key, string column expression, [(gate, boost), ...]) —
+    or a 4-tuple with the raw ``array<string>`` column appended: for
+    array fields ES's ``position_increment_gap`` (100 on text multi-
+    values) prevents a phrase from matching ACROSS elements, so when the
+    array is supplied the phrase gate is evaluated per element
+    (``exists``) instead of over the space-joined text; BM25 statistics
+    still use the joined text (ES field length counts real tokens only —
+    gap positions don't add to dl).
     ``fuzziness`` > 0 expands each query token against each FIELD's own
     vocabulary (fuzzy_expand_terms — ES expands per field) and scores
     groups with SynonymQuery blending (tf = Σ member tfs, docFreq = max);
@@ -394,11 +407,27 @@ def bm25_boosted_topk(
     toks = sorted(set(qtoks_ordered))
     phrase = " ".join(qtoks_ordered)
     extra_cols = extra_cols or []
+    fields = [
+        (spec[0], spec[1], spec[2], spec[3] if len(spec) > 3 else None)
+        for spec in fields
+    ]
     sel = [F.col(id_col).alias("id")] + [F.col(c) for c in extra_cols]
-    for fname, col, _clauses in fields:
+    for fname, col, _clauses, arr in fields:
         sel.append(analyzer.analyze_col(col, stopwords).alias(f"tk_{fname}"))
+        if arr is not None:
+            # per-element padded analyzed text for the phrase gate
+            sel.append(
+                F.transform(
+                    F.coalesce(arr, F.array().cast("array<string>")),
+                    lambda el: F.concat(
+                        F.lit(" "),
+                        F.array_join(analyzer.analyze_col(el, stopwords), " "),
+                        F.lit(" "),
+                    ),
+                ).alias(f"el_{fname}")
+            )
     base = df.select(*sel)
-    for fname, _col, _clauses in fields:
+    for fname, _col, _clauses, _arr in fields:
         base = base.withColumn(f"dl_{fname}", F.size(f"tk_{fname}"))
     if not toks:
         return base.select(
@@ -406,7 +435,7 @@ def bm25_boosted_topk(
         ).where(F.lit(False))
     fgroups: dict[str, dict[str, list[str]]] = {}
     fterms: dict[str, list[str]] = {}
-    for fname, _col, _clauses in fields:
+    for fname, _col, _clauses, _arr in fields:
         if fuzziness > 0:
             fgroups[fname] = fuzzy_expand_terms(
                 base, F.col(f"tk_{fname}"), toks, fuzziness, prefix_length
@@ -415,7 +444,7 @@ def bm25_boosted_topk(
             fgroups[fname] = {t: [t] for t in toks}
         fterms[fname] = sorted({t for g in fgroups[fname].values() for t in g})
     aggs = []
-    for fname, _col, _clauses in fields:
+    for fname, _col, _clauses, _arr in fields:
         dl = F.col(f"dl_{fname}")
         aggs.append(F.sum((dl > 0).cast("long")).alias(f"n_{fname}"))
         aggs.append(F.sum(dl.cast("long")).alias(f"sumdl_{fname}"))
@@ -433,7 +462,7 @@ def bm25_boosted_topk(
         return F.size(F.filter(f"tk_{fname}", lambda x: x == lit)).cast("double")
 
     total = None
-    for fname, _col, clauses in fields:
+    for fname, _col, clauses, arr in fields:
         n_f = stats[f"n_{fname}"]
         if not n_f:
             continue  # field absent corpus-wide: no stats, no contribution
@@ -474,7 +503,15 @@ def bm25_boosted_topk(
         )
         for gate, boost in clauses:
             if gate == "phrase":
-                g = F.when(padded.contains(f" {phrase} "), 1.0).otherwise(0.0)
+                if arr is not None:
+                    # array field: per-element phrase containment (ES
+                    # position_increment_gap — no cross-element phrases)
+                    hit = F.exists(
+                        f"el_{fname}", lambda p: p.contains(f" {phrase} ")
+                    )
+                else:
+                    hit = padded.contains(f" {phrase} ")
+                g = F.when(hit, 1.0).otherwise(0.0)
             elif gate == "and":
                 g = F.when(all_present, 1.0).otherwise(0.0)
             else:  # "or": plain match — bm25 itself gates on any-token
@@ -513,7 +550,9 @@ def search_concepts_bm25(
     fields = [
         (key, F.col(key) if key not in ("search_terms", "optional_terms")
          else F.array_join(F.coalesce(key, F.array().cast("array<string>")), " "),
-         clauses)
+         clauses,
+         # raw array for per-element phrase gates (position_increment_gap)
+         F.col(key) if key in ("search_terms", "optional_terms") else None)
         for key, clauses in CONCEPT_BM25_CLAUSES
     ]
     base = concepts.where(
@@ -541,7 +580,9 @@ def search_variables_bm25(
     fields = [
         (key, F.col(key) if key not in ("search_terms", "optional_terms")
          else F.array_join(F.coalesce(key, F.array().cast("array<string>")), " "),
-         clauses)
+         clauses,
+         # raw array for per-element phrase gates (position_increment_gap)
+         F.col(key) if key in ("search_terms", "optional_terms") else None)
         for key, clauses in VARIABLE_BM25_CLAUSES
     ]
     base = variables

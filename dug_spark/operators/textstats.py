@@ -143,13 +143,20 @@ def language_id_ngram(
     (substr over a sequence — whole-stage codegen), each language score is
     ONE ``array_intersect`` against a literal profile array — no UDF, no
     join, no shuffle.  Catches what word-level stopword profiles miss
-    (agglutinative text, missing spaces, short fragments)."""
+    (agglutinative text, missing spaces, short fragments).
+
+    Only the first ``max_chars`` characters are scanned: language is
+    determined within a short prefix, and materializing one trigram
+    string per character of a megabyte-scale document would be a
+    per-row memory amplification the 100 TB corpus cannot afford."""
     profiles = profiles or NGRAM_PROFILES
+    max_chars = 4096
     # substring needs a column start position — SQL transform handles it
+    head = f"substring(lower({text_col}), 1, {max_chars})"
     grams = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)), "
-            f"i -> substring(lower({text_col}), i, 3))"
+            f"transform(sequence(1, greatest(length({head}) - 2, 1)), "
+            f"i -> substring({head}, i, 3))"
         )
     )
     best_lang = F.lit("unk")

@@ -202,6 +202,8 @@ class CheckpointManager:
             self._record(spark, stage, df, wall_ms=-1, lineage=None)
 
     def _has_manifest_rows(self, spark: SparkSession, stage: str) -> bool:
+        from pyspark.errors import AnalysisException
+
         try:
             return (
                 self.manifest(spark)
@@ -210,7 +212,11 @@ class CheckpointManager:
                 .count()
                 > 0
             )
-        except Exception:  # no _manifest dir yet
+        except (FileNotFoundError, AnalysisException):
+            # no _manifest dir yet / no readable record files — the
+            # legitimate "nothing recorded" states.  Anything else (e.g.
+            # corrupt parquet at read time) must SURFACE, not silently
+            # trigger a duplicate backfill over real rows.
             return False
 
     def run_or_resume(

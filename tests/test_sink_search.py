@@ -701,3 +701,54 @@ def test_bm25_boosted_fuzzy_and_gate(spark):
         ).collect()
     }
     assert out0["d1"] < out["d1"]
+
+
+def test_phrase_gate_not_across_array_elements(spark):
+    """ES position_increment_gap: a phrase must NOT match across
+    search_terms array elements — only within one element."""
+    rows = [
+        ("c1", "name one", "desc text", ["heart attack", "stroke risk"], [], "t"),
+        ("c2", "name two", "desc text", ["attack stroke inside"], [], "t"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "concept_id string, name string, description string, "
+        "search_terms array<string>, optional_terms array<string>, type string",
+    )
+    out = {
+        r["concept_id"]: r["score"]
+        for r in search.search_concepts_bm25(df, "attack stroke", k=10).collect()
+    }
+    # identical joined-token stats for both, so any score gap is the gate:
+    # c2 (phrase inside ONE element) must outrank c1 (phrase only across
+    # the c1 element boundary: "...attack","stroke...")
+    assert out["c2"] > out["c1"]
+
+
+def test_fuzzy_cap_keeps_original_token(spark):
+    """max_expansions never evicts the distance-0 query token from its
+    own group."""
+    vocab = " ".join(f"con{c}e" for c in "abcdefghij") + " cone"
+    df = spark.createDataFrame([(1, vocab)], "doc_id long, text string")
+    from dug_spark.functions import analyzer
+
+    base = df.select(analyzer.analyze_col(F.col("text")).alias("tk"))
+    groups = search.fuzzy_expand_terms(
+        base, F.col("tk"), ["cone"], max_expansions=3
+    )
+    assert "cone" in groups["cone"]
+    assert len(groups["cone"]) == 3
+
+
+def test_simple_negated_phrase_null_field(spark):
+    """A purely-negated clause matches rows whose field is NULL (ES
+    must_not semantics) — the coalesce regression guard."""
+    rows = [("v1", None, "plain text", [], [], ["C1"])]
+    df = spark.createDataFrame(
+        rows,
+        "element_id string, element_name string, element_desc string, "
+        "search_terms array<string>, optional_terms array<string>, "
+        "identifiers array<string>",
+    ).withColumn("data_type", F.lit("d"))
+    hits = search.search_variables(df, '-"heart attack" text').collect()
+    assert [h["element_id"] for h in hits] == ["v1"]
