@@ -187,3 +187,142 @@ def fingerprint(
         .withColumn("fp_min", F.array_min(windows))
         .withColumn("fp_max", F.array_max(windows))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + repetition signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1) and C4-style line cleaning
+# (Raffel et al. 2020, §2.2) — the published web-corpus filter rules,
+# implemented as pure column expressions (no UDF, no shuffle).
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition signals from the Gopher repetition-removal family:
+    duplicate-line fraction, duplicate word-3-gram fraction (fraction of
+    3-gram OCCURRENCES that repeat an earlier occurrence), and the
+    top-word frequency ratio.  All per-row array math; the top-word scan
+    is O(distinct·n) per row — bounded because quality filtering runs on
+    chunk/document units, not concatenated corpora."""
+    lines = F.split(text_col, "\n")
+    n_lines = F.size(lines)
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= 3 THEN "
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, 3))) "
+        f"ELSE array() END"
+    ).cast("array<string>")
+    top_word_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda y: y == w)),
+        )
+    )
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            F.round(
+                1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines, 6
+            ),
+        )
+        .withColumn(
+            "dup_3gram_frac",
+            F.when(
+                F.size(grams) > 0,
+                F.round(
+                    1.0 - F.size(F.array_distinct(grams)).cast("double")
+                    / F.size(grams),
+                    6,
+                ),
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "top_word_frac", F.round(top_word_n.cast("double") / n, 6)
+        )
+    )
+
+
+#: minimal english stopword probe for the Gopher "has common words" rule
+#: (the paper checks ≥2 of: the, be, to, of, and, that, have, with)
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality gates (Rae et al. 2021, §A1.1), each
+    as its own boolean column plus the conjunction ``gopher_keep``:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio (# or ellipsis) ≤ 0.1
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    - ≥ 80% of words contain ≥1 alphabetic character
+    - ≥ 2 of 8 common english stopwords present
+    - repetition: duplicate-line fraction ≤ 0.30, top-word fraction ≤ 0.20
+
+    Deterministic, cross-checked by a DuckDB mirror in pytest."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    sumlen = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_wl = sumlen.cast("double") / n
+    hash_n = F.length(text_col) - F.length(F.regexp_replace(text_col, "#", ""))
+    ellipsis_n = F.size(F.split(text_col, r"\.\.\.")) - 1
+    symbol_ratio = (hash_n + ellipsis_n).cast("double") / n
+    lines = F.split(text_col, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).startswith("-")
+                        | F.trim(l).startswith("*"))).cast("double") / n_lines
+    )
+    ellipsis_line_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("..."))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    stop_n = F.size(F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS)))
+    out = repetition_stats(df, text_col)
+    rules = {
+        "g_word_count": (n >= 50) & (n <= 100_000),
+        "g_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "g_symbol_ratio": symbol_ratio <= 0.1,
+        "g_bullet_lines": bullet_frac <= 0.9,
+        "g_ellipsis_lines": ellipsis_line_frac <= 0.3,
+        "g_alpha_words": alpha_frac >= 0.8,
+        "g_stopwords": stop_n >= 2,
+        "g_dup_lines": F.col("dup_line_frac") <= 0.3,
+        "g_top_word": F.col("top_word_frac") <= 0.2,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = reduce_and = None
+    for name in rules:
+        c = F.col(name)
+        reduce_and = c if reduce_and is None else (reduce_and & c)
+    return out.withColumn("gopher_keep", reduce_and)
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020, §2.2): keep only lines
+    that end in terminal punctuation and contain ≥ 5 words; drop any line
+    containing boilerplate markers (lowercase 'javascript', 'cookie
+    policy', 'terms of use'); rebuild the text and keep documents with
+    ≥ 3 surviving lines.  Adds ``clean_text`` and ``n_kept_lines``
+    (original column untouched — callers decide replacement)."""
+    lines = F.split(text_col, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike("[.!?\"']$")
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & ~F.lower(l).contains("javascript")
+        & ~F.lower(l).contains("cookie policy")
+        & ~F.lower(l).contains("terms of use"),
+    )
+    return (
+        df.withColumn("clean_text", F.array_join(kept, "\n"))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("c4_keep", F.size(kept) >= 3)
+    )

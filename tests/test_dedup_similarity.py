@@ -343,3 +343,110 @@ def test_bm25_scan_prunes_columns(spark):
         .toString()
     )
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gates + C4 line cleaning (round 4) — validated against an
+# independent pure-Python recompute of the published rules
+
+
+def _py_gopher_row(text):
+    import re
+
+    toks = text.split(" ")
+    n = len(toks)
+    lines = text.split("\n")
+    nl = len(lines)
+    words = toks
+    dup_line = round(1.0 - len(set(lines)) / nl, 6)
+    if len(words) >= 3:
+        grams = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        dup_3g = round(1.0 - len(set(grams)) / len(grams), 6)
+    else:
+        dup_3g = 0.0
+    top_word = round(max(toks.count(w) for w in set(toks)) / n, 6)
+    mean_wl = sum(len(w) for w in toks) / n
+    sym = (text.count("#") + (len(text.split("...")) - 1)) / n
+    bullets = sum(
+        1 for l in lines if l.strip(" ").startswith(("-", "*"))
+    ) / nl
+    ell = sum(1 for l in lines if l.strip(" ").endswith("...")) / nl
+    alpha = sum(1 for w in toks if re.search("[a-zA-Z]", w)) / n
+    stop = sum(
+        1
+        for w in toks
+        if w.lower() in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    rules = {
+        "dup_line_frac": dup_line,
+        "dup_3gram_frac": dup_3g,
+        "top_word_frac": top_word,
+        "g_word_count": 50 <= n <= 100_000,
+        "g_mean_word_len": 3.0 <= mean_wl <= 10.0,
+        "g_symbol_ratio": sym <= 0.1,
+        "g_bullet_lines": bullets <= 0.9,
+        "g_ellipsis_lines": ell <= 0.3,
+        "g_alpha_words": alpha >= 0.8,
+        "g_stopwords": stop >= 2,
+        "g_dup_lines": dup_line <= 0.3,
+        "g_top_word": top_word <= 0.2,
+    }
+    rules["gopher_keep"] = all(
+        v for k, v in rules.items() if k.startswith("g_")
+    )
+    return rules
+
+
+def test_gopher_quality_matches_python_recompute(spark, docs):
+    crafted = [
+        (9001, "- bullet one\n- bullet two\n- bullet three", "en"),
+        (9002, "trailing dots...\nmore dots...\nplain line here ok", "en"),
+        (9003, " ".join(["the word cycle of and that"] * 20), "en"),
+        (9004, "#### #### #### many symbols # here", "en"),
+        (9005, "dup line\ndup line\ndup line\nunique", "en"),
+    ]
+    sample = docs.limit(60).select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(i, txt) for i, txt, _l in crafted], "doc_id long, text string"
+        )
+    )
+    out = textstats.gopher_quality(sample).collect()
+    assert len(out) == 65
+    cols = [
+        "dup_line_frac", "dup_3gram_frac", "top_word_frac", "g_word_count",
+        "g_mean_word_len", "g_symbol_ratio", "g_bullet_lines",
+        "g_ellipsis_lines", "g_alpha_words", "g_stopwords", "g_dup_lines",
+        "g_top_word", "gopher_keep",
+    ]
+    for r in out:
+        want = _py_gopher_row(r["text"])
+        got = {c: r[c] for c in cols}
+        assert got == want, (r["doc_id"], got, want)
+    by_id = {r["doc_id"]: r for r in out}
+    assert not by_id[9005]["g_dup_lines"]
+    assert not by_id[9004]["g_symbol_ratio"]
+    assert not by_id[9001]["gopher_keep"]
+
+
+def test_c4_line_clean(spark):
+    text = "\n".join(
+        [
+            "This line has five words total.",   # kept
+            "Too short line.",                    # <5 words
+            "no terminal punctuation on this line at all",  # no punct
+            "Please enable javascript to continue browsing here.",  # marker
+            "Another proper sentence with enough words here!",      # kept
+            "And a third good sentence closes the document.",       # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, text), (2, "tiny.\nshort.")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.c4_line_clean(df).collect()}
+    kept = out[1]["clean_text"].split("\n")
+    assert kept == [
+        "This line has five words total.",
+        "Another proper sentence with enough words here!",
+        "And a third good sentence closes the document.",
+    ]
+    assert out[1]["n_kept_lines"] == 3 and out[1]["c4_keep"]
+    assert out[2]["n_kept_lines"] == 0 and not out[2]["c4_keep"]
