@@ -670,6 +670,31 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher §A1.1 document-quality gates + repetition signals (dup-line /
+    dup-3-gram / top-word fractions) over documents; VALUES oracle from the
+    independent rule recompute in pyoracle.gopher_rows."""
+    from dug_spark.operators import textstats
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.gopher_quality(d).drop("text")
+
+
+def q_text_c4_clean(spark, sf_dir):
+    """C4 §2.2 line cleaning over documents, projected to derived stats
+    (kept-line count, keep gate, cleaned length) so the oracle VALUES table
+    stays literal-only; recompute in pyoracle.c4_rows."""
+    from dug_spark.operators import textstats
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.c4_line_clean(d).select(
+        "doc_id",
+        "n_kept_lines",
+        "c4_keep",
+        F.length("clean_text").alias("clean_len"),
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     emb = _pq(spark, sf_dir, "embeddings").select(
@@ -983,6 +1008,23 @@ def _pyoracle_values() -> dict[str, str]:
                 "q_id, neighbor_id, rk, cos_sim",
                 "BIGINT, BIGINT, INTEGER, DOUBLE",
             ),
+            # published web-corpus filter rule sets (Gopher §A1.1 / C4
+            # §2.2): independent pure-Python recompute of the rules
+            "text_gopher": _values_or_empty(
+                po.gopher_rows(docs),
+                "doc_id, dup_line_frac, dup_3gram_frac, top_word_frac, "
+                "g_word_count, g_mean_word_len, g_symbol_ratio, "
+                "g_bullet_lines, g_ellipsis_lines, g_alpha_words, "
+                "g_stopwords, g_dup_lines, g_top_word, gopher_keep",
+                "BIGINT, DOUBLE, DOUBLE, DOUBLE, BOOLEAN, BOOLEAN, "
+                "BOOLEAN, BOOLEAN, BOOLEAN, BOOLEAN, BOOLEAN, BOOLEAN, "
+                "BOOLEAN, BOOLEAN",
+            ),
+            "text_c4_clean": _values_or_empty(
+                po.c4_rows(docs),
+                "doc_id, n_kept_lines, c4_keep, clean_len",
+                "BIGINT, INTEGER, BOOLEAN, INTEGER",
+            ),
         }
     except (OSError, duckdb.Error) as e:
         # expected degradations only (missing/unreadable parquet): a BUG
@@ -1168,8 +1210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_facet_counts": q_rel_facet_counts,
         "rel_program_list": q_rel_program_list,
         "rel_top_events_per_user": q_rel_top_events_per_user,
-        "rel_semi_join": q_rel_semi_join,
-        "rel_anti_join": q_rel_anti_join,
+        # round 4: the trivial TPC-H semi/anti-join rows (semi/anti
+        # semantics stay pytest- and kg-query-covered; anti was a 0-row
+        # oracle) ceded their registry slots to the published web-corpus
+        # filter rule sets — first-class training-data operators
+        "text_gopher": q_text_gopher,
+        "text_c4_clean": q_text_c4_clean,
         "rel_union_dedup": q_rel_union_dedup,
         "rel_grouped_collect": q_rel_grouped_collect,
         "rel_merge_upsert": q_rel_merge_upsert,
@@ -1418,14 +1464,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, value, ROW_NUMBER() OVER "
             "(PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk FROM events) "
             "WHERE rk <= 3"
-        ),
-        "rel_semi_join": (
-            "SELECT c_custkey, c_name FROM customer c "
-            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
-        ),
-        "rel_anti_join": (
-            "SELECT c_custkey, c_name FROM customer c "
-            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
         "rel_union_dedup": (
             "SELECT c_nationkey AS nationkey FROM customer "

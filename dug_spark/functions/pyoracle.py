@@ -323,3 +323,93 @@ def ivf_topk(
         for rk, (cos, c) in enumerate(ranked, 1):
             out.append((qid, c, rk, round_half_up(cos, 6)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Published web-corpus filter rules (Gopher / C4) — independent recompute of
+# the rule sets from the papers (Rae et al. 2021 §A1.1; Raffel et al. 2020
+# §2.2) over plain Python strings, sharing no code with the Spark column
+# expressions in operators/textstats.py.  Used as VALUES oracles for the
+# text_gopher / text_c4_clean contract queries.
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rows(
+    docs: list[tuple[int, str]],
+) -> list[tuple]:
+    """(doc_id, dup_line_frac, dup_3gram_frac, top_word_frac, g_word_count,
+    g_mean_word_len, g_symbol_ratio, g_bullet_lines, g_ellipsis_lines,
+    g_alpha_words, g_stopwords, g_dup_lines, g_top_word, gopher_keep) per
+    document, fractions rounded HALF_UP to 6 (Spark round semantics)."""
+    import re
+
+    out = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        lines = text.split("\n")
+        nl = len(lines)
+        dup_line = round_half_up(1.0 - len(set(lines)) / nl, 6)
+        if n >= 3:
+            grams = [" ".join(toks[i : i + 3]) for i in range(n - 2)]
+            dup_3g = round_half_up(1.0 - len(set(grams)) / len(grams), 6)
+        else:
+            dup_3g = 0.0
+        counts: dict[str, int] = {}
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        top_word = round_half_up(max(counts.values()) / n, 6)
+        mean_wl = sum(len(w) for w in toks) / n
+        sym = (text.count("#") + (len(text.split("...")) - 1)) / n
+        bullets = sum(1 for l in lines if l.strip(" ").startswith(("-", "*"))) / nl
+        ell = sum(1 for l in lines if l.strip(" ").endswith("...")) / nl
+        alpha = sum(1 for w in toks if re.search("[a-zA-Z]", w)) / n
+        stop_n = sum(1 for w in toks if w.lower() in _GOPHER_STOPS)
+        g = {
+            "g_word_count": 50 <= n <= 100_000,
+            "g_mean_word_len": 3.0 <= mean_wl <= 10.0,
+            "g_symbol_ratio": sym <= 0.1,
+            "g_bullet_lines": bullets <= 0.9,
+            "g_ellipsis_lines": ell <= 0.3,
+            "g_alpha_words": alpha >= 0.8,
+            "g_stopwords": stop_n >= 2,
+            "g_dup_lines": dup_line <= 0.3,
+            "g_top_word": top_word <= 0.2,
+        }
+        out.append(
+            (doc_id, dup_line, dup_3g, top_word)
+            + tuple(g.values())
+            + (all(g.values()),)
+        )
+    return out
+
+
+def c4_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, n_kept_lines, c4_keep, clean_len) per document under the
+    C4 line filters: terminal punctuation, >=5 whitespace words, no
+    javascript/cookie-policy/terms-of-use boilerplate; keep docs with
+    >=3 surviving lines.  clean_len = len of the newline-rejoined text."""
+    import re
+
+    out = []
+    for doc_id, text in docs:
+        kept = []
+        for l in text.split("\n"):
+            t = l.strip(" ")
+            if not re.search("[.!?\"']$", t):
+                continue
+            if len(re.split(r"\s+", t)) < 5:
+                continue
+            low = l.lower()
+            if (
+                "javascript" in low
+                or "cookie policy" in low
+                or "terms of use" in low
+            ):
+                continue
+            kept.append(l)
+        out.append(
+            (doc_id, len(kept), len(kept) >= 3, len("\n".join(kept)))
+        )
+    return out

@@ -175,3 +175,40 @@ def test_round_half_up_matches_spark(spark):
     got = {r["x"]: r["r"] for r in rows}
     for x in samples:
         assert po.round_half_up(x, 6) == got[x], x
+
+
+def test_gopher_rows_python_recompute(spark, alldocs):
+    """pyoracle.gopher_rows (independent rule recompute) agrees with the
+    Spark gopher_quality operator on every sf0.001 document."""
+    from dug_spark.operators import textstats
+
+    df = spark.createDataFrame(alldocs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["doc_id"], r["dup_line_frac"], r["dup_3gram_frac"],
+            r["top_word_frac"], r["g_word_count"], r["g_mean_word_len"],
+            r["g_symbol_ratio"], r["g_bullet_lines"], r["g_ellipsis_lines"],
+            r["g_alpha_words"], r["g_stopwords"], r["g_dup_lines"],
+            r["g_top_word"], r["gopher_keep"],
+        )
+        for r in textstats.gopher_quality(df).collect()
+    }
+    want = {t[0]: t for t in po.gopher_rows(alldocs)}
+    assert got == want
+
+
+def test_c4_rows_python_recompute(spark, alldocs):
+    """pyoracle.c4_rows agrees with the Spark c4_line_clean operator
+    (projected to the contract-query stats) on every sf0.001 document."""
+    from dug_spark.operators import textstats
+
+    df = spark.createDataFrame(alldocs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["doc_id"], r["n_kept_lines"], r["c4_keep"], r["clean_len"])
+        for r in textstats.c4_line_clean(df)
+        .select("doc_id", "n_kept_lines", "c4_keep",
+                F.length("clean_text").alias("clean_len"))
+        .collect()
+    }
+    want = {t[0]: t for t in po.c4_rows(alldocs)}
+    assert got == want
