@@ -288,6 +288,12 @@ def main():
         # min-of-N per level is an unbiased floor estimator — host steal
         # only ever ADDS time — so every extra interleaved pair tightens
         # both floors across the host's ~minutes-long storm cycles.
+        # The budget exit stays value-blind, but never before MIN_PAIRS
+        # pairs: min-of-N only rides out a storm if there ARE multiple
+        # time-separated samples — a storm long enough to eat the whole
+        # budget during pair 1 otherwise ships a single-sample artifact
+        # (observed: one 334 s lo sample → a nonsense 1.77 "efficiency").
+        min_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_PAIRS", "3"))
         eff_history = []
         for i in range(SCALE_SAMPLES):
             los.append(_child_sample(SCALE_LO, SCALE_REPLICATE, runs_lo))
@@ -297,7 +303,11 @@ def main():
                 / max(s["docs_per_sec"] for s in los)
             ) / (SCALE_HI / SCALE_LO)
             eff_history.append(round(cur, 3))
-            if time.monotonic() - t_start > budget_s and i + 1 < SCALE_SAMPLES:
+            if (
+                time.monotonic() - t_start > budget_s
+                and i + 1 >= min_pairs
+                and i + 1 < SCALE_SAMPLES
+            ):
                 break
         lo = min(los, key=lambda s: s["secs"])
         hi = min(his, key=lambda s: s["secs"])

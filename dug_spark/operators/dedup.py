@@ -441,3 +441,74 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def cross_doc_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 0,
+) -> DataFrame:
+    """Corpus-global line-level deduplication (the C4 §2.2 global rule,
+    which the per-document ``textstats.c4_line_clean`` does NOT cover:
+    C4 additionally removes every repeated span from all but one page
+    across the whole corpus — Raffel et al. 2020, "we discard all but
+    one of any three-sentence span occurring more than once"; here at
+    line granularity, the common line-level variant).
+
+    Keeps the single occurrence with the smallest (id, line position);
+    lines shorter than ``min_words`` whitespace words are exempt from
+    dedup (kept everywhere) so structural one-word lines don't collapse
+    documents.  Returns (id, clean_text, n_lines_kept, n_lines_removed).
+
+    Scale shape (the 100 TB plan): posexplode is narrow; ONE wide shuffle
+    hash-partitions line occurrences by line content for the keeper
+    election (a window rank, so no separate agg + join-back pass); the
+    reassembly groupBy shuffles by doc id.  Hot boilerplate lines (empty
+    string, "Home") are the skew risk — they land in one partition each,
+    bounded by AQE skew splitting, and the exempt ``min_words`` guard
+    removes the worst offenders before the shuffle."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(text_col, "\n")).alias("_idx", "_line"),
+    )
+    exempt = F.size(F.split(F.trim("_line"), r"\s+")) < min_words
+    # Partition by the line VALUE, not a hash of it: a 64-bit hash
+    # collision would merge two distinct lines into one keeper election
+    # and silently drop real content; Spark hash-partitions the string
+    # for the exchange anyway, so the shuffle cost is identical.
+    # Exempt rows get a singleton partition key (their own id+idx): they
+    # trivially rank 1, and — the point at scale — a boilerplate line
+    # with 10^11 occurrences no longer lands in ONE window partition;
+    # its rows spread across the cluster like any unique key.
+    w = Window.partitionBy(
+        "_exempt",
+        F.when(F.col("_exempt"), F.col("_id")).otherwise(F.lit(0)),
+        F.when(F.col("_exempt"), F.col("_idx")).otherwise(F.lit(0)),
+        "_line",
+    ).orderBy(F.asc("_id"), F.asc("_idx"))
+    kept = (
+        lines.withColumn("_exempt", exempt)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_keep", F.col("_rk") == 1)
+    )
+    return (
+        kept.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_idx", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("_keep").cast("int")).alias("n_lines_kept"),
+            F.sum((~F.col("_keep")).cast("int")).alias("n_lines_removed"),
+        )
+    )

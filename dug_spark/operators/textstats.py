@@ -326,3 +326,118 @@ def c4_line_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_kept_lines", F.size(kept))
         .withColumn("c4_keep", F.size(kept) >= 3)
     )
+
+
+#: PII patterns for web-corpus scrubbing (the standard pre-training
+#: redaction pass — e.g. BigScience ROOTS / BigCode StarCoder pipelines
+#: redact emails, IPs, and phone-like numbers before release).  Order
+#: matters: email before phone so the digits in a local-part aren't
+#: half-eaten by the phone pattern.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])"
+        r"[0-9]{3}[-. ][0-9]{4}(?![0-9])",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-number shapes from a text
+    column: adds ``redacted_text`` plus one ``n_<kind>`` count column per
+    pattern and ``pii_found``.  Pure ``regexp_replace``/``regexp_count``
+    chains — JVM regex inside whole-stage codegen, no UDF, no shuffle;
+    at 100 TB this is a map-only pass that pushes nothing."""
+    out = df
+    red = F.col(text_col)
+    for kind, pat, token in _PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(red, F.lit(pat)))
+        red = F.regexp_replace(red, pat, token)
+    out = out.withColumn("redacted_text", red)
+    total = None
+    for kind, _p, _t in _PII_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else (total + c)
+    return out.withColumn("pii_found", total > 0)
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL decomposition for Common-Crawl-shaped corpora: host (lowercase,
+    ``www.``-stripped), registrable-ish domain (last two host labels),
+    path depth, https flag, and ``norm_url`` — scheme+host lowercased,
+    fragment dropped, trailing slash stripped — the key URL-level dedup
+    joins on.  ``parse_url`` + regexp chains, fully codegen, map-only."""
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    labels = F.split(host, r"\.")
+    domain = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    norm = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    # lowercase ONLY scheme+authority (path/query are case-significant),
+    # THEN strip the www. prefix — the strip regex is case-sensitive so
+    # it must see the lowered authority
+    norm = F.concat(
+        F.lower(F.regexp_extract(norm, r"^[^/]*//[^/]*", 0)),
+        F.regexp_replace(norm, r"^[^/]*//[^/]*", ""),
+    )
+    norm = F.regexp_replace(norm, r"^(https?)://www\.", "$1://")
+    norm = F.regexp_replace(norm, r"/$", "")
+    return (
+        df.withColumn("host", host)
+        .withColumn("domain", domain)
+        .withColumn(
+            "path_depth",
+            F.size(F.filter(F.split(path, "/"), lambda s: s != "")),
+        )
+        .withColumn("is_https", F.col(url_col).startswith("https://"))
+        .withColumn("norm_url", norm)
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", order_col: str = "warc_ts"
+) -> DataFrame:
+    """Keep one row per normalized URL — for re-crawled corpora, the
+    newest capture (max ``order_col``, ties to the lexically-largest url
+    for determinism).  One shuffle keyed by norm_url; the max_by keeper
+    election is a partial-aggregating groupBy, not a window sort."""
+    feats = url_features(df, url_col)
+    keep = feats.groupBy("norm_url").agg(
+        F.max_by(
+            F.struct(F.col(url_col).alias("u"), F.col(order_col).alias("o")),
+            F.struct(F.col(order_col).alias("o"), F.col(url_col).alias("u")),
+        ).alias("_k"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    return keep.select(
+        "norm_url",
+        F.col("_k.u").alias(url_col),
+        F.col("_k.o").alias(order_col),
+        "n_captures",
+    )
+
+
+def host_profile(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per-host corpus profile (doc count, total/mean text bytes, https
+    share) — the aggregation behind host-level blocklists and sampling
+    caps.  Partial-aggregating groupBy on host; hot hosts are bounded by
+    map-side combine (one row per host per partition reaches the
+    shuffle)."""
+    feats = url_features(df, url_col)
+    return feats.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.round(F.avg(F.length(text_col)), 2).alias("mean_chars"),
+        F.round(F.avg(F.col("is_https").cast("double")), 6).alias("https_share"),
+    )

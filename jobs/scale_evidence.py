@@ -214,6 +214,30 @@ def main():
         "variables": n_vars,
         "facet_rows": n_facets,
     }
+
+    # --- corpus-global line dedup at 1.6M docs (round 4) ----------------
+    # Every source doc becomes a `replicate`-member identical cluster at
+    # line granularity — the adversarial case for the keeper-election
+    # window (each distinct line value has `replicate` occurrences; the
+    # hottest shared lines are exactly what min_words exempts into
+    # singleton partitions).  Records wall time + removed-line count and
+    # asserts the plan stayed at two exchanges (window + reassembly).
+    t0 = time.monotonic()
+    cdl = dedup.cross_doc_line_dedup(docs, min_words=2)
+    removed = cdl.agg(
+        F.sum("n_lines_removed").alias("r"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    out["cross_doc_line_dedup"] = {
+        "docs": n_docs,
+        "secs": round(time.monotonic() - t0, 1),
+        "lines_removed": int(removed["r"]),
+        "docs_out": int(removed["n"]),
+        "two_exchange_plan": cdl._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning")
+        == 2,
+    }
     print(json.dumps(out))
 
 

@@ -450,3 +450,175 @@ def test_c4_line_clean(spark):
     ]
     assert out[1]["n_kept_lines"] == 3 and out[1]["c4_keep"]
     assert out[2]["n_kept_lines"] == 0 and not out[2]["c4_keep"]
+
+
+def test_cross_doc_line_dedup_matches_python_recompute(spark, docs):
+    crafted = [
+        (9101, "shared boilerplate line here\nunique alpha one\nshared boilerplate line here"),
+        (9102, "shared boilerplate line here\nunique beta two"),
+        (9103, "ok\nunique gamma three\nok"),
+    ]
+    sample = (
+        docs.limit(40)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(crafted, "doc_id long, text string")
+        )
+    )
+    rows = [(r["doc_id"], r["text"]) for r in sample.collect()]
+
+    # independent python recompute: global first-occurrence keeper
+    first_seen = {}
+    for did, text in sorted(rows):
+        for idx, line in enumerate(text.split("\n")):
+            if len(line.strip().split()) < 2:
+                continue  # exempt under min_words=2
+            first_seen.setdefault(line, (did, idx))
+    want = {}
+    for did, text in rows:
+        kept, removed = [], 0
+        for idx, line in enumerate(text.split("\n")):
+            exempt = len(line.strip().split()) < 2
+            if exempt or first_seen[line] == (did, idx):
+                kept.append(line)
+            else:
+                removed += 1
+        want[did] = ("\n".join(kept), len(kept), removed)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_removed"])
+        for r in dedup.cross_doc_line_dedup(sample, min_words=2).collect()
+    }
+    assert got == want
+    # the crafted duplicates resolved globally: 9101 keeps the first copy,
+    # 9102 and 9101's second copy lose theirs; short "ok" lines exempt
+    assert got[9102][2] == 1
+    assert got[9101][2] == 1
+    assert got[9103][0] == "ok\nunique gamma three\nok"
+
+
+def test_cross_doc_line_dedup_plan_has_two_exchanges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c\nd e f"), (2, "a b c\ng h i")], "doc_id long, text string"
+    )
+    plan = dedup.cross_doc_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the keeper-election window + one for the doc
+    # reassembly; anything more means an accidental join-back crept in
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_redact_pii(spark):
+    from dug_spark.operators import textstats
+
+    rows = [
+        (1, "contact me at john.doe+spam@example.co.uk or call 555-867-5309."),
+        (2, "server at 192.168.1.254 responded; not an ip: 999.999.1.1"),
+        (3, "(919) 555-0100 and +44 202 555 0199 are phones; 12345 is not"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["redacted_text"] == "contact me at <EMAIL> or call <PHONE>."
+    assert out[2]["n_ipv4"] == 1
+    assert "<IP>" in out[2]["redacted_text"]
+    assert "999.999.1.1" in out[2]["redacted_text"]  # not a valid IPv4
+    assert out[3]["n_phone"] == 2
+    assert out[4]["pii_found"] is False and out[4]["redacted_text"] == rows[3][1]
+
+
+def test_curate_corpus_end_to_end(spark, docs):
+    from dug_spark.operators import curate
+
+    crafted = [
+        (9201, "this document is a fine keeper with plenty of words to say.\n"
+               "the second line also ends with proper punctuation and length.\n"
+               "a third good line keeps the c4 gate happy over here today.\n"
+               + " ".join(
+                   "the quick brown fox jumps of and that have with".split()
+               * 6) + " extra closing sentence of the document ends now."),
+        (9202, "short."),  # fails c4 (<3 surviving lines)
+        (9203, "mail me at alice@example.com right away please thanks.\n"
+               "the second line also ends with proper punctuation and length.\n"
+               "one more terminal sentence with the and of that have with here.\n"
+               + " ".join(
+                   "the quick brown fox jumps of and that have with".split()
+               * 6) + " a distinct closing sentence of the document here."),
+    ]
+    sample = (
+        docs.limit(30)
+        .select("doc_id", "text")
+        .unionByName(spark.createDataFrame(crafted, "doc_id long, text string"))
+    )
+    out = {r["doc_id"]: r for r in curate.curate_corpus(sample).collect()}
+    assert len(out) == 33
+    assert not out[9202]["c4_keep"] and not out[9202]["keep"]
+    assert out[9202]["curated_text"] is None
+    # 9203's email is redacted in the curated text, counted in the funnel
+    assert out[9203]["n_email"] == 1 and out[9203]["pii_found"]
+    if out[9203]["keep"]:
+        assert "<EMAIL>" in out[9203]["curated_text"]
+        assert "alice@example.com" not in out[9203]["curated_text"]
+    # the shared long line was globally deduped: keeper election is
+    # deterministic (smallest (doc_id, idx)), so 9201 keeps it and 9203
+    # loses exactly that line
+    shared = "the second line also ends with proper punctuation and length."
+    assert out[9203]["n_lines_removed"] == 1
+    assert out[9201]["n_lines_removed"] == 0
+    if out[9201]["curated_text"]:
+        assert shared in out[9201]["curated_text"]
+    if out[9203]["curated_text"]:
+        assert shared not in out[9203]["curated_text"]
+
+    rep = curate.curation_report(curate.curate_corpus(sample)).collect()[0]
+    assert rep["n_docs"] == 33
+    assert rep["n_kept"] <= rep["n_c4_keep"]
+    assert rep["n_emails"] >= 1
+
+
+def test_url_features_and_dedup(spark):
+    from dug_spark.operators import textstats
+
+    rows = [
+        (1, "https://WWW.Example.ORG/a/b/c?q=1#frag", "2020-01-01 00:00:01", "t1"),
+        (2, "https://example.org/a/b/c?q=1", "2020-01-02 00:00:00", "t2"),
+        (3, "http://sub.news.example.co/story/", "2020-01-01 00:00:00", "t3"),
+        (4, "https://example.org/", "2020-01-01 00:00:00", "t4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, ts string, text string"
+    ).withColumn("warc_ts", F.to_timestamp("ts"))
+    feats = {r["doc_id"]: r for r in textstats.url_features(df).collect()}
+    assert feats[1]["host"] == "example.org"
+    assert feats[1]["domain"] == "example.org"
+    assert feats[1]["path_depth"] == 3
+    assert feats[1]["norm_url"] == "https://example.org/a/b/c?q=1"
+    assert feats[2]["norm_url"] == "https://example.org/a/b/c?q=1"
+    assert feats[3]["host"] == "sub.news.example.co"
+    assert feats[3]["domain"] == "example.co"
+    assert feats[3]["is_https"] is False
+    assert feats[4]["norm_url"] == "https://example.org"
+    assert feats[4]["path_depth"] == 0
+
+    # urls 1 and 2 normalize identically; the NEWER capture (doc 2) wins
+    kept = {r["norm_url"]: r for r in textstats.dedup_by_url(df).collect()}
+    assert len(kept) == 3
+    winner = kept["https://example.org/a/b/c?q=1"]
+    assert winner["url"] == "https://example.org/a/b/c?q=1"
+    assert winner["n_captures"] == 2
+
+
+def test_host_profile(spark):
+    from dug_spark.operators import textstats
+
+    rows = [
+        (1, "https://a.com/x", "aaaa"),
+        (2, "https://a.com/y", "bbbbbb"),
+        (3, "http://b.com/z", "cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    prof = {r["host"]: r for r in textstats.host_profile(df).collect()}
+    assert prof["a.com"]["n_docs"] == 2
+    assert prof["a.com"]["total_chars"] == 10
+    assert prof["a.com"]["https_share"] == 1.0
+    assert prof["b.com"]["https_share"] == 0.0
