@@ -150,3 +150,30 @@ def sessionize_events(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_curate(corpus_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming corpus curation: C4 line cleaning + Gopher gates + PII
+    redaction applied NATIVELY to a streaming DataFrame — all three are
+    narrow column expressions (PLANS.md), so they run inside the stream
+    with no state, no watermark, and exactly-once via the sink checkpoint.
+
+    What deliberately stays OUT of the stream: corpus-global line dedup
+    and exact-dup keeper election are cross-row/cross-batch aggregations
+    whose "global" is undefined over an unbounded stream — they run as a
+    periodic batch compaction over the curated table instead (the same
+    operators, `dedup.cross_doc_line_dedup` / `exact_duplicates`, via
+    foreachBatch or a scheduled job).  Returns the input columns plus the
+    per-document verdict columns and ``curated_text`` (null for docs that
+    fail either gate)."""
+    from ..operators import textstats
+
+    staged = textstats.c4_line_clean(corpus_stream, text_col)
+    staged = textstats.gopher_quality(staged, text_col)
+    staged = textstats.redact_pii(staged, "clean_text")
+    keep = F.col("c4_keep") & F.col("gopher_keep")
+    return (
+        staged.withColumn("keep", keep)
+        .withColumn("curated_text", F.when(keep, F.col("redacted_text")))
+        .drop("clean_text", "redacted_text")
+    )

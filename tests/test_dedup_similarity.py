@@ -622,3 +622,43 @@ def test_host_profile(spark):
     assert prof["a.com"]["total_chars"] == 10
     assert prof["a.com"]["https_share"] == 1.0
     assert prof["b.com"]["https_share"] == 0.0
+
+
+def test_build_vocab(spark):
+    rows = [
+        (1, "spark spark spark join join filter"),
+        (2, "spark join scan scan"),
+        (3, "once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = [(r["token"], r["n"]) for r in textstats.build_vocab(df, top_n=3).collect()]
+    assert vocab == [("spark", 4), ("join", 3), ("scan", 2)]
+    # min_count excludes singletons entirely
+    all_tokens = {
+        r["token"] for r in textstats.build_vocab(df, top_n=100).collect()
+    }
+    assert "once" not in all_tokens and "filter" not in all_tokens
+
+
+def test_filter_by_host_blocklist(spark):
+    rows = [
+        (1, "https://spam.example.com/page", "a"),
+        (2, "https://news.bbc.co.uk/story", "b"),
+        (3, "https://good.org/fine", "c"),
+        (4, "https://example.com/root", "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    bl = spark.createDataFrame([("example.com",)], "host string")
+    kept = {r["doc_id"] for r in textstats.filter_by_host_blocklist(df, bl).collect()}
+    # subdomain matching drops spam.example.com AND example.com itself
+    assert kept == {2, 3}
+    kept_exact = {
+        r["doc_id"]
+        for r in textstats.filter_by_host_blocklist(
+            df, bl, match_subdomains=False
+        ).collect()
+    }
+    assert kept_exact == {1, 2, 3}
+    # output schema untouched by the helper columns
+    out = textstats.filter_by_host_blocklist(df, bl)
+    assert out.columns == ["doc_id", "url", "text"]

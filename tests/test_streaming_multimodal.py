@@ -433,3 +433,54 @@ def test_codec_numpy_pure_bit_identity_fuzz():
         assert codecs.wav_features(payload, use_numpy=True) == codecs.wav_features(
             payload, use_numpy=False
         )
+
+
+def test_stream_curate_native_map_only(spark, tmp_path):
+    """The curation map stages run natively in a stream (no foreachBatch):
+    file stream → stream_curate → memory sink, two micro-batches; output
+    matches the batch operators row-for-row."""
+    from dug_spark.streaming.ingest import stream_curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("doc_id") < 40
+    ).select("doc_id", "text")
+    crafted = spark.createDataFrame(
+        [(9301, "a fine first line with enough words right here.\n"
+                "mail bob@example.com with the second good line here.\n"
+                "the third line also ends properly with the word done.")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "cur_in")
+    docs.coalesce(1).write.parquet(in_dir)
+    crafted.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("select * from curated").collect()}
+    assert len(got) == 41
+    assert got[9301]["c4_keep"] and got[9301]["n_email"] == 1
+    # same rows as the batch path (stream_curate is the same column plan)
+    from dug_spark.operators import textstats
+
+    batch = textstats.redact_pii(
+        textstats.gopher_quality(
+            textstats.c4_line_clean(docs.unionByName(crafted)), "text"
+        ),
+        "clean_text",
+    )
+    want_keep = {
+        r["doc_id"]: (r["c4_keep"], r["gopher_keep"], r["pii_found"])
+        for r in batch.collect()
+    }
+    for did, r in got.items():
+        assert (r["c4_keep"], r["gopher_keep"], r["pii_found"]) == want_keep[did]
