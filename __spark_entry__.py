@@ -695,6 +695,88 @@ def q_text_c4_clean(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Full curation composition (C4 line clean → Gopher gates → PII
+    redaction → corpus-global line dedup → exact-doc keeper election) as
+    ONE frame; VALUES oracle from the independent pure-Python recompute
+    in pyoracle.curate_rows.  curated_len uses -1 (not NULL) for dropped
+    docs so the VALUES table stays literal-only."""
+    from dug_spark.operators.curate import curate_corpus
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id", "text")
+    cur = curate_corpus(d)
+    return cur.select(
+        "doc_id",
+        "c4_keep",
+        "gopher_keep",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "pii_found",
+        "n_lines_removed",
+        "is_canonical_copy",
+        "keep",
+        F.coalesce(F.length("curated_text"), F.lit(-1)).alias("curated_len"),
+    )
+
+
+def q_build_vocab(spark, sf_dir):
+    """Corpus token-frequency top-500 (tokenizer-training prep): one
+    partial-aggregating shuffle on token + TakeOrdered — SQL oracle."""
+    from dug_spark.operators import textstats
+
+    return textstats.build_vocab(
+        _pq(spark, sf_dir, "documents"), top_n=500, min_count=2
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Newest-capture URL dedup over a deterministically synthesized
+    (url, warc_ts) crawl log (BASELINE input_hint shape): urls collide
+    after normalization (case, www., fragment, trailing slash), keeper =
+    max (warc_ts, url) per norm_url via partial-aggregating max_by."""
+    from dug_spark.operators import textstats
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS://WWW.H")).otherwise(
+        F.lit("https://www.h")
+    )
+    url = F.concat(
+        scheme,
+        (did % 5).cast("string"),
+        F.lit(".example.org/p/"),
+        (did % 13).cast("string"),
+        F.lit("/#s"),
+        did.cast("string"),
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + did).alias("warc_ts"),
+    )
+    return textstats.dedup_by_url(pages)
+
+
+def q_host_profile(spark, sf_dir):
+    """Per-host corpus profile (doc count, text bytes, https share) over
+    synthesized urls — the aggregation behind host blocklists/sampling
+    caps; partial-aggregating groupBy on host."""
+    from dug_spark.operators import textstats
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    scheme = F.when(did % 3 == 0, F.lit("http://www.h")).otherwise(
+        F.lit("https://h")
+    )
+    url = F.concat(
+        scheme,
+        (did % 5).cast("string"),
+        F.lit(".example.org/a/b/"),
+        did.cast("string"),
+    )
+    return textstats.host_profile(d.select(url.alias("url"), "text"))
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     emb = _pq(spark, sf_dir, "embeddings").select(
@@ -1025,6 +1107,16 @@ def _pyoracle_values() -> dict[str, str]:
                 "doc_id, n_kept_lines, c4_keep, clean_len",
                 "BIGINT, INTEGER, BOOLEAN, INTEGER",
             ),
+            # full curation composition verdicts (independent recompute of
+            # C4 → Gopher → PII → global line dedup → exact keeper)
+            "curate_corpus": _values_or_empty(
+                po.curate_rows(docs),
+                "doc_id, c4_keep, gopher_keep, n_email, n_ipv4, n_phone, "
+                "pii_found, n_lines_removed, is_canonical_copy, keep, "
+                "curated_len",
+                "BIGINT, BOOLEAN, BOOLEAN, INTEGER, INTEGER, INTEGER, "
+                "BOOLEAN, BIGINT, BOOLEAN, BOOLEAN, INTEGER",
+            ),
         }
     except (OSError, duckdb.Error) as e:
         # expected degradations only (missing/unreadable parquet): a BUG
@@ -1208,7 +1300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_hit_per_group": q_rel_top_hit_per_group,
         "rel_top_orders": q_rel_top_orders,
         "rel_facet_counts": q_rel_facet_counts,
-        "rel_program_list": q_rel_program_list,
         "rel_top_events_per_user": q_rel_top_events_per_user,
         # round 4: the trivial TPC-H semi/anti-join rows (semi/anti
         # semantics stay pytest- and kg-query-covered; anti was a 0-row
@@ -1216,19 +1307,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # filter rule sets — first-class training-data operators
         "text_gopher": q_text_gopher,
         "text_c4_clean": q_text_c4_clean,
+        # round 4 (cont.): the full curation composition + the web-corpus
+        # URL/vocab operators take the slots of four redundant rows
+        # (lang_id, doc_fingerprint, multimodal_frames, rel_program_list —
+        # all still pytest-covered; fingerprint/frames semantics remain
+        # driver-visible via dedup_exact / multimodal_resize+real_features)
+        "curate_corpus": q_curate_corpus,
+        "build_vocab": q_build_vocab,
+        "url_dedup": q_url_dedup,
+        "host_profile": q_host_profile,
         "rel_union_dedup": q_rel_union_dedup,
         "rel_grouped_collect": q_rel_grouped_collect,
         "rel_merge_upsert": q_rel_merge_upsert,
         "rel_metadata_extract": q_rel_metadata_extract,
         "rel_window_hourly": q_rel_window_hourly,
-        "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_near_shingle": q_dedup_near_shingle,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         "knn_cosine": q_knn_cosine,
         "dedup_embedding": q_dedup_embedding,
-        "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
         # xxhash64/hyperplane families: full VALUES oracles from the
         # pure-Python spec recompute (see _pyoracle_values)
@@ -1455,10 +1552,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT UPPER(event_type) AS facet, COUNT(*) AS n FROM events "
             "WHERE value > 100 GROUP BY UPPER(event_type)"
         ),
-        "rel_program_list": (
-            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
-            "FROM events GROUP BY event_type"
-        ),
         "rel_top_events_per_user": (
             "SELECT user_id, event_id, value, rk FROM ("
             "SELECT user_id, event_id, value, ROW_NUMBER() OVER "
@@ -1488,9 +1581,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
-        "doc_fingerprint": (
-            f"WITH {_SQL_CORPUS} SELECT url, md5(text) AS fp FROM corpus"
-        ),
         "dedup_exact": (
             "WITH dup AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 10000, text FROM documents) "
@@ -1517,11 +1607,35 @@ def oracle_sql() -> dict[str, str]:
             "  * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio "
             "FROM documents"
         ),
-        "lang_id": (
-            "SELECT doc_id, CASE WHEN "
-            "len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0 "
-            "/ len(string_split(text, ' ')) >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang "
-            "FROM documents"
+        # round-4 web-corpus operators: token-vocab top-N, newest-capture
+        # URL dedup, and per-host profile over deterministically
+        # synthesized (url, warc_ts) crawl rows — the synthesis arithmetic
+        # is mirrored verbatim on both engines
+        "build_vocab": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), "
+            "c AS (SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' "
+            "GROUP BY token HAVING COUNT(*) >= 2) "
+            "SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 500"
+        ),
+        "url_dedup": (
+            "WITH u AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.H' ELSE 'https://www.h' END) "
+            "|| (doc_id % 5) || '.example.org/p/' || (doc_id % 13) || '/#s' || doc_id AS url, "
+            "TIMESTAMP '2020-09-13 12:26:40' + doc_id * INTERVAL 1 SECOND AS warc_ts "
+            "FROM documents), "
+            "g AS (SELECT 'https://h' || (doc_id % 5) || '.example.org/p/' || (doc_id % 13) "
+            "AS norm_url, MAX(doc_id) AS mid, COUNT(*) AS n_captures FROM u GROUP BY 1) "
+            "SELECT g.norm_url, u.url, u.warc_ts, g.n_captures "
+            "FROM g JOIN u ON u.doc_id = g.mid"
+        ),
+        "host_profile": (
+            "WITH u AS (SELECT doc_id, text, "
+            "'h' || (doc_id % 5) || '.example.org' AS host, "
+            "CASE WHEN doc_id % 3 = 0 THEN 0.0 ELSE 1.0 END AS ih FROM documents) "
+            "SELECT host, COUNT(*) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+            "ROUND(AVG(length(text)), 2) AS mean_chars, "
+            "ROUND(AVG(ih), 6) AS https_share FROM u GROUP BY host"
         ),
         "dedup_embedding": (
             "WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings "
@@ -1534,11 +1648,6 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY a.id, b.id) "
             "SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cos_sim "
             "FROM sums WHERE ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) >= 0.35"
-        ),
-        "multimodal_frames": (
-            "SELECT media_id, frame_idx, frame_md5 FROM (VALUES "
-            + _vals(_multimodal_frame_rows())
-            + ") AS t(media_id, frame_idx, frame_md5)"
         ),
         "multimodal_resize": (
             "SELECT media_id, mime, width, height, payload_md5 FROM (VALUES "

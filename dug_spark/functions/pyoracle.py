@@ -413,3 +413,118 @@ def c4_rows(docs: list[tuple[int, str]]) -> list[tuple]:
             (doc_id, len(kept), len(kept) >= 3, len("\n".join(kept)))
         )
     return out
+
+
+# PII patterns — kept textually identical to
+# dug_spark/operators/textstats._PII_PATTERNS (Java and Python regex agree
+# on every construct used: classes, bounded quantifiers, \b, fixed-width
+# lookaround).
+_PII = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])"
+        r"[0-9]{3}[-. ][0-9]{4}(?![0-9])",
+        "<PHONE>",
+    ),
+]
+
+
+def curate_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """Independent recompute of the full ``operators.curate.curate_corpus``
+    composition (C4 line clean → Gopher gates → PII redaction →
+    corpus-global line dedup at min_words=2 → exact-doc keeper election).
+
+    Returns (doc_id, c4_keep, gopher_keep, n_email, n_ipv4, n_phone,
+    pii_found, n_lines_removed, is_canonical_copy, keep, curated_len)
+    with curated_len = -1 for dropped documents (no NULLs in the VALUES
+    oracle)."""
+    import re
+
+    gopher_keep = {r[0]: r[-1] for r in gopher_rows(docs)}
+
+    # stage 1: C4 line cleaning (same rules as c4_rows, clean text kept)
+    staged = {}
+    for doc_id, text in docs:
+        kept = []
+        for l in text.split("\n"):
+            t = l.strip(" ")
+            if not re.search("[.!?\"']$", t):
+                continue
+            if len(re.split(r"\s+", t)) < 5:
+                continue
+            low = l.lower()
+            if (
+                "javascript" in low
+                or "cookie policy" in low
+                or "terms of use" in low
+            ):
+                continue
+            kept.append(l)
+        staged[doc_id] = {"clean": "\n".join(kept), "c4_keep": len(kept) >= 3}
+
+    # stage 3: PII redaction over the cleaned text; each pattern's count
+    # is taken on the text as redacted by the PRIOR patterns (mirrors the
+    # withColumn chain in textstats.redact_pii)
+    for doc_id in staged:
+        red = staged[doc_id]["clean"]
+        for kind, pat, token in _PII:
+            staged[doc_id][f"n_{kind}"] = len(list(re.finditer(pat, red)))
+            red = re.sub(pat, token, red)
+        staged[doc_id]["red"] = red
+
+    # stage 4: corpus-global line dedup (keeper = min (doc_id, idx) per
+    # non-exempt line value; lines with < 2 whitespace words exempt)
+    best: dict[str, tuple[int, int]] = {}
+    for doc_id in sorted(staged):
+        for idx, line in enumerate(staged[doc_id]["red"].split("\n")):
+            if len(re.split(r"\s+", line.strip(" "))) < 2:
+                continue
+            key = (doc_id, idx)
+            if line not in best or key < best[line]:
+                best[line] = key
+    for doc_id in staged:
+        kept_lines, removed = [], 0
+        for idx, line in enumerate(staged[doc_id]["red"].split("\n")):
+            exempt = len(re.split(r"\s+", line.strip(" "))) < 2
+            if exempt or best[line] == (doc_id, idx):
+                kept_lines.append(line)
+            else:
+                removed += 1
+        staged[doc_id]["curated"] = "\n".join(kept_lines)
+        staged[doc_id]["removed"] = removed
+
+    # stage 5: exact-document keeper election on the curated text
+    keeper: dict[str, int] = {}
+    for doc_id in staged:
+        t = staged[doc_id]["curated"]
+        if t not in keeper or doc_id < keeper[t]:
+            keeper[t] = doc_id
+
+    out = []
+    for doc_id, _text in docs:
+        s = staged[doc_id]
+        canonical = keeper[s["curated"]] == doc_id
+        keep = s["c4_keep"] and gopher_keep[doc_id] and canonical
+        out.append(
+            (
+                doc_id,
+                s["c4_keep"],
+                gopher_keep[doc_id],
+                s["n_email"],
+                s["n_ipv4"],
+                s["n_phone"],
+                (s["n_email"] + s["n_ipv4"] + s["n_phone"]) > 0,
+                s["removed"],
+                canonical,
+                keep,
+                len(s["curated"]) if keep else -1,
+            )
+        )
+    return out

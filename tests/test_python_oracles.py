@@ -212,3 +212,44 @@ def test_c4_rows_python_recompute(spark, alldocs):
     }
     want = {t[0]: t for t in po.c4_rows(alldocs)}
     assert got == want
+
+
+def test_curate_rows_python_recompute(spark, alldocs):
+    """pyoracle.curate_rows (independent recompute of the FULL curation
+    composition, incl. corpus-global line dedup and the exact-doc keeper
+    election) agrees with operators.curate.curate_corpus on every sf0.001
+    document plus crafted cross-doc duplicates."""
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators.curate import curate_corpus
+
+    crafted = [
+        (900001, "A shared boilerplate line repeats here exactly today.\n"
+                 "Unique first-document sentence sits right here now.\n"
+                 "Mail bob@example.com about the 192.168.0.1 host today."),
+        (900002, "A shared boilerplate line repeats here exactly today.\n"
+                 "Unique second-document sentence sits right here now.\n"
+                 "The closing line of this document ends properly too."),
+        # exact duplicate pair (after curation) → one canonical copy
+        (900003, "Exactly identical curated document body line one here.\n"
+                 "Exactly identical curated document line number two here.\n"
+                 "Exactly identical curated document line number three here."),
+        (900004, "Exactly identical curated document body line one here.\n"
+                 "Exactly identical curated document line number two here.\n"
+                 "Exactly identical curated document line number three here."),
+    ]
+    docs = alldocs + crafted
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cur = curate_corpus(df).select(
+        "doc_id", "c4_keep", "gopher_keep", "n_email", "n_ipv4", "n_phone",
+        "pii_found", "n_lines_removed", "is_canonical_copy", "keep",
+        F.coalesce(F.length("curated_text"), F.lit(-1)).alias("curated_len"),
+    )
+    got = {r["doc_id"]: tuple(r) for r in cur.collect()}
+    want = {t[0]: t for t in po.curate_rows(docs)}
+    assert got == want
+    # the crafted cross-doc dup line was removed from exactly one of the
+    # two docs (the keeper is the smaller (id, idx)); the exact-dup pair
+    # elected exactly one canonical copy
+    assert got[900001][7] == 0 and got[900002][7] == 1
+    assert got[900003][8] and not got[900004][8]
