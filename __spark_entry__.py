@@ -701,9 +701,12 @@ def q_curate_corpus(spark, sf_dir):
     ONE frame; VALUES oracle from the independent pure-Python recompute
     in pyoracle.curate_rows.  curated_len uses -1 (not NULL) for dropped
     docs so the VALUES table stays literal-only."""
+    from dug_spark import fixtures
     from dug_spark.operators.curate import curate_corpus
 
-    d = _pq(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fixtures.webify_documents(
+        _pq(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     cur = curate_corpus(d)
     return cur.select(
         "doc_id",
@@ -1110,7 +1113,7 @@ def _pyoracle_values() -> dict[str, str]:
             # full curation composition verdicts (independent recompute of
             # C4 → Gopher → PII → global line dedup → exact keeper)
             "curate_corpus": _values_or_empty(
-                po.curate_rows(docs),
+                po.curate_rows(docs, webify=True),
                 "doc_id, c4_keep, gopher_keep, n_email, n_ipv4, n_phone, "
                 "pii_found, n_lines_removed, is_canonical_copy, keep, "
                 "curated_len",

@@ -342,3 +342,46 @@ def synthetic_dictionary(
         synthetic_dictionary_rows(n_bigrams, n_trigrams, n_singles, seed),
         schema=schemas.TERM_DICTIONARY,
     )
+
+
+# --- deterministic web-shaping of the driver documents table ------------
+# The driver's synthetic documents are single-line, punctuation-free word
+# streams; real Common-Crawl text (the BASELINE input_hint shape) is
+# multi-line prose that the C4/Gopher line rules act on.  webify_documents
+# reshapes each document deterministically: sentences of 8 words ending
+# in '.', one per line, plus (by doc_id arithmetic) a corpus-shared line
+# (exercises corpus-global line dedup), a PII line (exercises redaction),
+# and a boilerplate line (exercises the C4 marker drop).  The SAME
+# transform is mirrored in pure Python (functions/pyoracle.webify_text)
+# for the curate_corpus VALUES oracle.
+
+WEB_SHARED_LINE = "this exact shared line appears in many documents today."
+WEB_PII_LINE = "contact bob@example.com or 10.0.0.1 now please today okay."
+WEB_BOILER_LINE = "please accept our cookie policy before reading this content."
+
+
+def webify_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Replace ``text_col`` with its web-shaped form (pure codegen column
+    expressions — narrow, no shuffle; fuses into the scan Project)."""
+    did = F.col(id_col)
+    words = F.split(text_col, " ")
+    n_sent = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_sent - 1),
+            lambda i: F.concat(
+                F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)), F.lit(".")
+            ),
+        ),
+        "\n",
+    )
+    webtext = F.concat_ws(
+        "\n",
+        body,
+        F.when(did % 5 == 0, F.lit(WEB_SHARED_LINE)),
+        F.when(did % 7 == 0, F.lit(WEB_PII_LINE)),
+        F.when(did % 11 == 0, F.lit(WEB_BOILER_LINE)),
+    )
+    return df.withColumn(text_col, webtext)

@@ -436,16 +436,24 @@ _PII = [
 ]
 
 
-def curate_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+def curate_rows(
+    docs: list[tuple[int, str]], webify: bool = False
+) -> list[tuple]:
     """Independent recompute of the full ``operators.curate.curate_corpus``
     composition (C4 line clean → Gopher gates → PII redaction →
     corpus-global line dedup at min_words=2 → exact-doc keeper election).
+
+    ``webify=True`` first applies webify_text (the contract query runs
+    over the web-shaped corpus so every stage has non-degenerate work).
 
     Returns (doc_id, c4_keep, gopher_keep, n_email, n_ipv4, n_phone,
     pii_found, n_lines_removed, is_canonical_copy, keep, curated_len)
     with curated_len = -1 for dropped documents (no NULLs in the VALUES
     oracle)."""
     import re
+
+    if webify:
+        docs = [(d, webify_text(d, t)) for d, t in docs]
 
     gopher_keep = {r[0]: r[-1] for r in gopher_rows(docs)}
 
@@ -528,3 +536,30 @@ def curate_rows(docs: list[tuple[int, str]]) -> list[tuple]:
             )
         )
     return out
+
+
+WEB_SHARED_LINE = "this exact shared line appears in many documents today."
+WEB_PII_LINE = "contact bob@example.com or 10.0.0.1 now please today okay."
+WEB_BOILER_LINE = "please accept our cookie policy before reading this content."
+
+
+def webify_text(doc_id: int, text: str) -> str:
+    """Pure-Python mirror of fixtures.webify_documents (sentences of 8
+    words ending '.', one per line, + doc_id-gated shared/PII/boilerplate
+    lines)."""
+    import math
+
+    words = text.split(" ")
+    n_sent = math.ceil(len(words) / 8)
+    parts = [
+        "\n".join(
+            " ".join(words[i * 8 : i * 8 + 8]) + "." for i in range(n_sent)
+        )
+    ]
+    if doc_id % 5 == 0:
+        parts.append(WEB_SHARED_LINE)
+    if doc_id % 7 == 0:
+        parts.append(WEB_PII_LINE)
+    if doc_id % 11 == 0:
+        parts.append(WEB_BOILER_LINE)
+    return "\n".join(parts)

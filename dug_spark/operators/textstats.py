@@ -532,3 +532,83 @@ def filter_by_host_blocklist(
         .distinct()
     )
     return feats.join(blocked, url_col, "left_anti").select(*df.columns)
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Encode each document's tokens to integer ids with a frozen
+    vocabulary (the tokenizer-apply step after ``build_vocab``): token →
+    1-based rank by (count desc, token asc); out-of-vocabulary tokens →
+    ``unk_id``.  Adds ``token_ids: array<int>`` and ``n_unk``.
+
+    Scale shape: the vocabulary is dimension-sized (≤ ~10^6 rows) and the
+    corpus is not — so the vocab is collected once on the driver
+    (O(|vocab|), same class as the NER dictionary broadcast in
+    operators/annotate.py) and applied inside ``mapInPandas`` as a plain
+    dict lookup over Arrow batches.  Map-only: the 10^12-row corpus never
+    shuffles, which a join-on-exploded-tokens formulation would force
+    (explode → broadcast join → collect_list keyed by doc = one corpus-
+    sized shuffle)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ordered = [
+        r["token"]
+        for r in vocab.orderBy(F.desc("n"), F.asc("token")).collect()
+    ]
+    mapping = {t: i + 1 for i, t in enumerate(ordered)}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(mapping)
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("token_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("n_unk", T.IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        m = bc.value
+        for pdf in batches:
+            ids, unks = [], []
+            for text in pdf[text_col]:
+                row = [m.get(t, unk_id) for t in (text or "").split(" ")]
+                ids.append(row)
+                unks.append(sum(1 for i in row if i == unk_id))
+            pdf = pdf.copy()
+            pdf["token_ids"] = pd.Series(ids, dtype="object", index=pdf.index)
+            pdf["n_unk"] = pd.Series(unks, dtype="int32", index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def sample_per_host(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-host document cap (the anti-over-representation
+    sampling pass behind host profiles): keep at most ``cap`` documents
+    per host, chosen by md5(url, id) order so the sample is stable across
+    runs and independent of input partitioning.  One shuffle keyed by
+    host for the row_number window; hot hosts are exactly the rows the
+    cap discards, so the skewed tail does no downstream work."""
+    from pyspark.sql import Window
+
+    feats = url_features(df, url_col)
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.concat_ws("|", F.col(url_col), F.col(id_col).cast("string")))
+    )
+    return (
+        feats.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .select(*df.columns)
+    )

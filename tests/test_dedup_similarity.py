@@ -662,3 +662,76 @@ def test_filter_by_host_blocklist(spark):
     # output schema untouched by the helper columns
     out = textstats.filter_by_host_blocklist(df, bl)
     assert out.columns == ["doc_id", "url", "text"]
+
+
+def test_build_vocab_plan_is_takeordered_single_shuffle(spark):
+    """build_vocab's global top-N must be TakeOrderedAndProject over the
+    counted table (no full sort of the vocabulary), and the token count
+    must be the ONE hash exchange (partial aggregation map-side)."""
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c b")], "doc_id long, text string"
+    )
+    plan = (
+        textstats.build_vocab(df, top_n=10, min_count=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_host_profile_plan_partial_aggregates(spark):
+    """host_profile is one partial-aggregating groupBy on host — exactly
+    one exchange, with a map-side partial aggregate before it."""
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "t")], "doc_id long, url string, text string"
+    )
+    plan = (
+        textstats.host_profile(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_encode_with_vocab(spark):
+    rows = [
+        (1, "spark join spark"),
+        (2, "join scan nova"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = textstats.build_vocab(df, top_n=10, min_count=1)
+    # ranks by (count desc, token asc): spark(2) > join(2)? counts:
+    # spark=2, join=2, scan=1, nova=1 -> join(1), spark(2) alphabetical on
+    # ties; then nova(3), scan(4)
+    enc = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_unk"])
+        for r in textstats.encode_with_vocab(df, vocab).collect()
+    }
+    assert enc[1] == ([2, 1, 2], 0)
+    assert enc[2] == ([1, 4, 3], 0)
+    # unknown tokens -> unk_id with count
+    df2 = spark.createDataFrame([(3, "spark zzz")], "doc_id long, text string")
+    enc2 = textstats.encode_with_vocab(df2, vocab).collect()[0]
+    assert list(enc2["token_ids"]) == [2, 0] and enc2["n_unk"] == 1
+
+
+def test_sample_per_host(spark):
+    rows = [
+        (i, f"https://h{i % 2}.com/p/{i}", "t") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = textstats.sample_per_host(df, cap=3).collect()
+    assert len(out) == 6
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["url"].split("/")[2], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in by_host.values())
+    # deterministic across runs
+    again = sorted(r["doc_id"] for r in textstats.sample_per_host(df, cap=3).collect())
+    assert again == sorted(r["doc_id"] for r in out)
+    assert set(out[0].asDict()) == {"doc_id", "url", "text"}

@@ -253,3 +253,31 @@ def test_curate_rows_python_recompute(spark, alldocs):
     # elected exactly one canonical copy
     assert got[900001][7] == 0 and got[900002][7] == 1
     assert got[900003][8] and not got[900004][8]
+
+
+def test_curate_rows_webified_python_recompute(spark, alldocs):
+    """The webified curation path (the contract-query configuration:
+    fixtures.webify_documents → curate_corpus vs pyoracle.curate_rows
+    webify=True) agrees on every sf0.001 document, and the web shaping
+    gives every stage non-degenerate work (some c4 survivors, shared-line
+    dedup removals, PII hits)."""
+    from pyspark.sql import functions as F
+
+    from dug_spark import fixtures
+    from dug_spark.operators.curate import curate_corpus
+
+    df = fixtures.webify_documents(
+        spark.createDataFrame(alldocs, "doc_id long, text string")
+    )
+    cur = curate_corpus(df).select(
+        "doc_id", "c4_keep", "gopher_keep", "n_email", "n_ipv4", "n_phone",
+        "pii_found", "n_lines_removed", "is_canonical_copy", "keep",
+        F.coalesce(F.length("curated_text"), F.lit(-1)).alias("curated_len"),
+    )
+    got = {r["doc_id"]: tuple(r) for r in cur.collect()}
+    want = {t[0]: t for t in po.curate_rows(alldocs, webify=True)}
+    assert got == want
+    vals = list(got.values())
+    assert sum(1 for v in vals if v[1]) > 0          # some c4 survivors
+    assert sum(v[7] for v in vals) > 0               # global dup lines removed
+    assert sum(v[3] + v[4] for v in vals) > 0        # email+ip redactions
