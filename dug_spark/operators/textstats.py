@@ -612,3 +612,50 @@ def sample_per_host(
         .where(F.col("_rk") <= cap)
         .select(*df.columns)
     )
+
+
+def flag_contaminated(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    pass): flag every document sharing at least one ``n``-gram (default
+    13, the published choice) with a benchmark/eval corpus, so training
+    data can be scrubbed of test-set leakage.
+
+    Adds ``contaminated: boolean``.  Scale shape: the benchmark is
+    dimension-sized against a 10^12-row corpus — its distinct n-grams are
+    a broadcast side; the corpus side explodes to (id, gram) rows
+    (narrow), hits the broadcast LEFT SEMI join map-side, and only the
+    matching doc ids (tiny) reach the distinct + the final id-keyed
+    broadcast join back.  The corpus itself never shuffles."""
+    tok = lambda c: F.split(F.lower(c), r"[^a-z0-9]+")
+
+    def grams(c):
+        t = F.filter(tok(c), lambda x: x != "")
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = benchmark.select(
+        F.explode(grams(F.col(text_col))).alias("gram")
+    ).distinct()
+    hits = (
+        df.select(F.col(id_col), F.explode(grams(F.col(text_col))).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return df.join(F.broadcast(hits), id_col, "left").fillna(
+        False, subset=["contaminated"]
+    )

@@ -735,3 +735,27 @@ def test_sample_per_host(spark):
     again = sorted(r["doc_id"] for r in textstats.sample_per_host(df, cap=3).collect())
     assert again == sorted(r["doc_id"] for r in out)
     assert set(out[0].asDict()) == {"doc_id", "url", "text"}
+
+
+def test_flag_contaminated(spark):
+    words = " ".join(f"w{i}" for i in range(20))          # 20-token span
+    clean = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        (1, f"prefix words here {words} suffix words here"),   # contains span
+        (2, clean),                                            # disjoint
+        (3, "short doc"),                                      # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, words)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in textstats.flag_contaminated(df, bench).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+    # tokenization is case/punct-insensitive: same span with different
+    # case+punctuation still hits
+    df2 = spark.createDataFrame(
+        [(4, words.upper().replace(" ", ", "))], "doc_id long, text string"
+    )
+    got2 = textstats.flag_contaminated(df2, bench).collect()[0]
+    assert got2["contaminated"]
