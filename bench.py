@@ -96,16 +96,21 @@ def _pipeline(spark, realistic: bool = False):
     )
 
 
-def _steal_ticks() -> tuple[int, int]:
-    """(steal, total) jiffies from /proc/stat — this VM's host steals CPU
-    in bursts; recording steal%% per timed run makes the artifact
-    self-documenting about which samples were storm-hit."""
+def _steal_ticks() -> tuple[int, int, int]:
+    """(steal, busy, total) jiffies from /proc/stat — this VM's host
+    steals CPU in bursts; recording steal%% per timed run makes the
+    artifact self-documenting about which samples were storm-hit.  busy
+    (total − idle − iowait) additionally exposes CO-TENANT load inside
+    the VM: r4 observed a 35 s sample (calm floor 15 s) at 0.06%% steal —
+    invisible to the steal ledger, visible as ~extra busy cores."""
     try:
         parts = open("/proc/stat").readline().split()
         vals = [int(x) for x in parts[1:]]
-        return vals[7] if len(vals) > 7 else 0, sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return steal, sum(vals) - idle, sum(vals)
     except Exception:
-        return 0, 0
+        return 0, 0, 0
 
 
 def run_pipeline_sample(cores: int, replicate: int, runs: int = 2) -> dict:
@@ -139,18 +144,24 @@ def run_pipeline_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     pipe = _pipeline(spark, realistic=True)
     warm = _corpus(spark, SF_DIR, max(replicate // 96, 2))
     pipe.run(warm).triples.count()
-    secs, n_triples, steal_best = None, 0, None
-    steals = []
+    secs, n_triples, steal_best, busy_best = None, 0, None, None
+    steals, busies = [], []
+    n_host = os.cpu_count() or 32
     for _ in range(max(runs, 1)):
-        st0, tt0 = _steal_ticks()
+        st0, bt0, tt0 = _steal_ticks()
         t0 = time.monotonic()
         n_triples = pipe.run(corpus).triples.count()
         s = time.monotonic() - t0
-        st1, tt1 = _steal_ticks()
-        steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2)
+        st1, bt1, tt1 = _steal_ticks()
+        dt = max(tt1 - tt0, 1)
+        steal_pct = round(100.0 * (st1 - st0) / dt, 2)
+        # busy cores VM-wide minus this child's pinned width ≈ co-tenant
+        # load during the run (the quantity the steal ledger can't see)
+        busy_cores = round((bt1 - bt0) / dt * n_host - cores, 1)
         steals.append(steal_pct)
+        busies.append(busy_cores)
         if secs is None or s < secs:
-            secs, steal_best = s, steal_pct
+            secs, steal_best, busy_best = s, steal_pct, busy_cores
     return {
         "cores": cores,
         "docs": n_docs,
@@ -159,6 +170,8 @@ def run_pipeline_sample(cores: int, replicate: int, runs: int = 2) -> dict:
         "docs_per_sec": round(n_docs / secs, 1),
         "steal_pcts": steals,
         "steal_best": steal_best,
+        "cotenant_cores": busies,
+        "cotenant_best": busy_best,
     }
 
 
@@ -271,7 +284,11 @@ def main():
         # wall-time budget: under a host steal storm a sample can run 5×
         # long — stop sampling once the budget is spent (≥1 pair always
         # completes) so the whole bench stays bounded
-        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1500"))
+        # 1800 s (was 1500): the r4 storm run spent the old budget on 3
+        # inflated pairs and shipped an under-sampled 0.693 floor ratio —
+        # the bigger (still value-blind) budget keeps all 6 pairs on a
+        # mostly-calm host, which is what the floor estimator needs
+        budget_s = int(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1800"))
         t_start = time.monotonic()
         los, his = [], []
         # Repeats per warm child JVM: both levels estimate a CALM-FLOOR
@@ -281,7 +298,7 @@ def main():
         # (18.1–39.9 s) vs 1.16× at lo — its floor is the poorly-estimated
         # one — and (b) a hi repeat costs ~20 s vs ~55 s at lo.
         runs_lo = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LO", "2"))
-        runs_hi = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HI", "4"))
+        runs_hi = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HI", "5"))
         # FIXED sample count (no value-dependent stopping: any rule keyed
         # to the measured efficiency is optional stopping and biases the
         # estimate; the only early exit is the value-blind wall budget).
@@ -323,6 +340,8 @@ def main():
             "all_secs_hi": [s["secs"] for s in his],
             "all_steal_lo": [s.get("steal_best") for s in los],
             "all_steal_hi": [s.get("steal_best") for s in his],
+            "all_cotenant_lo": [s.get("cotenant_best") for s in los],
+            "all_cotenant_hi": [s.get("cotenant_best") for s in his],
             "docs": lo["docs"],
             "samples_per_level": len(los),
             "runs_per_sample": {"lo": runs_lo, "hi": runs_hi},
