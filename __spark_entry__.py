@@ -976,6 +976,34 @@ def _multimodal_real_rows() -> list[tuple[str, str, str]]:
     return rows
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter (operators/lm.py, Wenzek et al. 2020
+    §4.3): an interpolated bigram LM trained on the doc_id%10==0 slice of
+    the documents table scores every document; buckets head/middle/tail
+    come from the reference slice's own perplexity tertiles (broadcast
+    constants — no corpus-wide percentile at scoring time).  Map-only
+    over the corpus.  VALUES oracle: pyoracle.lm_rows (independent pure-
+    Python recompute of the training counts, scoring loop and cutoffs)."""
+    from dug_spark.operators import lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return lm.perplexity_filter(docs, ref).select(
+        "doc_id", "n_tokens", "cross_entropy", "perplexity", "ppl_bucket"
+    )
+
+
+def q_lm_pack(spark, sf_dir):
+    """Shard-local greedy sequence packing (operators/lm.py): documents →
+    fixed-token-budget training sequences inside deterministic shards
+    (doc_id % 8), one corpus shuffle keyed by shard.  VALUES oracle:
+    pyoracle.pack_rows."""
+    from dug_spark.operators import lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm.pack_sequences(docs, budget=128, n_shards=8)
+
+
 def q_kg_node_to_elements(spark, sf_dir):
     """J9: cast qualifying KG nodes into new elements (crawler.py:203-276).
     Projects the scalar element columns (metadata map omitted — map-typed
@@ -1083,11 +1111,6 @@ def _pyoracle_values() -> dict[str, str]:
                 "q_id, neighbor_id, rk, cos_sim",
                 "BIGINT, BIGINT, INTEGER, DOUBLE",
             ),
-            "ann_ivf": _values_or_empty(
-                po.ivf_topk(qs3, vecs, k=5),
-                "q_id, neighbor_id, rk, cos_sim",
-                "BIGINT, BIGINT, INTEGER, DOUBLE",
-            ),
             "ann_ivf_trained": _values_or_empty(
                 po.ivf_trained_topk(qs30, flat, k=5, k_cells=8, iters=1),
                 "q_id, neighbor_id, rk, cos_sim",
@@ -1112,6 +1135,20 @@ def _pyoracle_values() -> dict[str, str]:
             ),
             # full curation composition verdicts (independent recompute of
             # C4 → Gopher → PII → global line dedup → exact keeper)
+            # LM-perplexity filter + shard-local sequence packing
+            # (operators/lm.py): independent pure-Python recompute of the
+            # bigram training counts, scoring loop, tertile cutoffs, and
+            # the per-shard greedy packing
+            "lm_perplexity": _values_or_empty(
+                po.lm_rows(docs),
+                "doc_id, n_tokens, cross_entropy, perplexity, ppl_bucket",
+                "BIGINT, INTEGER, DOUBLE, DOUBLE, VARCHAR",
+            ),
+            "lm_pack": _values_or_empty(
+                po.pack_rows(docs, budget=128, n_shards=8),
+                "shard, seq_id, doc_id, tok_offset, n_tokens, oversize",
+                "BIGINT, INTEGER, BIGINT, INTEGER, INTEGER, BOOLEAN",
+            ),
             "curate_corpus": _values_or_empty(
                 po.curate_rows(docs, webify=True),
                 "doc_id, c4_keep, gopher_keep, n_email, n_ipv4, n_phone, "
@@ -1314,7 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # URL/vocab operators take the slots of four redundant rows
         # (lang_id, doc_fingerprint, multimodal_frames, rel_program_list —
         # all still pytest-covered; fingerprint/frames semantics remain
-        # driver-visible via dedup_exact / multimodal_resize+real_features)
+        # driver-visible via dedup_exact / multimodal_real_features)
         "curate_corpus": q_curate_corpus,
         "build_vocab": q_build_vocab,
         "url_dedup": q_url_dedup,
@@ -1329,13 +1366,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "knn_cosine": q_knn_cosine,
         "dedup_embedding": q_dedup_embedding,
-        "multimodal_resize": q_multimodal_resize,
+        # round 4 (cont.): LM-perplexity filtering and sequence packing
+        # take the slots of two subsumed rows — multimodal_resize (Arrow
+        # media plumbing stays driver-visible via multimodal_real_features,
+        # resize itself pytest-covered) and ann_ivf (its equi-join top-k
+        # machinery is a strict subset of ann_ivf_trained, which adds the
+        # Lloyd quantizer on top; ann_ivf stays pytest-covered)
+        "lm_perplexity": q_lm_perplexity,
+        "lm_pack": q_lm_pack,
         # xxhash64/hyperplane families: full VALUES oracles from the
         # pure-Python spec recompute (see _pyoracle_values)
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "multimodal_real_features": q_multimodal_real_features,
     }
@@ -1651,11 +1694,6 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY a.id, b.id) "
             "SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cos_sim "
             "FROM sums WHERE ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) >= 0.35"
-        ),
-        "multimodal_resize": (
-            "SELECT media_id, mime, width, height, payload_md5 FROM (VALUES "
-            + _vals(_multimodal_resize_rows())
-            + ") AS t(media_id, mime, width, height, payload_md5)"
         ),
         "multimodal_real_features": (
             "SELECT media_id, mime, features_csv FROM (VALUES "

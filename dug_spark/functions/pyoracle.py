@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import random
+import re
 from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -563,3 +564,99 @@ def webify_text(doc_id: int, text: str) -> str:
     if doc_id % 11 == 0:
         parts.append(WEB_BOILER_LINE)
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# operators/lm.py mirrors: interpolated-bigram perplexity + greedy packing
+# (independent recompute of the spec in that module's docstrings)
+
+_LM_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _lm_toks(text: str) -> list[str]:
+    return [t for t in _LM_TOKEN_RE.split((text or "").lower()) if t]
+
+
+def lm_rows(
+    docs: list[tuple[int, str]],
+    ref_mod: int = 10,
+    lam: float = 0.9,
+) -> list[tuple]:
+    """(doc_id, n_tokens, cross_entropy, perplexity, ppl_bucket) for every
+    doc, LM trained on docs with doc_id %% ref_mod == 0, cutoffs = exact
+    tertiles of the reference docs' own perplexities (CCNet protocol)."""
+    ref = [(d, t) for d, t in docs if d % ref_mod == 0]
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    n_ref_docs = 0
+    for _d, t in ref:
+        tk = _lm_toks(t)
+        if not tk:
+            continue
+        n_ref_docs += 1
+        prev = "<s>"
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+            big[(prev, w)] = big.get((prev, w), 0) + 1
+            prev = w
+    total = sum(uni.values())
+    vocab = len(uni)
+
+    def entropy(tk: list[str]) -> float:
+        if not tk:
+            return 0.0
+        h, prev = 0.0, "<s>"
+        for w in tk:
+            cn = n_ref_docs if prev == "<s>" else uni.get(prev, 0)
+            p_bi = (big.get((prev, w), 0) / cn) if cn else 0.0
+            p_uni = (uni.get(w, 0) + 1) / (total + vocab + 1)
+            h -= math.log2(lam * p_bi + (1.0 - lam) * p_uni)
+            prev = w
+        return h / len(tk)
+
+    ref_ppl = sorted(
+        2.0 ** entropy(_lm_toks(t)) for _d, t in ref if _lm_toks(t)
+    )
+    if ref_ppl:
+        cut_head = ref_ppl[(len(ref_ppl) - 1) // 3]
+        cut_mid = ref_ppl[(2 * (len(ref_ppl) - 1)) // 3]
+    else:
+        cut_head = cut_mid = float("-inf")
+
+    out = []
+    for d, t in docs:
+        tk = _lm_toks(t)
+        h = entropy(tk)
+        p = 2.0**h
+        if not tk:
+            b = "empty"
+        elif p <= cut_head:
+            b = "head"
+        elif p <= cut_mid:
+            b = "middle"
+        else:
+            b = "tail"
+        out.append((d, len(tk), round_half_up(h), round_half_up(p), b))
+    return out
+
+
+def pack_rows(
+    docs: list[tuple[int, str]], budget: int, n_shards: int
+) -> list[tuple]:
+    """(shard, seq_id, doc_id, offset, n_tokens, oversize): greedy packing
+    in doc_id order within shard = doc_id %% n_shards; a sequence closes
+    when the next doc would overflow (or exactly fills) the budget."""
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for d, t in docs:
+        shards.setdefault(d % n_shards, []).append((d, len(_lm_toks(t))))
+    out = []
+    for s in sorted(shards):
+        seq, used = 0, 0
+        for d, n in sorted(shards[s]):
+            if used > 0 and used + n > budget:
+                seq, used = seq + 1, 0
+            out.append((s, seq, d, used, n, n > budget))
+            used += n
+            if used >= budget:
+                seq, used = seq + 1, 0
+    return out

@@ -1,0 +1,313 @@
+"""Statistical language-model curation ops: CCNet-style perplexity
+filtering and shard-local training-sequence packing.
+
+Not in the reference (Dug never scores fluency or packs tokens); these
+are the two steps a training-data pipeline runs between curation
+(operators/curate.py) and tokenizer output (textstats.encode_with_vocab):
+
+- ``perplexity_filter`` — the CCNet pass (Wenzek et al. 2020 §4.3): an
+  n-gram LM trained on a trusted reference corpus scores every candidate
+  document; documents are bucketed head/middle/tail by perplexity
+  cutoffs derived from the reference corpus itself.
+
+- ``pack_sequences`` — greedy token-budget packing of documents into
+  fixed-length training sequences, performed independently inside
+  deterministic shards (the formulation that parallelizes: real packing
+  jobs pack within file shards, never corpus-globally).
+
+Scale shape:
+- The reference/LM side is dimension-sized (CCNet trains on Wikipedia,
+  ~10^7 docs) against a 10^12-doc corpus: its count tables are collected
+  once on the driver (O(vocab), the same class as the NER dictionary
+  broadcast in operators/annotate.py) and broadcast; scoring is a
+  map-only ``mapInPandas`` over Arrow batches — the corpus never
+  shuffles.
+- Packing shuffles the corpus ONCE, keyed by shard, then runs an O(shard)
+  greedy inside ``applyInPandas``.  ``n_shards`` is the parallelism knob:
+  pick it so a shard's (id, token-count) rows fit executor memory —
+  at 10^12 docs that is n_shards ≈ 10^5-10^6, each shard a normal
+  training-data output shard.
+
+Both ops are exactly reproducible in pure Python (functions/pyoracle
+mirrors) so the driver gets full VALUES oracles; the per-token scoring
+loop runs over Arrow batches (the documented Pandas-UDF path — the same
+per-doc token loop any KenLM scorer runs), never as a per-row Python UDF
+inside a relational plan.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+# interpolation weight of the bigram MLE against the add-one unigram
+# fallback; 0.9 is the conventional choice for a 2-gram Jelinek-Mercer mix
+DEFAULT_LAMBDA = 0.9
+
+BOS = "<s>"
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+
+
+def _sql_tokens(text_col: str):
+    """Same tokenizer as ``_py_tokens`` in codegen expressions (used for
+    the packing token counts so Spark and the oracle agree exactly)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
+    """Count tables for an interpolated bigram LM from a reference corpus:
+    (unigram counts, bigram counts keyed by (context, word), total token
+    count).  Each document is the sequence ``<s> w1 .. wn`` — bigram
+    contexts include ``<s>`` so the first word of a document is modelled.
+
+    Plan: ONE explode→groupBy shuffle per table (partial aggregation
+    collapses hot n-grams map-side), then a driver collect of the
+    dimension-sized result.  The reference corpus is trusted/curated and
+    small relative to the scoring corpus by construction (CCNet: Wikipedia
+    vs Common Crawl) — the collect is O(vocab + bigram types), not
+    O(corpus)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    with_toks = ref.select(toks.alias("toks")).where(F.size("toks") > 0)
+    uni_rows = (
+        with_toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    seq = F.concat(F.array(F.lit(BOS)), F.col("toks"))
+    bi = F.transform(
+        F.sequence(F.lit(0), F.size(seq) - 2),
+        lambda i: F.struct(
+            F.element_at(seq, i + 1).alias("c"),
+            F.element_at(seq, i + 2).alias("w"),
+        ),
+    )
+    bi_rows = (
+        with_toks.select(F.explode(bi).alias("b"))
+        .select("b.c", "b.w")
+        .groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    unigrams = {r["w"]: r["n"] for r in uni_rows}
+    bigrams = {(r["c"], r["w"]): r["n"] for r in bi_rows}
+    total = sum(unigrams.values())
+    return unigrams, bigrams, total
+
+
+def context_totals(
+    unigrams: dict[str, int], bigrams: dict[tuple[str, str], int]
+) -> dict[str, int]:
+    """count(c) per bigram context: the unigram count for word contexts
+    (the standard deficient-MLE shortcut — doc-final words have no
+    successor, so per-context bigram mass sums to slightly under 1) and
+    the number of reference documents for the ``<s>`` context.  Computed
+    once after training, O(|bigrams|)."""
+    ctx = dict(unigrams)
+    ctx[BOS] = sum(n for (c, _w), n in bigrams.items() if c == BOS)
+    return ctx
+
+
+def score_tokens(
+    tokens: list[str],
+    unigrams: dict[str, int],
+    bigrams: dict[tuple[str, str], int],
+    total: int,
+    ctx: dict[str, int],
+    lam: float = DEFAULT_LAMBDA,
+) -> float:
+    """Cross-entropy (bits/token) of a token sequence under the
+    interpolated bigram LM:
+
+        P(w|c) = lam * count(c,w)/count(c)  +  (1-lam) * P1(w)
+        P1(w)  = (count(w) + 1) / (total + V + 1)     (add-one; V+1 leaves
+                                                       mass for unseen w)
+
+    with count(c) from ``context_totals``.  Deterministic double
+    arithmetic, summed in token order — functions/pyoracle.lm_rows
+    reproduces it bit-for-bit."""
+    if not tokens:
+        return 0.0
+    vocab = len(unigrams)
+    h = 0.0
+    prev = BOS
+    for w in tokens:
+        cn = ctx.get(prev, 0)
+        p_bi = (bigrams.get((prev, w), 0) / cn) if cn else 0.0
+        p_uni = (unigrams.get(w, 0) + 1) / (total + vocab + 1)
+        h -= math.log2(lam * p_bi + (1.0 - lam) * p_uni)
+        prev = w
+    return h / len(tokens)
+
+
+def perplexity_filter(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = DEFAULT_LAMBDA,
+) -> DataFrame:
+    """Score every document of ``df`` with a bigram LM trained on ``ref``
+    and bucket it head/middle/tail by the reference corpus's own
+    perplexity tertiles (the CCNet §4.3 protocol: cutoffs come from the
+    trusted corpus, so bucketing is a broadcast constant — never a
+    corpus-wide sort/percentile at scoring time).
+
+    Adds ``n_tokens``, ``cross_entropy`` and ``perplexity`` (bits/token
+    and 2^H, ROUND(6)), and ``ppl_bucket`` ∈ {head, middle, tail, empty}.
+    Map-only over the corpus: the LM tables and the two cutoffs ride one
+    broadcast into ``mapInPandas``."""
+    import pandas as pd
+
+    unigrams, bigrams, total = train_bigram_lm(ref, text_col)
+    ctx = context_totals(unigrams, bigrams)
+
+    # reference-derived cutoffs: score the ref docs with the same LM,
+    # exact tertiles of the sorted (perplexity, doc order) list.  O(|ref|)
+    # driver work against a dimension-sized corpus.
+    ref_texts = [
+        r[0] for r in ref.select(text_col).orderBy(text_col).collect()
+    ]
+    ref_ppl = sorted(
+        2.0 ** score_tokens(_py_tokens(t), unigrams, bigrams, total, ctx, lam)
+        for t in ref_texts
+        if _py_tokens(t)
+    )
+    if ref_ppl:
+        cut_head = ref_ppl[(len(ref_ppl) - 1) // 3]
+        cut_mid = ref_ppl[(2 * (len(ref_ppl) - 1)) // 3]
+    else:  # degenerate empty reference: everything is tail
+        cut_head = cut_mid = float("-inf")
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (unigrams, bigrams, total, ctx, lam, cut_head, cut_mid)
+    )
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("cross_entropy", T.DoubleType()),
+            T.StructField("perplexity", T.DoubleType()),
+            T.StructField("ppl_bucket", T.StringType()),
+        ]
+    )
+
+    def score(batches):
+        uni, bi, tot, cx, lm, c_head, c_mid = bc.value
+        for pdf in batches:
+            ns, hs, ps, buckets = [], [], [], []
+            for text in pdf[text_col]:
+                tk = _py_tokens(text)
+                h = score_tokens(tk, uni, bi, tot, cx, lm)
+                p = 2.0**h
+                ns.append(len(tk))
+                hs.append(h)
+                ps.append(p)
+                if not tk:
+                    buckets.append("empty")
+                elif p <= c_head:
+                    buckets.append("head")
+                elif p <= c_mid:
+                    buckets.append("middle")
+                else:
+                    buckets.append("tail")
+            pdf = pdf.copy()
+            pdf["n_tokens"] = pd.Series(ns, dtype="int32", index=pdf.index)
+            pdf["cross_entropy"] = pd.Series(
+                hs, dtype="float64", index=pdf.index
+            )
+            pdf["perplexity"] = pd.Series(ps, dtype="float64", index=pdf.index)
+            pdf["ppl_bucket"] = pd.Series(
+                buckets, dtype="object", index=pdf.index
+            )
+            yield pdf
+
+    scored = df.mapInPandas(score, schema=out_schema)
+    return scored.withColumn(
+        "cross_entropy", F.round("cross_entropy", 6)
+    ).withColumn("perplexity", F.round("perplexity", 6))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget packing of documents into training sequences,
+    independently per deterministic shard (``doc_id % n_shards``).
+
+    Within a shard, documents are visited in ``id_col`` order and a
+    sequence closes when the next document would overflow ``budget``; a
+    single document longer than the budget gets a sequence of its own
+    with ``oversize = true`` (real pipelines then split it downstream).
+    Output: one row per document — (shard, seq_id, token offset within the sequence,
+    n_tokens, oversize) — the manifest a writer needs to materialize
+    packed token files.
+
+    Plan: ONE shuffle keyed by shard (Exchange → applyInPandas); the
+    greedy is O(shard rows) and runs entirely inside the group.  Shards
+    are the unit of output parallelism AND the memory bound: only the
+    (id, count) pairs of one shard are ever held in one pandas frame."""
+    import pandas as pd
+
+    counts = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(_sql_tokens(text_col)).alias("n_tokens"),
+        (F.col(id_col).cast("long") % n_shards).alias("shard"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("seq_id", T.IntegerType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tok_offset", T.IntegerType()),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seq, used = 0, 0
+        seqs, offs, overs = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > budget:
+                seq, used = seq + 1, 0
+            seqs.append(seq)
+            offs.append(used)
+            overs.append(n > budget)
+            used += n
+            if used >= budget:  # exactly-full or oversize closes the seq
+                seq, used = seq + 1, 0
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int64"),
+                "seq_id": pd.Series(seqs, dtype="int32", index=pdf.index),
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "tok_offset": pd.Series(offs, dtype="int32", index=pdf.index),
+                "n_tokens": pdf["n_tokens"].astype("int32"),
+                "oversize": pd.Series(overs, dtype="bool", index=pdf.index),
+            }
+        )
+
+    return counts.groupBy("shard").applyInPandas(pack, schema=out_schema)
