@@ -371,7 +371,12 @@ def main():
         pipeline_secs = s if pipeline_secs is None else min(pipeline_secs, s)
     pipeline_secs = round(pipeline_secs, 3)
 
-    qtimes = headline_queries(spark)
+    # 3 full passes (was 2): the 2026-08-17 afternoon storms inflated
+    # single queries 5-10× for whole minutes — a third time-separated
+    # pass costs ~22 s calm and buys one more independent draw per query
+    qtimes = headline_queries(
+        spark, runs=int(os.environ.get("SPARK_GRAFT_SUITE_RUNS", "3"))
+    )
     total = round(pipeline_secs + sum(qtimes.values()), 3)
     result = {
         "metric": "end-to-end annotate->triple-materialize + headline query suite wall time",
