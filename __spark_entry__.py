@@ -191,6 +191,56 @@ def q_kg_triples_co_mention(spark, sf_dir):
     )
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """PageRank over the DIRECTED co-mention concept graph (edges point
+    lexicographically smaller→larger curie, the pair orientation
+    co_mention_triples emits) — concept-importance ranking downstream of
+    KG assembly; 10 iterations, damping 0.85.  The DAG orientation makes
+    ranks non-uniform (the symmetrized graph here is complete, where
+    PageRank is trivially uniform) and its sink nodes exercise the
+    dangling-mass redistribution on both engines.  Oracle: REAL
+    unrolled-iteration SQL (10 chained CTEs) independently aggregated by
+    DuckDB over the same mention-derivation CTEs."""
+    from dug_spark.operators import graph
+
+    edges = triples_op.co_mention_triples(_nmentions(spark, sf_dir)).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    pr = graph.pagerank(edges, damping=0.85, iterations=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(norm_cte: str, damping: float = 0.85, iters: int = 10) -> str:
+    """Unrolled PageRank iterations over the directed co-mention edge CTE,
+    dangling mass (sink-node rank, redistributed uniformly) included —
+    mirrors operators/graph.pagerank exactly."""
+    d = repr(damping)
+    sql = (
+        f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.curie AS src, b.curie AS dst FROM dm a "
+        "  JOIN dm b ON a.url = b.url AND a.curie < b.curie), "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src), "
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    )
+    for i in range(iters):
+        dang = (
+            f"(SELECT COALESCE(SUM(r.rank), 0) FROM r{i} r "
+            "LEFT JOIN deg ON deg.node = r.node WHERE deg.node IS NULL)"
+        )
+        sql += (
+            f", r{i + 1} AS MATERIALIZED (SELECT b.node, "
+            f"(1 - {d}) / (SELECT n FROM nn) + {d} * (COALESCE(c.contrib, 0) "
+            f"+ {dang} / (SELECT n FROM nn)) AS rank "
+            "FROM nodes b LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            "JOIN deg ON deg.node = e.src GROUP BY e.dst) c ON b.node = c.node)"
+        )
+    return sql + f" SELECT node, ROUND(rank, 6) AS rank FROM r{iters}"
+
+
 def q_kg_triples_all(spark, sf_dir):
     """Full triple materialization (union of the three families)."""
     return triples_op.build_triples(
@@ -1313,7 +1363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_norm": q_kg_mentions_norm,
         "kg_concept_terms": q_kg_concept_terms,
         "kg_triples_has_concept": q_kg_triples_has_concept,
-        "kg_triples_subclass": q_kg_triples_subclass,
+        # round 4 (cont.): kg_triples_subclass (a strict pred-filter subset
+        # of kg_triples_all, which carries the same 5 subclass triples)
+        # cedes its slot to PageRank over the co-mention concept graph
+        "kg_pagerank": q_kg_pagerank,
         "kg_triples_co_mention": q_kg_triples_co_mention,
         "kg_triples_all": q_kg_triples_all,
         "kg_connected_components": q_kg_connected_components,
@@ -1408,12 +1461,7 @@ def oracle_sql() -> dict[str, str]:
             f"{norm_cte} SELECT DISTINCT url AS subj, 'HAS_CONCEPT' AS pred, curie AS obj "
             "FROM nmentions"
         ),
-        "kg_triples_subclass": (
-            f"{norm_cte}, {_SQL_KGE} "
-            "SELECT DISTINCT e.subject AS subj, 'biolink:subclass_of' AS pred, e.object AS obj "
-            "FROM kg_edges e WHERE e.predicate = 'biolink:subclass_of' "
-            "AND e.subject IN (SELECT curie FROM nmentions)"
-        ),
+        "kg_pagerank": _pagerank_sql(norm_cte),
         "kg_triples_co_mention": (
             f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions) "
             "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "

@@ -1,0 +1,102 @@
+"""Iterative graph algorithms over DataFrame edge lists: PageRank.
+
+The reference stops at KG assembly (crawler.py expands TranQL answers
+into nodes/edges but never ranks them); concept importance ranking is
+the natural next step a KG-construction pipeline runs — PageRank over
+the co-mention graph surfaces hub concepts, and at web scale the same
+operator ranks the host link graph.
+
+Scale shape: ranks and degrees are NODE-sized, edges are corpus-sized.
+Each iteration joins edges ⋈ ranks on src — with ``broadcast_ranks``
+(the default; node tables here are dimension-sized: concepts are
+dictionary-bounded, hosts ~10^8 which still broadcasts at ~GB) the edge
+side never shuffles; only the dst-keyed contribution aggregate moves
+node-sized data.  For node sets too large to broadcast, pass
+``broadcast_ranks=False`` to get a plain shuffle join — then pre-
+partition edges by src once so every iteration reuses the exchange.
+Each iteration eagerly localCheckpoints the node-sized rank table
+(same pattern as the connected-components loop in
+operators/canonicalize.py): the contribution join and the dangling
+aggregate then share one materialization, and the checkpoint doubles as
+the lineage cut without which 10 chained broadcast-join plans compile
+quadratically.  The edge list is re-scanned every iteration — callers
+with an expensive edge derivation should persist or write it out first.
+
+Dangling mass (nodes with no out-edges) is redistributed uniformly each
+iteration — the standard correction; its computation is a one-row
+aggregate per iteration (node-sized scan, scalar result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, rank) with
+    Σ rank = 1.  Parallel edges count as multiple edges (pre-dedup the
+    input if that is not wanted); self-loops are legal.
+
+        rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/out(u) + dangling/N)
+
+    Deterministic up to float-sum order; callers that hash-compare round
+    the result (functions/pyoracle has no mirror — the driver oracle is
+    real unrolled-iteration SQL, independently aggregated by DuckDB)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    # node-sized precompute, reused every iteration: rank + out_deg
+    # (out_deg null ⇒ dangling)
+    base = nodes.join(outdeg, "node", "left").localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+
+    for i in range(iterations):
+        # materialize the node-sized rank table once per iteration: both
+        # the contribution join and the dangling aggregate read it, and
+        # the eager checkpoint doubles as the lineage cut (10 chained
+        # broadcast-join plans otherwise compile quadratically)
+        ranks = ranks.localCheckpoint(eager=True)
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = base.join(contribs, "node", "left").select(
+            "node",
+            "out_deg",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+    return ranks.select("node", "rank")

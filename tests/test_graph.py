@@ -1,0 +1,90 @@
+"""PageRank (operators/graph.py): golden values on hand-checkable graphs,
+mass conservation, dangling redistribution, broadcast/shuffle-join parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_spark.operators import graph
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def _py_pagerank(edges, damping=0.85, iterations=10):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1 - damping) / n + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture
+def edges_df(spark):
+    def make(pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    return make
+
+
+def test_two_node_cycle_is_uniform(spark, edges_df):
+    got = _ranks(graph.pagerank(edges_df([("a", "b"), ("b", "a")])))
+    assert got["a"] == pytest.approx(0.5) and got["b"] == pytest.approx(0.5)
+
+
+def test_chain_with_dangling_sink(spark, edges_df):
+    pairs = [("a", "b"), ("b", "c")]  # c is a sink: dangling mass path
+    got = _ranks(graph.pagerank(edges_df(pairs)))
+    exp = _py_pagerank(pairs)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got["c"] > got["b"] > got["a"]
+
+
+def test_hub_graph_matches_reference_impl(spark, edges_df):
+    pairs = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"),
+        ("hub", "a"), ("c", "a"), ("d", "c"),
+    ]
+    got = _ranks(graph.pagerank(edges_df(pairs), iterations=15))
+    exp = _py_pagerank(pairs, iterations=15)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    assert max(got, key=got.get) == "hub"
+
+
+def test_parallel_edges_count_twice(spark, edges_df):
+    # a has two edges to b and one to c: b gets 2/3 of a's rank
+    pairs = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")]
+    got = _ranks(graph.pagerank(edges_df(pairs)))
+    exp = _py_pagerank(pairs)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    assert got["b"] > got["c"]
+
+
+def test_shuffle_join_path_matches_broadcast(spark, edges_df):
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    bc = _ranks(graph.pagerank(edges_df(pairs), iterations=5))
+    sh = _ranks(
+        graph.pagerank(edges_df(pairs), iterations=5, broadcast_ranks=False)
+    )
+    for v in bc:
+        assert sh[v] == pytest.approx(bc[v], abs=1e-12)
+
+
+def test_empty_graph(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert graph.pagerank(e).count() == 0
