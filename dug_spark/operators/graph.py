@@ -8,12 +8,14 @@ operator ranks the host link graph.
 
 Scale shape: ranks and degrees are NODE-sized, edges are corpus-sized.
 Each iteration joins edges ⋈ ranks on src — with ``broadcast_ranks``
-(the default; node tables here are dimension-sized: concepts are
-dictionary-bounded, hosts ~10^8 which still broadcasts at ~GB) the edge
-side never shuffles; only the dst-keyed contribution aggregate moves
-node-sized data.  For node sets too large to broadcast, pass
-``broadcast_ranks=False`` to get a plain shuffle join — then pre-
-partition edges by src once so every iteration reuses the exchange.
+(the default, right for dictionary-bounded node sets like the concept
+graph) the edge side never shuffles; only the dst-keyed contribution
+aggregate moves node-sized data.  Past ~10^5-10^6 nodes the per-
+iteration re-broadcast dominates — measured at 1.6M nodes / 16M edges
+the shuffle join runs ~5× faster per iteration (jobs/
+graph_scale_evidence.py; numbers in BASELINE.md) — so pass
+``broadcast_ranks=False`` there, and pre-partition edges by src once so
+every iteration reuses the exchange.
 Each iteration eagerly localCheckpoints the node-sized rank table
 (same pattern as the connected-components loop in
 operators/canonicalize.py): the contribution join and the dangling
@@ -68,6 +70,12 @@ def pagerank(
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
     ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    # one-time sink probe: graphs where every node has out-edges (most
+    # link graphs after symmetrization, and any k-regular synthetic) have
+    # dangling ≡ 0 — skip the per-iteration scalar aggregate entirely
+    has_dangling = (
+        base.where(F.col("out_deg").isNull()).limit(1).count() > 0
+    )
 
     for i in range(iterations):
         # materialize the node-sized rank table once per iteration: both
@@ -85,11 +93,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.where(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
         ranks = base.join(contribs, "node", "left").select(
             "node",
             "out_deg",
