@@ -660,3 +660,43 @@ def pack_rows(
             if used >= budget:
                 seq, used = seq + 1, 0
     return out
+
+
+MOJI_SUFFIX = " café naïve résumé — señor über"
+
+
+def mojibake_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, mojibake_rounds, fixed_len) after deterministic mojibake
+    injection (doc_id%13: one latin-1 misdecode round on a non-ASCII
+    suffix; doc_id%26: two) and the ftfy-core repair rule — independent
+    recompute of textstats.fix_mojibake over the injected corpus."""
+    m1 = MOJI_SUFFIX.encode("utf-8").decode("latin-1")
+    m2 = m1.encode("utf-8").decode("latin-1")
+    out = []
+    for d, t in docs:
+        if d % 26 == 0:
+            s = t + m2
+        elif d % 13 == 0:
+            s = t + m1
+        else:
+            s = t
+        rounds = 0
+        for _ in range(2):
+            raw = None
+            for codec in ("latin-1", "cp1252"):
+                try:
+                    raw = s.encode(codec)
+                    break
+                except UnicodeEncodeError:
+                    pass
+            if raw is None:
+                break
+            try:
+                rep = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                break
+            if rep == s:
+                break
+            s, rounds = rep, rounds + 1
+        out.append((d, rounds, len(s)))
+    return out

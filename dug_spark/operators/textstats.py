@@ -659,3 +659,67 @@ def flag_contaminated(
     return df.join(F.broadcast(hits), id_col, "left").fillna(
         False, subset=["contaminated"]
     )
+
+
+def _repair_mojibake_text(s: str, max_rounds: int = 2) -> tuple[str, int]:
+    """ftfy-core repair rule: text whose characters all fit Latin-1/cp1252
+    AND whose re-encoded bytes form valid UTF-8 was mojibake (UTF-8 bytes
+    misdecoded as a legacy codec) — undo it, up to ``max_rounds`` times
+    for double-encoded text.  Legitimate accented text fails the UTF-8
+    re-decode (single high bytes are invalid UTF-8), so it is never
+    touched.  Pure function; mirrored in pyoracle.mojibake_rows."""
+    rounds = 0
+    for _ in range(max_rounds):
+        raw = None
+        for codec in ("latin-1", "cp1252"):
+            try:
+                raw = s.encode(codec)
+                break
+            except UnicodeEncodeError:
+                continue
+        if raw is None:
+            break
+        try:
+            repaired = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if repaired == s:
+            break
+        s = repaired
+        rounds += 1
+    return s, rounds
+
+
+def fix_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repair UTF-8-misdecoded-as-Latin-1/cp1252 text (the ftfy pass a
+    crawl pipeline runs before tokenization).  Adds ``fixed_text``,
+    ``mojibake_rounds`` (0 = clean) — map-only ``mapInPandas`` over Arrow
+    batches (needs real codec round-trips, not expressible in codegen);
+    the corpus never shuffles."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("fixed_text", T.StringType()),
+            T.StructField("mojibake_rounds", T.IntegerType()),
+        ]
+    )
+
+    def fix(batches):
+        for pdf in batches:
+            fixed, rounds = [], []
+            for text in pdf[text_col]:
+                f, r = _repair_mojibake_text(text or "")
+                fixed.append(f)
+                rounds.append(r)
+            pdf = pdf.copy()
+            pdf["fixed_text"] = pd.Series(fixed, dtype="object", index=pdf.index)
+            pdf["mojibake_rounds"] = pd.Series(
+                rounds, dtype="int32", index=pdf.index
+            )
+            yield pdf
+
+    return df.mapInPandas(fix, schema=out_schema)

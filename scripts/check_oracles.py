@@ -40,7 +40,11 @@ def main():
 
     names = sys.argv[1:]
     spark = get_spark("check_oracles", cores=16, shuffle_partitions=16)
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    # extra registry: fully-oracled queries beyond the driver's 50-row
+    # CORRECTNESS window — same check, local-only
+    extra = getattr(entry, "extra_queries", dict)()
+    qs.update(extra)
     # resolve sf_dir-dependent pyoracle inputs the way the driver would:
     # a query ran first, then oracle_sql() is called
     con = duckdb.connect()
@@ -53,7 +57,8 @@ def main():
         sdf = qs[name](spark, SF)
         srows = sdf.collect()
         scols = sorted(sdf.columns)
-        oracles = entry.oracle_sql()
+        oracles = dict(entry.oracle_sql())
+        oracles.update(getattr(entry, "extra_oracle_sql", dict)())
         if name not in oracles:
             print(f"{name}: NO ORACLE ({len(srows)} rows)")
             continue
