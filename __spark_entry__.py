@@ -210,15 +210,13 @@ def q_kg_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_sql(norm_cte: str, damping: float = 0.85, iters: int = 10) -> str:
-    """Unrolled PageRank iterations over the directed co-mention edge CTE,
-    dangling mass (sink-node rank, redistributed uniformly) included —
-    mirrors operators/graph.pagerank exactly."""
+def _pagerank_iters(prefix_with_e: str, damping: float = 0.85, iters: int = 10) -> str:
+    """Unrolled PageRank iterations over any prefix SQL that defines a CTE
+    ``e(src, dst)``; dangling mass (sink-node rank, redistributed
+    uniformly) included — mirrors operators/graph.pagerank exactly."""
     d = repr(damping)
     sql = (
-        f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
-        "e AS MATERIALIZED (SELECT DISTINCT a.curie AS src, b.curie AS dst FROM dm a "
-        "  JOIN dm b ON a.url = b.url AND a.curie < b.curie), "
+        f"{prefix_with_e}, "
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), "
         "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src), "
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
@@ -239,6 +237,17 @@ def _pagerank_sql(norm_cte: str, damping: float = 0.85, iters: int = 10) -> str:
             "JOIN deg ON deg.node = e.src GROUP BY e.dst) c ON b.node = c.node)"
         )
     return sql + f" SELECT node, ROUND(rank, 6) AS rank FROM r{iters}"
+
+
+def _pagerank_sql(norm_cte: str, damping: float = 0.85, iters: int = 10) -> str:
+    """PageRank oracle over the directed co-mention edge CTE."""
+    return _pagerank_iters(
+        f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.curie AS src, b.curie AS dst FROM dm a "
+        "  JOIN dm b ON a.url = b.url AND a.curie < b.curie)",
+        damping,
+        iters,
+    )
 
 
 def q_kg_triples_all(spark, sf_dir):
@@ -1824,6 +1833,41 @@ def q_text_mojibake(spark, sf_dir):
     )
 
 
+def q_web_host_rank(spark, sf_dir):
+    """HTML → href extraction → host edge list → PageRank (operators/
+    weblinks.py + graph.py): a deterministic linked corpus is synthesized
+    from the documents table (20 hosts; three doc_id-derived absolute /
+    www-prefixed / scheme-relative links per page, plus a relative and a
+    fragment link that must drop out), run through the REAL byte-decode +
+    regexp href parser and parse_url host resolution.  Oracle: the same
+    edge arithmetic in SQL + unrolled PageRank iterations."""
+    from dug_spark.operators import weblinks
+
+    did = F.col("doc_id")
+    h = lambda k: F.concat(
+        F.lit("h"), (k % 20).cast("long").cast("string"), F.lit(".example.org")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://'),
+        h(F.floor(did / 20) % (1 + (did % 20) % 5)),
+        F.lit('/p">a</a><a href="https://www.'),
+        h(F.floor(did / 40) % (1 + (did % 20) % 7) + 5),
+        F.lit('/q">b</a><a href="//'),
+        h(F.floor(did / 60) % (1 + (did % 20) % 4) + 12),
+        F.lit('/r">c</a><a href="/local">d</a><a href="#top">e</a><p>t</p></body></html>'),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://"), h(did), F.lit("/d/"), did.cast("string")
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    pr = weblinks.host_pagerank(docs, iterations=10)
+    return pr.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
 def q_kg_triples_subclass(spark, sf_dir):  # noqa: F811 — kept verbatim
     """Subclass triples (pred-filter view; superseded in the driver
     registry by kg_triples_all which carries the same rows)."""
@@ -1835,6 +1879,7 @@ def q_kg_triples_subclass(spark, sf_dir):  # noqa: F811 — kept verbatim
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_mojibake": q_text_mojibake,
+        "web_host_rank": q_web_host_rank,
         "kg_triples_subclass": q_kg_triples_subclass,
         "ann_ivf": q_ann_ivf,
         "multimodal_resize": q_multimodal_resize,
@@ -1850,7 +1895,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     corpus_cte = f"WITH {_SQL_CORPUS}, {_SQL_DICT}, {_SQL_MENTIONS}"
     norm_cte = f"{corpus_cte}, {_SQL_NORM}, {_SQL_NMENTIONS}"
+    web_edges = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src, "
+        "  unnest(["
+        "    'h' || CAST((doc_id // 20) % (1 + (doc_id % 20) % 5) % 20 AS VARCHAR) || '.example.org', "
+        "    'h' || CAST(((doc_id // 40) % (1 + (doc_id % 20) % 7) + 5) % 20 AS VARCHAR) || '.example.org', "
+        "    'h' || CAST(((doc_id // 60) % (1 + (doc_id % 20) % 4) + 12) % 20 AS VARCHAR) || '.example.org'"
+        "  ]) AS dst FROM documents) WHERE src != dst)"
+    )
     out = {
+        "web_host_rank": (
+            "SELECT node AS host, rank FROM ("
+            + _pagerank_iters(web_edges)
+            + ")"
+        ),
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "
             "SELECT DISTINCT e.subject AS subj, 'biolink:subclass_of' AS pred, e.object AS obj "

@@ -161,6 +161,7 @@ def perplexity_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = DEFAULT_LAMBDA,
+    cutoff_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document of ``df`` with a bigram LM trained on ``ref``
     and bucket it head/middle/tail by the reference corpus's own
@@ -171,17 +172,27 @@ def perplexity_filter(
     Adds ``n_tokens``, ``cross_entropy`` and ``perplexity`` (bits/token
     and 2^H, ROUND(6)), and ``ppl_bucket`` ∈ {head, middle, tail, empty}.
     Map-only over the corpus: the LM tables and the two cutoffs ride one
-    broadcast into ``mapInPandas``."""
+    broadcast into ``mapInPandas``.
+
+    ``cutoff_ref`` (default: ``ref`` itself, the CCNet protocol) is the
+    slice whose score tertiles become the bucket cutoffs.  At Wikipedia
+    scale in-train calibration is fine; with a SMALL reference the LM
+    memorizes it and in-train tertiles push nearly everything to tail —
+    pass a held-out slice here to calibrate on out-of-train scores."""
     import pandas as pd
 
     unigrams, bigrams, total = train_bigram_lm(ref, text_col)
     ctx = context_totals(unigrams, bigrams)
 
-    # reference-derived cutoffs: score the ref docs with the same LM,
-    # exact tertiles of the sorted (perplexity, doc order) list.  O(|ref|)
-    # driver work against a dimension-sized corpus.
+    # cutoffs: score the calibration docs with the trained LM, exact
+    # tertiles of the sorted perplexity list.  O(|slice|) driver work
+    # against a dimension-sized corpus.
     ref_texts = [
-        r[0] for r in ref.select(text_col).orderBy(text_col).collect()
+        r[0]
+        for r in (cutoff_ref if cutoff_ref is not None else ref)
+        .select(text_col)
+        .orderBy(text_col)
+        .collect()
     ]
     ref_ppl = sorted(
         2.0 ** score_tokens(_py_tokens(t), unigrams, bigrams, total, ctx, lam)

@@ -49,28 +49,64 @@ def main():
     base = fixtures.webify_documents(
         spark.read.parquet(f"{SF}/documents.parquet").repartition(64)
     )
-    # organic replicas (per-replica sentence suffix): the crawl-scale shape
-    docs = base.crossJoin(reps).select(
-        (F.col("doc_id") * args.replicate + F.col("rep")).alias("doc_id"),
-        F.concat_ws(
-            "\n", "text", F.concat(F.lit("replica "), F.col("rep"), F.lit(" tail line."))
-        ).alias("text"),
+    # organic replicas — per-replica suffix on EVERY line (kept as a
+    # sentence so the C4 terminal-punctuation rule still passes): the 320
+    # replicas do not collapse under global line dedup, the crawl shape.
+    # (A per-doc tail line instead leaves every body line a 320-member
+    # clone group and the pipeline correctly collapses 1.6M docs to the
+    # ~1.5k keepers — measured: that run is the adversarial shape.)
+    docs = (
+        base.crossJoin(reps)
+        .withColumn("sfx", F.concat(F.lit(" r"), F.col("rep").cast("string"), F.lit(".")))
+        .select(
+            (F.col("doc_id") * args.replicate + F.col("rep")).alias("doc_id"),
+            # append the per-replica suffix to every line WITHOUT a
+            # higher-order-function lambda: an outer row reference inside
+            # transform() trips a BindReferences INTERNAL_ERROR once this
+            # plan flows through the later mapInPandas stages (Spark 4.1,
+            # crossJoin + HOF + column pruning); plain replace() with
+            # Column arguments compiles clean
+            F.concat(
+                F.replace(
+                    F.col("text"),
+                    F.lit("\n"),
+                    F.concat(F.col("sfx"), F.lit("\n")),
+                ),
+                F.col("sfx"),
+            ).alias("text"),
+        )
     )
     n_docs = docs.count()
     out["docs"] = n_docs
     t_start = time.monotonic()
 
-    # stage 1: curation (one frame carries every gate verdict)
-    curated = curate_corpus(docs).where(F.col("keep")).select(
-        "doc_id", F.col("curated_text").alias("text")
+    # stage 1: curation (one frame carries every gate verdict);
+    # checkpointed because stages 2-3 and the survivor counts all read it
+    # — without the cut each downstream action re-runs the whole curation
+    curated = (
+        curate_corpus(docs)
+        .where(F.col("keep"))
+        .select("doc_id", F.col("curated_text").alias("text"))
+        .localCheckpoint(eager=True)
     )
 
-    # stage 2: CCNet keep-rule — LM trained on the unreplicated trusted
-    # slice, keep head+middle of the curated survivors
-    ref = base.select("doc_id", "text")
-    scored = lm.perplexity_filter(curated, ref)
-    kept = scored.where(F.col("ppl_bucket").isin("head", "middle")).select(
-        "doc_id", "text"
+    # stage 2: CCNet keep-rule — LM trained on a trusted IN-DOMAIN slice
+    # of the curated corpus itself (~1/997 of survivors; training on the
+    # pre-curation text makes every doc score tail — the per-line replica
+    # tokens are 100% OOV to it), keep head+middle of the survivors
+    ref = curated.where(F.col("doc_id") % 997 == 0)
+    # held-out calibration slice (disjoint from the training slice): the
+    # tiny LM memorizes its ~500 training docs, so in-train tertiles
+    # would push every out-of-train doc to tail (measured: 405 of 495k
+    # kept); calibrating on held-out scores keeps the intended ~2/3
+    calib = curated.where(
+        (F.col("doc_id") % 991 == 0) & (F.col("doc_id") % 997 != 0)
+    )
+    scored = lm.perplexity_filter(curated, ref, cutoff_ref=calib)
+    kept = (
+        scored.where(F.col("ppl_bucket").isin("head", "middle"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
 
     # stage 3: packing

@@ -76,6 +76,23 @@ def test_perplexity_empty_and_unseen(spark):
     assert rows[3]["perplexity"] > rows[4]["perplexity"]
 
 
+def test_perplexity_heldout_calibration(spark, docs_df):
+    """cutoff_ref calibrates buckets on a held-out slice: with in-train
+    cutoffs nearly everything scores tail (the tiny LM memorizes its
+    training docs); held-out cutoffs restore the ~2/3 head+middle split."""
+    from pyspark.sql import functions as F
+
+    ref = docs_df.where(F.col("doc_id") % 10 == 0)
+    calib = docs_df.where(F.col("doc_id") % 10 == 1)
+    scored = lm.perplexity_filter(docs_df, ref, cutoff_ref=calib)
+    counts = dict(
+        scored.groupBy("ppl_bucket").count().rdd.map(tuple).collect()
+    )
+    total = sum(counts.values())
+    kept = counts.get("head", 0) + counts.get("middle", 0)
+    assert 0.5 < kept / total < 0.85  # ~2/3, vs <0.1 with in-train cutoffs
+
+
 def test_perplexity_scoring_is_map_only(spark, docs_df):
     """The scoring side must not shuffle the corpus: no Exchange in the
     scored plan (training/cutoff collects run separately up front)."""
