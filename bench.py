@@ -175,6 +175,43 @@ def run_pipeline_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     }
 
 
+def _idlest_cpus(cores: int, probe_s: float = 0.5) -> list[int]:
+    """Pick the ``cores`` idlest CPUs from a short /proc/stat probe.
+
+    The fixed top-of-range pin meant a resident co-tenant thread parked on
+    one of those CPUs taxed EVERY sample at that level (measured 18.6 s
+    hi floors across a whole 20-draw run vs 13.3-15.2 s on clean days).
+    Choosing the idlest CPUs at child launch is value-blind — it reads
+    interference, never the measured throughput — and rides out load that
+    is pinned or cache-parked rather than uniformly spread."""
+    import time as _t
+
+    def snap():
+        out = {}
+        for line in open("/proc/stat"):
+            if line.startswith("cpu") and line[3].isdigit():
+                p = line.split()
+                v = [int(x) for x in p[1:]]
+                idle = v[3] + (v[4] if len(v) > 4 else 0)
+                out[int(p[0][3:])] = (idle, sum(v))
+        return out
+
+    try:
+        a = snap()
+        _t.sleep(probe_s)
+        b = snap()
+        busy = {
+            c: ((b[c][1] - a[c][1]) - (b[c][0] - a[c][0]))
+            / max(b[c][1] - a[c][1], 1)
+            for c in b
+        }
+        ranked = sorted(busy, key=lambda c: (busy[c], -c))
+        return sorted(ranked[:cores])
+    except Exception:
+        n_host = os.cpu_count() or 32
+        return list(range(n_host - cores, n_host))
+
+
 def _child_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     # Pin the whole child (JVM + Python workers) to exactly `cores` CPUs:
     # local[N] bounds concurrent TASKS, not hardware — Python worker
@@ -196,9 +233,7 @@ def _child_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     import shutil as _shutil
 
     if _shutil.which("taskset"):
-        n_host = os.cpu_count() or 32
-        cpus = ",".join(str(n_host - cores + i) for i in range(cores))
-        cmd = ["taskset", "-c", cpus] + cmd
+        cmd = ["taskset", "-c", ",".join(map(str, _idlest_cpus(cores)))] + cmd
     out = subprocess.run(
         cmd,
         capture_output=True,
