@@ -453,6 +453,9 @@ def curate_rows(
     oracle)."""
     import re
 
+    # mirror curate_corpus's NULL→'' coalesce: NULL-text docs keep a
+    # verdict row with keep=false instead of vanishing
+    docs = [(d, t if t is not None else "") for d, t in docs]
     if webify:
         docs = [(d, webify_text(d, t)) for d, t in docs]
 

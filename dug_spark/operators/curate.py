@@ -45,6 +45,13 @@ def curate_corpus(
     (exact-dup keeper election), and ``keep`` = the conjunction.
     ``curated_text`` is the C4-cleaned, PII-redacted, globally
     line-deduped text (null for dropped documents)."""
+    # NULL text ⇒ '' up front: every downstream stage (split/filter/size
+    # chains, the line-dedup posexplode) propagates NULL as zero rows or
+    # NULL gates, which would either drop the doc from the output or turn
+    # ``keep`` into NULL — the contract is one verdict row per input doc
+    # with a definite boolean keep (false for NULL-text docs).
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+
     # stages 1-3: narrow column ops on the raw text
     staged = textstats.c4_line_clean(df, text_col)
     staged = textstats.gopher_quality(staged, text_col)

@@ -470,9 +470,15 @@ def cross_doc_line_dedup(
     removes the worst offenders before the shuffle."""
     from pyspark.sql import Window
 
+    # Coalesce NULL text to '' BEFORE the split: posexplode(split(NULL))
+    # emits zero rows, which would silently drop the document from the
+    # output (the contract is one row per input doc — downstream joins in
+    # curate_corpus must see every doc, NULL-text ones included).
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(text_col, "\n")).alias("_idx", "_line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_idx", "_line"),
     )
     exempt = F.size(F.split(F.trim("_line"), r"\s+")) < min_words
     # Partition by the line VALUE, not a hash of it: a 64-bit hash

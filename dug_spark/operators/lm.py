@@ -184,20 +184,58 @@ def perplexity_filter(
     unigrams, bigrams, total = train_bigram_lm(ref, text_col)
     ctx = context_totals(unigrams, bigrams)
 
-    # cutoffs: score the calibration docs with the trained LM, exact
-    # tertiles of the sorted perplexity list.  O(|slice|) driver work
-    # against a dimension-sized corpus.
-    ref_texts = [
-        r[0]
-        for r in (cutoff_ref if cutoff_ref is not None else ref)
-        .select(text_col)
-        .orderBy(text_col)
-        .collect()
-    ]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((unigrams, bigrams, total, ctx, lam))
+
+    def _scored(frame: DataFrame) -> DataFrame:
+        """frame + (n_tokens, cross_entropy, perplexity) via the broadcast
+        LM inside one Arrow mapInPandas — the shared scorer for both the
+        calibration slice and the corpus (bit-identical by construction)."""
+        out_schema = T.StructType(
+            frame.schema.fields
+            + [
+                T.StructField("n_tokens", T.IntegerType()),
+                T.StructField("cross_entropy", T.DoubleType()),
+                T.StructField("perplexity", T.DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            uni, bi, tot, cx, lm = bc.value
+            for pdf in batches:
+                ns, hs, ps = [], [], []
+                for text in pdf[text_col]:
+                    tk = _py_tokens(text)
+                    h = score_tokens(tk, uni, bi, tot, cx, lm)
+                    ns.append(len(tk))
+                    hs.append(h)
+                    ps.append(2.0**h)
+                pdf = pdf.copy()
+                pdf["n_tokens"] = pd.Series(ns, dtype="int32", index=pdf.index)
+                pdf["cross_entropy"] = pd.Series(
+                    hs, dtype="float64", index=pdf.index
+                )
+                pdf["perplexity"] = pd.Series(
+                    ps, dtype="float64", index=pdf.index
+                )
+                yield pdf
+
+        return frame.mapInPandas(score, schema=out_schema)
+
+    # cutoffs: score the calibration docs DISTRIBUTED with the same
+    # scorer, then collect ONLY the perplexity doubles (8 bytes/doc —
+    # ~80 MB at the CCNet 10^7-doc Wikipedia scale, vs tens of GB for
+    # the full texts) and take exact tertiles of the sorted list on the
+    # driver.  Exact index selection keeps the cutoffs deterministic
+    # (approxQuantile would not); the scoring cost — the real work —
+    # runs on the cluster.
+    calib = cutoff_ref if cutoff_ref is not None else ref
     ref_ppl = sorted(
-        2.0 ** score_tokens(_py_tokens(t), unigrams, bigrams, total, ctx, lam)
-        for t in ref_texts
-        if _py_tokens(t)
+        r[0]
+        for r in _scored(calib.select(text_col))
+        .where(F.col("n_tokens") > 0)
+        .select("perplexity")
+        .collect()
     )
     if ref_ppl:
         cut_head = ref_ppl[(len(ref_ppl) - 1) // 3]
@@ -205,51 +243,15 @@ def perplexity_filter(
     else:  # degenerate empty reference: everything is tail
         cut_head = cut_mid = float("-inf")
 
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (unigrams, bigrams, total, ctx, lam, cut_head, cut_mid)
+    # bucket assignment is a plain column expression over the scored
+    # corpus — the two cutoffs are literals, no second Python pass
+    scored = _scored(df).withColumn(
+        "ppl_bucket",
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+        .when(F.col("perplexity") <= F.lit(cut_head), F.lit("head"))
+        .when(F.col("perplexity") <= F.lit(cut_mid), F.lit("middle"))
+        .otherwise(F.lit("tail")),
     )
-    out_schema = T.StructType(
-        df.schema.fields
-        + [
-            T.StructField("n_tokens", T.IntegerType()),
-            T.StructField("cross_entropy", T.DoubleType()),
-            T.StructField("perplexity", T.DoubleType()),
-            T.StructField("ppl_bucket", T.StringType()),
-        ]
-    )
-
-    def score(batches):
-        uni, bi, tot, cx, lm, c_head, c_mid = bc.value
-        for pdf in batches:
-            ns, hs, ps, buckets = [], [], [], []
-            for text in pdf[text_col]:
-                tk = _py_tokens(text)
-                h = score_tokens(tk, uni, bi, tot, cx, lm)
-                p = 2.0**h
-                ns.append(len(tk))
-                hs.append(h)
-                ps.append(p)
-                if not tk:
-                    buckets.append("empty")
-                elif p <= c_head:
-                    buckets.append("head")
-                elif p <= c_mid:
-                    buckets.append("middle")
-                else:
-                    buckets.append("tail")
-            pdf = pdf.copy()
-            pdf["n_tokens"] = pd.Series(ns, dtype="int32", index=pdf.index)
-            pdf["cross_entropy"] = pd.Series(
-                hs, dtype="float64", index=pdf.index
-            )
-            pdf["perplexity"] = pd.Series(ps, dtype="float64", index=pdf.index)
-            pdf["ppl_bucket"] = pd.Series(
-                buckets, dtype="object", index=pdf.index
-            )
-            yield pdf
-
-    scored = df.mapInPandas(score, schema=out_schema)
     return scored.withColumn(
         "cross_entropy", F.round("cross_entropy", 6)
     ).withColumn("perplexity", F.round("perplexity", 6))

@@ -57,10 +57,20 @@ def host_edges(
     unparseable hrefs drop out via null hosts."""
     src = _host_of(F.col(url_col))
     href = F.col(href_col)
+    # Scheme detection is case-insensitive (RFC 3986 §3.1: schemes are
+    # case-insensitive; HTTP://HOST/.. must parse its own host, not fall
+    # through to the path-relative branch and become a src self-edge).
+    # Non-navigational schemes (mailto:, javascript:, tel:, data:) are
+    # not links between pages — NULL, not otherwise(src), so keep_self
+    # runs never fabricate self-edges from them.
+    lhref = F.lower(href)
     dst = (
-        F.when(href.rlike(r"^https?://"), _host_of(href))
+        F.when(lhref.rlike(r"^https?://"), _host_of(href))
         .when(href.startswith("//"), _host_of(F.concat(F.lit("http:"), href)))
-        .when(href.startswith("#"), F.lit(None).cast("string"))
+        .when(
+            lhref.rlike(r"^(#|mailto:|javascript:|tel:|data:|about:)"),
+            F.lit(None).cast("string"),
+        )
         .otherwise(src)
     )
     edges = (

@@ -576,6 +576,41 @@ def test_curate_corpus_end_to_end(spark, docs):
     assert rep["n_emails"] >= 1
 
 
+def test_curate_corpus_null_text_doc_survives_with_keep_false(spark):
+    from dug_spark.operators import curate
+
+    rows = [
+        (1, None),
+        (2, "this document is a fine keeper with plenty of words to say.\n"
+            "the second line also ends with proper punctuation and length.\n"
+            "a third good line keeps the c4 gate happy over here today.\n"
+            + " ".join(
+                "the quick brown fox jumps of and that have with".split() * 6
+            ) + " extra closing sentence of the document ends now."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate.curate_corpus(df).collect()}
+    # contract: one verdict row per input doc — NULL text must NOT vanish
+    # (posexplode(split(NULL)) emits zero rows; the coalesce guards it)
+    assert set(out) == {1, 2}
+    assert out[1]["keep"] is False  # definite boolean, not NULL
+    assert out[1]["curated_text"] is None
+    assert out[2]["keep"] is True
+
+    rep = curate.curation_report(curate.curate_corpus(df)).collect()[0]
+    assert rep["n_docs"] == 2 and rep["n_kept"] == 1
+
+
+def test_cross_doc_line_dedup_null_text_keeps_doc_row(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c\nd e f")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.cross_doc_line_dedup(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == ""
+    assert out[2]["clean_text"] == "a b c\nd e f"
+
+
 def test_url_features_and_dedup(spark):
     from dug_spark.operators import textstats
 

@@ -61,6 +61,32 @@ def test_host_edges_keep_self(spark):
     ]
 
 
+def test_host_edges_uppercase_scheme_and_non_link_schemes(spark):
+    df = _mk(
+        spark,
+        [
+            (
+                "https://src.org/p",
+                '<a href="HTTP://UPPER.ORG/1">a</a>'
+                '<a href="HTTPS://Mixed.Org/2">b</a>'
+                '<a href="mailto:x@y.org">c</a>'
+                '<a href="javascript:void(0)">d</a>'
+                '<a href="tel:+1-555-000-0000">e</a>',
+            )
+        ],
+    )
+    # uppercase schemes parse their own host (RFC 3986 case-insensitive
+    # schemes); mailto/javascript/tel are not page links even with
+    # keep_self=True — no fabricated self-edges
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in weblinks.host_edges(
+            weblinks.extract_links(df), keep_self=True
+        ).collect()
+    }
+    assert edges == {("src.org", "upper.org"), ("src.org", "mixed.org")}
+
+
 def test_extract_links_is_codegen_narrow(spark):
     df = _mk(spark, [("https://a.org", '<a href="https://b.org">x</a>')])
     plan = (
