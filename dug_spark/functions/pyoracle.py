@@ -175,6 +175,42 @@ def minhash_pairs(
     return out
 
 
+def near_dedup_rows(
+    docs: list[tuple[int, str]],
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.9,
+) -> list[tuple[int, int, int, bool]]:
+    """Independent recompute of ``operators.dedup.near_dedup_corpus``:
+    minhash pairs (minhash_pairs above) → union-find transitive closure →
+    min-id keeper election → one (doc_id, cluster_id, cluster_size, keep)
+    verdict per input document (singletons keep)."""
+    pairs = minhash_pairs(docs, num_hashes, bands, shingle, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _j in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller root so the label IS the min id
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members: dict[int, list[int]] = {}
+    for d, _t in docs:
+        members.setdefault(find(d), []).append(d)
+    out = []
+    for d, _t in docs:
+        root = find(d)
+        out.append((d, root, len(members[root]), d == root))
+    return sorted(out)
+
+
 def _cos(a: list[float], b: list[float]) -> float:
     dot = 0.0
     for x, y in zip(a, b):

@@ -270,6 +270,83 @@ def minhash_near_duplicates(
     )
 
 
+def near_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash near-dedup carried to its END STATE: candidate pairs →
+    connected duplicate clusters → deterministic keeper election → one
+    verdict row per input document.  (``minhash_near_duplicates`` emits
+    pairs; at 100 TB a dedup job ends in *kept documents* — transitive
+    closure matters because near-duplication chains: A≈B≈C must collapse
+    to ONE keeper even when jaccard(A, C) < threshold.)
+
+    Output: (id_col, cluster_id, cluster_size, keep) for EVERY input doc —
+    ``cluster_id`` = smallest doc id reachable through verified pairs
+    (the connected-component label), ``keep`` = the doc IS that smallest
+    id (keeper election mirrors curate_corpus's exact-dup election) or a
+    singleton.
+
+    Scale shape: the pair graph is duplicate-doc-sized (≪ corpus — LSH +
+    ``max_bucket`` bound its construction, see minhash_near_duplicates);
+    connected components iterate over THAT graph only
+    (canonicalize.connected_components: per-round one join + one agg,
+    localCheckpoint-truncated, shuffle parallelism sized to the graph).
+    The only corpus-sized wide op afterwards is ONE left join of document
+    ids against the verdict table to fill in singletons.
+    """
+    from . import canonicalize
+
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, num_hashes, bands, shingle, threshold, max_bucket
+    )
+    comp = canonicalize.connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    verdicts = comp.join(sizes, "cluster_id")
+    return (
+        df.select(id_col)
+        .join(verdicts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            # keeper = the component's min id (== its label); singletons
+            # (no verified pair — including shingle-less short docs) keep
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )
+
+
+def near_dedup_keepers(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The kept corpus: ``df`` semi-joined to near_dedup_corpus keepers —
+    the frame a pipeline feeds to tokenization.  One corpus-keyed join;
+    all other work is duplicate-graph-sized."""
+    keepers = (
+        near_dedup_corpus(df, id_col, text_col, **kwargs)
+        .where("keep")
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -16,11 +16,17 @@ Re-expresses the reference's Elasticsearch DSL as DataFrame plans:
 Scoring fidelity: ``bm25_topk`` / ``bm25_boosted_topk`` implement the
 actual Lucene BM25 similarity behind every ES match clause, composed with
 the reference's per-field clause boosts and tokenized by the shared
-``std_with_stopwords`` analyzer (functions/analyzer.py).  The legacy
+``std_with_stopwords`` analyzer (functions/analyzer.py).  ES
+``fuzziness`` — the reference's default (fuzziness=1, prefix_length=3 on
+every match clause, async_search.py:113) — is implemented by
+``fuzzy_expand_terms`` + SynonymQuery blending in both BM25 entry points
+and is deterministic (JVM levenshtein over a vocabulary aggregation), so
+it carries a full cross-engine oracle (the ``search_bm25_fuzzy`` contract
+row derives the same expansion in DuckDB SQL).  The legacy
 ``concept_score``/``variable_score`` structure-only predicates are kept
-for the deterministic fallback paths; remaining documented deviation is
-ES ``fuzziness`` (edit-distance term expansion) which has no
-deterministic cross-engine oracle.
+for the deterministic fallback paths.  Remaining documented deviation:
+phrase matching is contiguous on stopword-stripped tokens (ES keeps
+position gaps where stopwords were removed).
 """
 
 from __future__ import annotations
@@ -202,7 +208,10 @@ def fuzzy_expand_terms(
     The cap keeps the widest group bounded (ES default max_expansions=50);
     deterministic keep-order: matched terms sorted ascending (ES keeps
     top-by-frequency — documented deviation, irrelevant until a group
-    exceeds the cap).  Returns {query token: sorted expansion group}."""
+    exceeds the cap).  Edit distance is plain Levenshtein (JVM
+    ``levenshtein``; ES counts a transposition as 1 edit — Damerau —
+    the second documented deviation, affecting only swapped-adjacent-
+    character typos).  Returns {query token: sorted expansion group}."""
     if not qtoks:
         return {}
     vocab = df.select(F.explode(tk_col).alias("t")).distinct()
@@ -228,6 +237,59 @@ def fuzzy_expand_terms(
         return sorted([q] + rest)
 
     return {q: _cap(q, terms) for q, terms in groups.items()}
+
+
+#: above this many distinct (field, term) df columns, per-term conditional
+#: sums in ONE agg would build thousands of Catalyst expression nodes
+#: (fuzziness=1 × max_expansions=50 × multi-token query) — switch to the
+#: explode-based df aggregation instead (VERDICT r4 "agg-width" guard)
+_DF_AGG_WIDTH = 48
+
+
+def _group_tf(tk_col: str, group: list[str]) -> F.Column:
+    """SynonymQuery tf = Σ member tfs == count of tokens ∈ group (members
+    are distinct): ONE literal-array membership scan over the token array,
+    not |group| chained size(filter) additions — keeps the score
+    expression O(|query|) wide at fuzziness>0."""
+    if len(group) == 1:
+        # closure over a literal — NOT a default-arg lambda: `lambda x,
+        # t=...` reads as a TWO-arg (element, index) HOF and silently
+        # compares against the array position (dedup._minhash_component)
+        lit = F.lit(group[0])
+        return F.size(F.filter(tk_col, lambda x: x == lit)).cast("double")
+    members = F.array(*[F.lit(t) for t in group])
+    return F.size(
+        F.filter(tk_col, lambda x: F.array_contains(members, x))
+    ).cast("double")
+
+
+def _group_present(tk_col: str, group: list[str]) -> F.Column:
+    """≥1 group member present in the token array — arrays_overlap against
+    a literal array (the match operator=and gate under fuzzy expansion)."""
+    if len(group) == 1:
+        return F.array_contains(tk_col, group[0])
+    return F.arrays_overlap(
+        F.col(tk_col), F.array(*[F.lit(t) for t in group])
+    )
+
+
+def _term_doc_freqs(
+    base: DataFrame, tk_col: str, terms: list[str]
+) -> dict[str, int]:
+    """Per-term document frequency via ONE explode→filter→groupBy
+    aggregation — the wide-expansion path.  Scale shape: array_distinct
+    runs map-side, the filter keeps only query/expansion terms BEFORE the
+    exchange, so the shuffle is ≤ |terms| keys × partial counts; the
+    collected result is |terms|-sized."""
+    rows = (
+        base.select(F.explode(F.array_distinct(tk_col)).alias("t"))
+        .where(F.col("t").isin(terms))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    found = {r["t"]: r["df"] for r in rows}
+    return {t: found.get(t, 0) for t in terms}
 
 
 def bm25_topk(
@@ -281,34 +343,47 @@ def bm25_topk(
     else:
         groups = {t: [t] for t in toks}
     terms = sorted({t for g in groups.values() for t in g})
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum(F.when(F.array_contains("toks", t), 1).otherwise(0)).alias(f"df_{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).collect()[0]
-    n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
-    if n == 0 or not toks:
-        return base.select("id", F.lit(0.0).alias("score")).where(F.lit(False))
-    df_by_term = {t: stats[f"df_{i}"] for i, t in enumerate(terms)}
-
-    def tf_col(tok: str) -> F.Column:
-        # closure factory, NOT a default-arg lambda: `lambda x, t=...`
-        # reads as a TWO-arg (element, index) HOF and silently compares
-        # against the array position (see dedup._minhash_component)
-        lit = F.lit(tok)
-        return F.size(F.filter("toks", lambda x: x == lit)).cast("double")
+    if len(terms) > _DF_AGG_WIDTH:
+        # wide fuzzy expansion: df via the explode aggregation, corpus
+        # stats in their own (2-column) agg — bounded expression width
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+        if n == 0 or not toks:
+            return base.select("id", F.lit(0.0).alias("score")).where(
+                F.lit(False)
+            )
+        df_by_term = _term_doc_freqs(base, "toks", terms)
+    else:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum(
+                    F.when(F.array_contains("toks", t), 1).otherwise(0)
+                ).alias(f"df_{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).collect()[0]
+        n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+        if n == 0 or not toks:
+            return base.select("id", F.lit(0.0).alias("score")).where(
+                F.lit(False)
+            )
+        df_by_term = {t: stats[f"df_{i}"] for i, t in enumerate(terms)}
 
     score = None
     for q in toks:
         group = groups[q]
         df_t = max(df_by_term[t] for t in group)  # SynonymQuery docFreq
         idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
-        tf = tf_col(group[0])
-        for t in group[1:]:
-            tf = tf + tf_col(t)  # SynonymQuery tf = Σ member tfs
+        # SynonymQuery tf = Σ member tfs == count of tokens ∈ group
+        # (members are distinct) — ONE literal-array membership scan per
+        # group, not |group| chained size(filter) additions: keeps the
+        # score expression O(|query|) deep at fuzziness>0 where a group
+        # can hold max_expansions members (Catalyst codegen width guard)
+        tf = _group_tf("toks", group)
         term = F.lit(idf) * tf * (k1 + 1.0) / (
             tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
         )
@@ -443,23 +518,38 @@ def bm25_boosted_topk(
         else:
             fgroups[fname] = {t: [t] for t in toks}
         fterms[fname] = sorted({t for g in fgroups[fname].values() for t in g})
+    # corpus stats: docCount + Σdl per field always ride one small agg;
+    # per-term df joins them inline only while the total (field, term)
+    # width stays bounded — a fuzzy multi-token query over 4 fields can
+    # reach |query|·max_expansions·|fields| terms, where the inline
+    # conditional sums would blow up Catalyst codegen (VERDICT r4
+    # "agg-width" guard) — the explode aggregation takes over there
     aggs = []
     for fname, _col, _clauses, _arr in fields:
         dl = F.col(f"dl_{fname}")
         aggs.append(F.sum((dl > 0).cast("long")).alias(f"n_{fname}"))
         aggs.append(F.sum(dl.cast("long")).alias(f"sumdl_{fname}"))
-        for i, t in enumerate(fterms[fname]):
-            aggs.append(
-                F.sum(
-                    F.when(F.array_contains(f"tk_{fname}", t), 1).otherwise(0)
-                ).alias(f"df_{fname}_{i}")
-            )
+    wide = sum(len(fterms[f]) for f, _c, _cl, _a in fields) > _DF_AGG_WIDTH
+    if not wide:
+        for fname, _col, _clauses, _arr in fields:
+            for i, t in enumerate(fterms[fname]):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            F.array_contains(f"tk_{fname}", t), 1
+                        ).otherwise(0)
+                    ).alias(f"df_{fname}_{i}")
+                )
     stats = base.agg(*aggs).collect()[0]
-
-    def tf_col(fname: str, tok: str) -> F.Column:
-        # closure over a literal — NOT a default-arg lambda (2-arg HOF trap)
-        lit = F.lit(tok)
-        return F.size(F.filter(f"tk_{fname}", lambda x: x == lit)).cast("double")
+    fdf: dict[str, dict[str, int]] = {}
+    for fname, _col, _clauses, _arr in fields:
+        if wide:
+            fdf[fname] = _term_doc_freqs(base, f"tk_{fname}", fterms[fname])
+        else:
+            fdf[fname] = {
+                t: stats[f"df_{fname}_{i}"]
+                for i, t in enumerate(fterms[fname])
+            }
 
     total = None
     for fname, _col, clauses, arr in fields:
@@ -467,17 +557,13 @@ def bm25_boosted_topk(
         if not n_f:
             continue  # field absent corpus-wide: no stats, no contribution
         avgdl = stats[f"sumdl_{fname}"] / float(n_f)
-        df_by_term = {
-            t: stats[f"df_{fname}_{i}"] for i, t in enumerate(fterms[fname])
-        }
+        df_by_term = fdf[fname]
         bm25 = None
         for q in toks:
             group = fgroups[fname][q]
             df_t = max(df_by_term[t] for t in group)  # SynonymQuery docFreq
             idf = math.log(1.0 + (n_f - df_t + 0.5) / (df_t + 0.5))
-            tf = tf_col(fname, group[0])
-            for t in group[1:]:
-                tf = tf + tf_col(fname, t)  # SynonymQuery tf = Σ member tfs
+            tf = _group_tf(f"tk_{fname}", group)  # Σ member tfs, one scan
             term = F.lit(idf) * tf * (k1 + 1.0) / (
                 tf
                 + k1
@@ -491,13 +577,7 @@ def bm25_boosted_topk(
         all_present = reduce(
             lambda a, b_: a & b_,
             [
-                reduce(
-                    lambda x, y: x | y,
-                    [
-                        F.array_contains(f"tk_{fname}", t)
-                        for t in fgroups[fname][q]
-                    ],
-                )
+                _group_present(f"tk_{fname}", fgroups[fname][q])
                 for q in toks
             ],
         )

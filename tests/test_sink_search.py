@@ -672,6 +672,42 @@ def test_bm25_fuzzy_matches_python_recompute(spark):
     assert 2 not in out0 and {1, 3} <= out0
 
 
+def test_bm25_wide_df_path_matches_inline(spark, monkeypatch):
+    """The agg-width guard: above _DF_AGG_WIDTH (field, term) columns the
+    df statistics come from the explode aggregation instead of inline
+    conditional sums — forcing the wide path must give bit-identical
+    output on both BM25 entry points."""
+    rows = [
+        (1, "spark jobs run fast"),
+        (2, "sparks fly stream tonight"),
+        (3, "spark sparks strean engines"),
+        (4, "other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = search.bm25_topk(df, "spark stream", k=10, fuzziness=1).collect()
+    monkeypatch.setattr(search, "_DF_AGG_WIDTH", 0)
+    wide = search.bm25_topk(df, "spark stream", k=10, fuzziness=1).collect()
+    assert [(r["id"], r["score"]) for r in inline] == [
+        (r["id"], r["score"]) for r in wide
+    ]
+
+    cdf = spark.createDataFrame(
+        [(str(i), t) for i, t in rows], "concept_id string, name string"
+    )
+    fields = [("name", F.col("name"), [("phrase", 10.0), ("or", 1.0)])]
+    monkeypatch.undo()
+    inline_b = search.bm25_boosted_topk(
+        cdf, "spark stream", fields, k=10, fuzziness=1
+    ).collect()
+    monkeypatch.setattr(search, "_DF_AGG_WIDTH", 0)
+    wide_b = search.bm25_boosted_topk(
+        cdf, "spark stream", fields, k=10, fuzziness=1
+    ).collect()
+    assert [(r["id"], r["score"]) for r in inline_b] == [
+        (r["id"], r["score"]) for r in wide_b
+    ]
+
+
 def test_bm25_boosted_fuzzy_and_gate(spark):
     """The operator=and clauses fire when every query token is matched
     ALLOWING fuzzy forms (ES match operator=and with fuzziness=1), and
