@@ -68,6 +68,8 @@ while _i < len(_CC_NODES):
 
 def _vals(rows) -> str:
     def lit(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         return str(v)
@@ -934,52 +936,123 @@ def q_ann_ivf_trained(spark, sf_dir):
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame sampling (1→N explode inside mapInPandas) with the
-    deterministic stub codec; frames projected to md5 hex so rows are
-    hashable across engines."""
-    media = multimodal.synthetic_media(spark, n=64)
-    frames = multimodal.sample_frames(media, every_ms=1000, deterministic_fake=True)
+    """REAL video frame sampling (round 5): from-spec Y4M decode inside
+    mapInPandas, every-500ms stride over 4fps streams (→ source frames
+    0/2/4), each kept YUV frame BT.601-converted to RGB and re-encoded
+    as a real PNG; frames projected to md5 hex so rows are hashable
+    across engines."""
+    media = multimodal.synthetic_real_media(spark, n=24)
+    frames = multimodal.sample_frames(media, every_ms=500)
     return frames.select(
         "media_id", "frame_idx", F.md5("frame").alias("frame_md5")
     )
 
 
 def q_multimodal_resize(spark, sf_dir):
-    """Image resize plumbing (stub codec): payload md5 + target dims."""
-    media = multimodal.synthetic_media(spark, n=64)
-    out = multimodal.resize_images(media, 32, 32, deterministic_fake=True)
+    """REAL image resize (round 5): PNG rows decode → nearest-neighbour
+    resample to 12×10 → re-encode; WAV/Y4M rows pass through untouched
+    with their original dims.  Payload md5 pins exact output bytes."""
+    media = multimodal.synthetic_real_media(spark, n=24)
+    out = multimodal.resize_images(media, 12, 10)
+    # audio rows carry no dims; -1 (not NULL) keeps the cross-engine row
+    # sort total
     return out.select(
-        "media_id", "mime", "width", "height", F.md5("payload").alias("payload_md5")
+        "media_id",
+        "mime",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
-def _multimodal_resize_rows() -> list[tuple[str, str, int, int, str]]:
-    """Independent recompute of the resize stub output."""
+def _real_media_payload(i: int):
+    """Driver-side mirror of synthetic_real_media's integer formulas
+    (seed 7), decoupled from the Spark operator under test; returns
+    (mime, payload, width, height)."""
+    from dug_spark.functions import codecs
+
+    if i % 3 == 0:
+        w, h = 24, 16
+        px = [
+            bytearray(
+                b
+                for x in range(w)
+                for b in (
+                    (x * 7 + i * 13 + 7) % 256,
+                    (y * 11 + i * 5) % 256,
+                    (x * y + i) % 256,
+                )
+            )
+            for y in range(h)
+        ]
+        return "image/png", codecs.encode_png(w, h, 3, px), w, h
+    if i % 3 == 1:
+        samples = [((t * (i + 3) + 7) % 2048 - 1024) * 16 for t in range(400)]
+        return "audio/wav", codecs.encode_wav(8000, 1, samples), None, None
+    w, h = 8, 6
+    planes = []
+    for f in range(6):
+        y = bytes(
+            (x * 7 + yy * 3 + f * 11 + i * 5 + 7) % 256
+            for yy in range(h)
+            for x in range(w)
+        )
+        u = bytes(
+            (x * 13 + yy * 17 + f * 7 + i) % 256
+            for yy in range(h // 2)
+            for x in range(w // 2)
+        )
+        v = bytes(
+            (x * 19 + yy * 23 + f * 5 + 7) % 256
+            for yy in range(h // 2)
+            for x in range(w // 2)
+        )
+        planes.append((y, u, v))
+    return "video/y4m", codecs.encode_y4m(w, h, 4, 1, planes), w, h
+
+
+def _multimodal_resize_rows() -> list[tuple]:
+    """Independent recompute of the REAL resize output on the
+    pure-Python codec path (use_numpy=False) — validates the Arrow
+    plumbing AND the numpy/pure bit-identity contract."""
     import hashlib
 
+    from dug_spark.functions import codecs
+
     rows = []
-    for i in range(64):
-        mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
-        payload = hashlib.sha256(f"media-42-{i}".encode()).digest() * 4
-        resized = hashlib.sha256(payload + b"32x32").digest()
-        rows.append((f"m{i:04d}", mime, 32, 32, hashlib.md5(resized).hexdigest()))
+    for i in range(24):
+        mime, payload, w, h = _real_media_payload(i)
+        if mime == "image/png":
+            w0, h0, ch, px = codecs.decode_png(payload, use_numpy=False)
+            payload = codecs.encode_png(
+                12, 10, ch, codecs.resize_nearest(w0, h0, ch, px, 12, 10)
+            )
+            w, h = 12, 10
+        if w is None:
+            w = h = -1  # matches the q_multimodal_resize coalesce
+        rows.append((f"r{i:04d}", mime, w, h, hashlib.md5(payload).hexdigest()))
     return rows
 
 
 def _multimodal_frame_rows() -> list[tuple[str, int, str]]:
-    """Independent recompute of the frame-sampling stub (same spec as
-    synthetic_media + sample_frames, re-derived without importing them)."""
+    """Independent recompute of REAL Y4M frame sampling: decode the
+    mirrored streams, stride = (500ms·4fps)//1000 = 2, BT.601 RGB on the
+    pure-Python path, PNG-encode, md5."""
     import hashlib
 
+    from dug_spark.functions import codecs
+
     rows = []
-    for i in range(64):
-        mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
-        payload = hashlib.sha256(f"media-42-{i}".encode()).digest() * 4
-        dur = 3000 if mime.startswith("video") else 0
-        n = max(dur // 1000, 1)
-        for fi in range(n):
-            frame = hashlib.sha256(payload + fi.to_bytes(4, "big")).digest()
-            rows.append((f"m{i:04d}", fi, hashlib.md5(frame).hexdigest()))
+    for i in range(24):
+        mime, payload, w, h = _real_media_payload(i)
+        if mime != "video/y4m":
+            continue
+        w, h, num, den, cs, planes = codecs.decode_y4m(payload)
+        step = max(1, (500 * num) // (1000 * den))
+        for fi in range(0, len(planes), step):
+            px = codecs.y4m_frame_rgb(w, h, cs, planes[fi], use_numpy=False)
+            frame = codecs.encode_png(w, h, 3, px)
+            rows.append((f"r{i:04d}", fi, hashlib.md5(frame).hexdigest()))
     return rows
 
 
@@ -1038,10 +1111,10 @@ def q_search_bm25_fuzzy(spark, sf_dir):
 
 
 def q_multimodal_real_features(spark, sf_dir):
-    """REAL decode path (round 3): from-spec stdlib PNG/WAV codecs
+    """REAL decode path: from-spec stdlib PNG/WAV/Y4M codecs
     (dug_spark/functions/codecs.py) decode valid synthetic media inside
-    the Arrow mapInPandas plumbing — no deterministic_fake.  Features
-    projected to fixed-precision CSV for cross-engine hashing."""
+    the Arrow mapInPandas plumbing — no stub mode exists any more.
+    Features projected to fixed-precision CSV for cross-engine hashing."""
     media = multimodal.synthetic_real_media(spark, n=12)
     feats = multimodal.extract_features(media)  # real decode
     return feats.select(
@@ -1070,29 +1143,13 @@ def _multimodal_real_rows() -> list[tuple[str, str, str]]:
 
     rows = []
     for i in range(12):
-        if i % 2 == 0:
-            w, h = 24, 16
-            px = [
-                bytearray(
-                    b
-                    for x in range(w)
-                    for b in (
-                        (x * 7 + i * 13 + 7) % 256,
-                        (y * 11 + i * 5) % 256,
-                        (x * y + i) % 256,
-                    )
-                )
-                for y in range(h)
-            ]
-            payload = codecs.encode_png(w, h, 3, px)
-            feats = codecs.png_features(payload, use_numpy=False)
-            mime = "image/png"
-        else:
-            samples = [((t * (i + 3) + 7) % 2048 - 1024) * 16 for t in range(400)]
-            payload = codecs.encode_wav(8000, 1, samples)
-            feats = codecs.wav_features(payload, use_numpy=False)
-            mime = "audio/wav"
-        rows.append((f"r{i:04d}", mime, fmt(feats)))
+        mime, payload, _w, _h = _real_media_payload(i)
+        fn = {
+            "image/png": codecs.png_features,
+            "audio/wav": codecs.wav_features,
+            "video/y4m": codecs.y4m_features,
+        }[mime]
+        rows.append((f"r{i:04d}", mime, fmt(fn(payload, use_numpy=False))))
     return rows
 
 

@@ -1,9 +1,10 @@
 """Pure-stdlib media codecs: PNG and WAV, written from the public specs.
 
 The container has no PIL/torchaudio/pyav, but the PNG format (RFC 2083 /
-W3C PNG spec) needs only ``zlib`` + ``struct``, and WAV PCM needs only the
-stdlib ``wave`` module — so image and audio decode can be REAL here, and
-only video remains a stub in operators/multimodal.py.
+W3C PNG spec) needs only ``zlib`` + ``struct``, WAV PCM needs only the
+stdlib ``wave`` module, and YUV4MPEG2 (Y4M) is a bytes-sliceable
+uncompressed video container — so image, audio AND video decode are all
+REAL here; only compressed video (mp4/webm) stays honestly unsupported.
 
 Supported PNG subset: 8-bit depth, color types 0 (grayscale), 2 (RGB),
 6 (RGBA), non-interlaced — all five scanline filters (None/Sub/Up/
@@ -361,5 +362,236 @@ def wav_features(
         zc / n,
         mn / 32768.0,
         mx / 32768.0,
+    ]
+    return (feats + [0.0] * dims)[:dims]
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2 — uncompressed planar video; public spec shipped with
+# mjpegtools' yuv4mpeg(5) man page).  The container is a one-line ASCII
+# header (`YUV4MPEG2 W<w> H<h> F<num>:<den> [C<cs>] ...\n`) followed by
+# frames, each `FRAME[ params]\n` + raw planar YUV — parseable with
+# nothing but bytes.split and struct-free slicing, so VIDEO decode can be
+# real here too.  Compressed containers (mp4/webm) genuinely need
+# external codecs and stay honestly unsupported in multimodal.py.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+# colorspace tag → (x_div, y_div) chroma subsampling; None = no chroma
+_Y4M_SUBSAMPLE: dict[str, tuple[int, int] | None] = {
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "420": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
+    "mono": None,
+}
+
+
+def _y4m_plane_sizes(width: int, height: int, cs: str) -> tuple[int, int]:
+    sub = _Y4M_SUBSAMPLE[cs]
+    ysize = width * height
+    if sub is None:
+        return ysize, 0
+    xd, yd = sub
+    if width % xd or height % yd:
+        raise ValueError(f"Y4M C{cs} requires dims divisible by {xd}x{yd}")
+    return ysize, (width // xd) * (height // yd)
+
+
+def decode_y4m(
+    payload: bytes,
+) -> tuple[int, int, int, int, str, list[tuple[bytes, bytes | None, bytes | None]]]:
+    """→ (width, height, fps_num, fps_den, colorspace, frames); each
+    frame is (y_plane, u_plane, v_plane) raw bytes (u/v None for Cmono).
+    Pure byte slicing — no float, no platform dependence."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a Y4M stream (bad magic)")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M (no header newline)")
+    width = height = None
+    fps_num, fps_den, cs = 25, 1, "420jpeg"  # spec defaults
+    for tok in payload[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            if val not in _Y4M_SUBSAMPLE:
+                raise ValueError(f"unsupported Y4M colorspace C{val}")
+            cs = val
+        # I (interlace), A (aspect), X (extension) carry no pixel layout
+    if not width or not height or fps_num <= 0 or fps_den <= 0:
+        raise ValueError("Y4M header missing/invalid W, H, or F")
+    ysize, csize = _y4m_plane_sizes(width, height, cs)
+    frames: list[tuple[bytes, bytes | None, bytes | None]] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M FRAME marker")
+        pos = fnl + 1
+        end = pos + ysize + 2 * csize
+        if end > len(payload):
+            raise ValueError("truncated Y4M frame data")
+        y = payload[pos : pos + ysize]
+        if csize:
+            u = payload[pos + ysize : pos + ysize + csize]
+            v = payload[pos + ysize + csize : end]
+        else:
+            u = v = None
+        frames.append((y, u, v))
+        pos = end
+    return width, height, fps_num, fps_den, cs, frames
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    fps_num: int,
+    fps_den: int,
+    frames: list[tuple[bytes, bytes | None, bytes | None]],
+    colorspace: str = "420jpeg",
+) -> bytes:
+    ysize, csize = _y4m_plane_sizes(width, height, colorspace)
+    out = [
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 "
+        f"C{colorspace}\n".encode("ascii")
+    ]
+    for y, u, v in frames:
+        if len(y) != ysize or (csize and (len(u) != csize or len(v) != csize)):
+            raise ValueError("Y4M plane size mismatch")
+        out.append(b"FRAME\n")
+        out.append(bytes(y))
+        if csize:
+            out.append(bytes(u))
+            out.append(bytes(v))
+    return b"".join(out)
+
+
+def _clip8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def y4m_frame_rgb(
+    width: int,
+    height: int,
+    colorspace: str,
+    planes: tuple[bytes, bytes | None, bytes | None],
+    use_numpy: bool | None = None,
+) -> list[bytearray]:
+    """One Y4M frame → RGB rows (bytearray of width*3 per row), via the
+    public ITU-R BT.601 limited-range INTEGER transform
+    (c=Y−16, d=U−128, e=V−128; R=(298c+409e+128)>>8, …) with
+    nearest-neighbour chroma upsampling — all-integer, so the numpy and
+    pure-Python paths are bit-identical by construction.  Cmono maps Y
+    straight to gray RGB (the same transform with d=e=0)."""
+    un = _resolve_numpy(use_numpy)
+    sub = _Y4M_SUBSAMPLE[colorspace]
+    yp, up, vp = planes
+    if un:
+        ya = _np.frombuffer(yp, dtype=_np.uint8).reshape(height, width)
+        c = ya.astype(_np.int32) - 16
+        if sub is None:
+            d = _np.zeros((height, width), dtype=_np.int32)
+            e = d
+        else:
+            xd, yd = sub
+            cw = width // xd
+            ua = _np.frombuffer(up, dtype=_np.uint8).reshape(height // yd, cw)
+            va = _np.frombuffer(vp, dtype=_np.uint8).reshape(height // yd, cw)
+            d = _np.repeat(_np.repeat(ua, yd, axis=0), xd, axis=1).astype(
+                _np.int32
+            ) - 128
+            e = _np.repeat(_np.repeat(va, yd, axis=0), xd, axis=1).astype(
+                _np.int32
+            ) - 128
+        r = _np.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
+        g = _np.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
+        b = _np.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
+        rgb = _np.stack([r, g, b], axis=2).astype(_np.uint8)
+        return [bytearray(rgb[yy].tobytes()) for yy in range(height)]
+    rows = []
+    for yy in range(height):
+        row = bytearray(width * 3)
+        for xx in range(width):
+            c = yp[yy * width + xx] - 16
+            if sub is None:
+                d = e = 0
+            else:
+                xd, yd = sub
+                cw = width // xd
+                ci = (yy // yd) * cw + (xx // xd)
+                d = up[ci] - 128
+                e = vp[ci] - 128
+            row[xx * 3] = _clip8((298 * c + 409 * e + 128) >> 8)
+            row[xx * 3 + 1] = _clip8((298 * c - 100 * d - 208 * e + 128) >> 8)
+            row[xx * 3 + 2] = _clip8((298 * c + 516 * d + 128) >> 8)
+        rows.append(row)
+    return rows
+
+
+def _plane_moments_np(chunks: list[bytes]) -> tuple[int, int, int]:
+    arr = _np.frombuffer(b"".join(chunks), dtype=_np.uint8).astype(_np.int64)
+    return int(arr.sum()), int((arr * arr).sum()), int(arr.size)
+
+
+def _plane_moments_py(chunks: list[bytes]) -> tuple[int, int, int]:
+    s1 = s2 = n = 0
+    for ch in chunks:
+        for v in ch:
+            s1 += v
+            s2 += v * v
+        n += len(ch)
+    return s1, s2, n
+
+
+def y4m_features(
+    payload: bytes, dims: int = 16, use_numpy: bool | None = None
+) -> list[float]:
+    """Fixed-width video descriptor: dims, frame count, fps, exact
+    integer-moment mean/std per Y/U/V plane across all frames, plus
+    first/last-frame mean luma (temporal signal).  Same exact-moment
+    contract as png_features/wav_features — numpy executor path ≡
+    pure-Python oracle path bit-for-bit."""
+    un = _resolve_numpy(use_numpy)
+    width, height, fps_num, fps_den, cs, frames = decode_y4m(payload)
+    moments = _plane_moments_np if un else _plane_moments_py
+
+    def mean_std(chunks: list[bytes]) -> tuple[float, float]:
+        if not chunks or chunks[0] is None:
+            return 0.0, 0.0
+        s1, s2, n = moments(chunks)
+        if not n:
+            return 0.0, 0.0
+        mean = s1 / n
+        var = max(s2 / n - mean * mean, 0.0)
+        return mean / 255.0, var**0.5 / 255.0
+
+    y_mean, y_std = mean_std([f[0] for f in frames])
+    u_mean, u_std = mean_std([f[1] for f in frames])
+    v_mean, v_std = mean_std([f[2] for f in frames])
+    first_mean = mean_std([frames[0][0]])[0] if frames else 0.0
+    last_mean = mean_std([frames[-1][0]])[0] if frames else 0.0
+    feats = [
+        float(width),
+        float(height),
+        float(len(frames)),
+        fps_num / fps_den,
+        y_mean,
+        y_std,
+        u_mean,
+        u_std,
+        v_mean,
+        v_std,
+        first_mean,
+        last_mean,
     ]
     return (feats + [0.0] * dims)[:dims]

@@ -131,42 +131,64 @@ def test_windowed_event_counts_batch_parity(spark):
 
 
 def test_multimodal_feature_extraction(spark):
-    media = multimodal.synthetic_media(spark, n=12)
-    feats = multimodal.extract_features(media, deterministic_fake=True).collect()
+    """Real decode of every supported mime (png/wav/y4m) through the
+    Arrow plumbing, deterministic across runs."""
+    media = multimodal.synthetic_real_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
     assert len(feats) == 12
     assert all(len(r["features"]) == 16 for r in feats)
-    # deterministic: same payload → same features
+    assert {r["mime"] for r in feats} == {"image/png", "audio/wav", "video/y4m"}
     again = multimodal.extract_features(
-        multimodal.synthetic_media(spark, n=12), deterministic_fake=True
+        multimodal.synthetic_real_media(spark, n=12)
     ).collect()
     assert {r["media_id"]: tuple(r["features"]) for r in feats} == {
         r["media_id"]: tuple(r["features"]) for r in again
     }
+    # video features carry real stream structure, not digests: dims 8×6,
+    # 6 frames, 4.0 fps in the first four slots
+    vid = next(r for r in feats if r["mime"] == "video/y4m")
+    assert vid["features"][:4] == [8.0, 6.0, 6.0, 4.0]
 
 
-def test_multimodal_decode_stub_raises(spark):
-    media = multimodal.synthetic_media(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        multimodal.extract_features(media, deterministic_fake=False).collect()
+def test_multimodal_decode_undecodable_raises(spark):
+    """Digest payloads (and mp4, which has no stdlib codec) must raise —
+    there is no fake fallback any more."""
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|codecs|decoder"):
+        multimodal.extract_features(media).collect()
 
 
 def test_multimodal_frame_sampling(spark):
-    media = multimodal.synthetic_media(spark, n=9)
-    vids = media.where(F.col("mime") == "video/mp4")
-    frames = multimodal.sample_frames(vids, every_ms=1000, deterministic_fake=True)
-    rows = frames.collect()
-    # 3000ms / 1000ms = 3 frames per video
+    """Real Y4M sampling: 6 frames at 4fps, every_ms=500 → stride 2 →
+    source frames 0,2,4; each emitted frame is a decodable real PNG of
+    the right dimensions."""
+    from dug_spark.functions import codecs
+
+    media = multimodal.synthetic_real_media(spark, n=9)
+    vids = media.where(F.col("mime") == "video/y4m")
+    rows = multimodal.sample_frames(vids, every_ms=500).collect()
     per = {}
     for r in rows:
-        per[r["media_id"]] = per.get(r["media_id"], 0) + 1
-    assert all(v == 3 for v in per.values())
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2, 4] for v in per.values())
+    assert len(per) == vids.count()
+    w, h, ch, _rows = codecs.decode_png(bytes(rows[0]["frame"]))
+    assert (w, h, ch) == (8, 6, 3)
+
+
+def test_multimodal_frame_sampling_mp4_raises(spark):
+    media = multimodal.synthetic_media(spark, n=9).where(
+        F.col("mime") == "video/mp4"
+    )
+    with pytest.raises(Exception, match="video/mp4"):
+        multimodal.sample_frames(media).collect()
 
 
 def test_multimodal_resize(spark):
-    media = multimodal.synthetic_media(spark, n=6).where(
+    media = multimodal.synthetic_real_media(spark, n=6).where(
         F.col("mime") == "image/png"
     )
-    out = multimodal.resize_images(media, 32, 32, deterministic_fake=True).collect()
+    out = multimodal.resize_images(media, 32, 32).collect()
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
 
 
@@ -212,21 +234,20 @@ def test_session_fn_last_ts_accumulates_across_chunks():
     assert row["n_events"] == 2 and row["total_value"] == 3.0
 
 
-def test_sample_frames_mixed_media_null_duration(spark):
-    """Regression: non-video rows have null duration_ms (NaN through
-    Arrow, which is truthy) — mixed batches must not crash and must emit
-    exactly one frame for zero-duration media."""
+def test_sample_frames_mixed_media(spark):
+    """Mixed batches: image/audio rows emit NO frames (a frame sampler's
+    contract is video-only), videos emit their sampled frames — and the
+    mix must not crash the Arrow batch loop."""
     from dug_spark.operators import multimodal
 
-    media = multimodal.synthetic_media(spark, n=12)  # mixed image/audio/video
-    rows = multimodal.sample_frames(media, every_ms=1000, deterministic_fake=True).collect()
+    media = multimodal.synthetic_real_media(spark, n=12)  # mixed png/wav/y4m
+    rows = multimodal.sample_frames(media, every_ms=250).collect()
     by_media = {}
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
-    # videos (every 3rd, 3000ms) → 3 frames; image/audio → 1 frame
-    for i in range(12):
-        expect = 3 if i % 3 == 2 else 1
-        assert sorted(by_media[f"m{i:04d}"]) == list(range(expect)), i
+    # every_ms=250 at 4fps → stride 1 → all 6 source frames, videos only
+    assert set(by_media) == {f"r{i:04d}" for i in range(12) if i % 3 == 2}
+    assert all(sorted(v) == list(range(6)) for v in by_media.values())
 
 
 # ---------------------------------------------------------------------------
@@ -295,9 +316,9 @@ def test_wav_roundtrip():
 
 
 def test_real_media_features_and_resize(spark):
-    """The REAL decode path (deterministic_fake=False) works end-to-end
-    for PNG and WAV through the same Arrow mapInPandas plumbing; resized
-    PNGs re-decode at the target dimensions with sensible content."""
+    """The REAL decode path works end-to-end for PNG, WAV and Y4M
+    through the same Arrow mapInPandas plumbing; resized PNGs re-decode
+    at the target dimensions while audio/video pass through intact."""
     from dug_spark.functions import codecs
     from dug_spark.operators import multimodal
 
@@ -308,8 +329,10 @@ def test_real_media_features_and_resize(spark):
         assert len(r["features"]) == 16
         if r["mime"] == "image/png":
             assert r["features"][0] == 24.0 and r["features"][1] == 16.0
-        else:
+        elif r["mime"] == "audio/wav":
             assert abs(r["features"][0] - 8000 / 48000) < 1e-9
+        else:  # video/y4m: w, h, frames, fps
+            assert r["features"][:4] == [8.0, 6.0, 6.0, 4.0]
     out = {r["media_id"]: r for r in
            multimodal.resize_images(media, 8, 8).collect()}
     for mid, r in out.items():
@@ -317,12 +340,14 @@ def test_real_media_features_and_resize(spark):
             w, h, ch, rows = codecs.decode_png(bytes(r["payload"]))
             assert (w, h, ch) == (8, 8, 3)
             assert r["width"] == 8 and r["height"] == 8
-        else:  # non-image passes through untouched
+        elif r["mime"] == "audio/wav":  # non-image passes through untouched
             rate, nch, _s = codecs.decode_wav(bytes(r["payload"]))
             assert rate == 8000
+        else:
+            assert codecs.decode_y4m(bytes(r["payload"]))[0] == 8
 
 
-def test_video_still_raises_without_fake(spark):
+def test_video_mp4_and_garbage_raise(spark):
     from dug_spark.operators import multimodal
 
     import pytest as _pytest
@@ -484,3 +509,104 @@ def test_stream_curate_native_map_only(spark, tmp_path):
     }
     for did, r in got.items():
         assert (r["c4_keep"], r["gopher_keep"], r["pii_found"]) == want_keep[did]
+
+
+# ---------------------------------------------------------------------------
+# Y4M codec (from-spec YUV4MPEG2 — dug_spark/functions/codecs.py)
+
+
+def test_y4m_roundtrip_and_header():
+    from dug_spark.functions import codecs
+
+    planes = [
+        (bytes(range(48)), bytes(range(12)), bytes(range(100, 112)))
+        for _ in range(3)
+    ]
+    payload = codecs.encode_y4m(8, 6, 30, 1, planes)
+    w, h, num, den, cs, got = codecs.decode_y4m(payload)
+    assert (w, h, num, den, cs) == (8, 6, 30, 1, "420jpeg")
+    assert got == planes
+
+
+def test_y4m_colorspaces_and_defaults():
+    from dug_spark.functions import codecs
+
+    # C444: full-resolution chroma
+    p444 = [(bytes(24), bytes([128] * 24), bytes([128] * 24))]
+    payload = codecs.encode_y4m(6, 4, 25, 1, p444, colorspace="444")
+    assert codecs.decode_y4m(payload)[4] == "444"
+    # Cmono: luma only
+    pm = [(bytes(range(24)), None, None)]
+    payload = codecs.encode_y4m(6, 4, 25, 1, pm, colorspace="mono")
+    w, h, _n, _d, cs, frames = codecs.decode_y4m(payload)
+    assert cs == "mono" and frames[0][1] is None
+    # spec defaults: header without C tag → 420jpeg
+    raw = b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(4) + bytes(1) + bytes(1)
+    w, h, num, den, cs, frames = codecs.decode_y4m(raw)
+    assert (w, h, num, den, cs) == (2, 2, 25, 1, "420jpeg")
+
+
+def test_y4m_malformed_raises():
+    import pytest as _pytest
+
+    from dug_spark.functions import codecs
+
+    with _pytest.raises(ValueError, match="magic"):
+        codecs.decode_y4m(b"RIFF1234")
+    with _pytest.raises(ValueError, match="newline"):
+        codecs.decode_y4m(b"YUV4MPEG2 W2 H2")
+    with _pytest.raises(ValueError, match="W, H"):
+        codecs.decode_y4m(b"YUV4MPEG2 W2\n")
+    with _pytest.raises(ValueError, match="truncated Y4M frame"):
+        codecs.decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n\x00\x00")
+    with _pytest.raises(ValueError, match="FRAME"):
+        codecs.decode_y4m(b"YUV4MPEG2 W2 H2\nJUNK!\n" + bytes(6))
+    with _pytest.raises(ValueError, match="divisible"):
+        codecs.decode_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9))
+    with _pytest.raises(ValueError, match="colorspace"):
+        codecs.decode_y4m(b"YUV4MPEG2 W2 H2 C410\nFRAME\n" + bytes(6))
+
+
+def test_y4m_rgb_numpy_pure_bit_identity():
+    """The BT.601 integer transform is exact — numpy and pure-Python
+    paths must agree byte-for-byte on random planes, every colorspace."""
+    import random
+
+    from dug_spark.functions import codecs
+
+    rng = random.Random(4242)
+    for cs in ["420jpeg", "422", "444", "mono"]:
+        w, h = 8, 4
+        ys, cssz = codecs._y4m_plane_sizes(w, h, cs)
+        y = bytes(rng.randrange(256) for _ in range(ys))
+        u = bytes(rng.randrange(256) for _ in range(cssz)) if cssz else None
+        v = bytes(rng.randrange(256) for _ in range(cssz)) if cssz else None
+        a = codecs.y4m_frame_rgb(w, h, cs, (y, u, v), use_numpy=True)
+        b = codecs.y4m_frame_rgb(w, h, cs, (y, u, v), use_numpy=False)
+        assert [bytes(r) for r in a] == [bytes(r) for r in b], cs
+
+
+def test_y4m_features_numpy_pure_bit_identity():
+    from dug_spark.operators import multimodal
+    from dug_spark.functions import codecs
+
+    for i in (2, 5, 8):
+        payload = multimodal.synthetic_y4m_payload(i)
+        fn = codecs.y4m_features(payload, use_numpy=True)
+        fp = codecs.y4m_features(payload, use_numpy=False)
+        assert fn == fp
+        assert fn[:4] == [8.0, 6.0, 6.0, 4.0]
+
+
+def test_y4m_gray_maps_luma_to_gray_rgb():
+    """Cmono with Y=16..235 maps to equal R=G=B per the limited-range
+    transform (d=e=0 → R=G=B=(298·(Y−16)+128)>>8)."""
+    from dug_spark.functions import codecs
+
+    y = bytes([16, 126, 235, 50])
+    rows = codecs.y4m_frame_rgb(2, 2, "mono", (y, None, None), use_numpy=False)
+    flat = b"".join(bytes(r) for r in rows)
+    for px in range(4):
+        r, g, b = flat[px * 3 : px * 3 + 3]
+        assert r == g == b
+    assert flat[0] == 0 and flat[6:9] == b"\xff\xff\xff"
