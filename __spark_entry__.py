@@ -1181,6 +1181,42 @@ def q_lm_pack(spark, sf_dir):
     return lm.pack_sequences(docs, budget=128, n_shards=8)
 
 
+def _bpe_params():
+    # small enough that the 15 distributed rounds stay snappy at sf0.01,
+    # large enough that multi-character subwords (th, the</w>, ing</w>)
+    # emerge and the encode path exercises real merge chains
+    return dict(num_merges=60, batch=4, min_count=2, max_words=5000)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich 2016, operators/
+    bpe.py): one corpus shuffle → word table, then batched
+    symbol-disjoint merge rounds with distributed pair counting and
+    vocab-sized driver state.  VALUES oracle: pyoracle.bpe_train, an
+    independent pure-Python recompute of the identical procedure."""
+    from dug_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.train_bpe(docs, **_bpe_params())
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE apply: learned merges broadcast into a map-only greedy
+    encoder (per-batch word memo).  Projected to a per-doc subword
+    count + stream fingerprint.  VALUES oracle: pyoracle.bpe_doc_rows
+    over pyoracle-trained merges."""
+    from dug_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.train_bpe(docs, **_bpe_params())
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_subwords",
+        F.md5(F.concat_ws(" ", "subwords")).alias("subwords_fp"),
+    )
+
+
 def q_kg_node_to_elements(spark, sf_dir):
     """J9: cast qualifying KG nodes into new elements (crawler.py:203-276).
     Projects the scalar element columns (metadata map omitted — map-typed
@@ -2070,6 +2106,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_program_list": q_rel_program_list,
         "rel_semi_join": q_rel_semi_join,
         "rel_anti_join": q_rel_anti_join,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2180,6 +2218,20 @@ def extra_oracle_sql() -> dict[str, str]:
             po.ivf_topk(qs3, vecs, k=5),
             "q_id, neighbor_id, rk, cos_sim",
             "BIGINT, BIGINT, INTEGER, DOUBLE",
+        )
+        bpe_merges = po.bpe_train(
+            docs, num_merges=60, batch=4, min_count=2, max_words=5000
+        )
+        # "left"/"right"/"rank" are DuckDB reserved words — quoted
+        out["bpe_merges"] = _values_or_empty(
+            bpe_merges,
+            '"rank", "left", "right", cnt',
+            "INTEGER, VARCHAR, VARCHAR, BIGINT",
+        )
+        out["bpe_encode"] = _values_or_empty(
+            po.bpe_doc_rows(docs, bpe_merges),
+            "doc_id, n_subwords, subwords_fp",
+            "BIGINT, INTEGER, VARCHAR",
         )
     except _degrade_errs as e:
         print(f"extra pyoracle VALUES degraded: {e!r}", file=_sys.stderr)

@@ -739,3 +739,113 @@ def mojibake_rows(docs: list[tuple[int, str]]) -> list[tuple]:
             s, rounds = rep, rounds + 1
         out.append((d, rounds, len(s)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE subword training/apply (Sennrich et al. 2016) — independent mirror
+# of operators/bpe.py, including its batched-round candidate-slice
+# semantics (rank by (cnt desc, left, right), 4·batch slice, greedy
+# symbol-disjoint prefix per round).
+
+
+def bpe_train(
+    docs: list[tuple[int, str]],
+    num_merges: int,
+    batch: int = 1,
+    min_count: int = 2,
+    max_words: int = 50_000,
+) -> list[tuple[int, str, str, int]]:
+    wc: dict[str, int] = {}
+    for _id, text in docs:
+        for w in (text or "").split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    items = sorted(
+        ((w, n) for w, n in wc.items() if n >= min_count),
+        key=lambda t: (-t[1], t[0]),
+    )[:max_words]
+    words = [(list(w[:-1]) + [w[-1] + "</w>"], n) for w, n in items]
+
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        counts: dict[tuple[str, str], int] = {}
+        for sym, n in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        cands = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: 4 * want]
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for (left, right), cnt in cands:
+            if len(chosen) >= want:
+                break
+            if left in used or right in used:
+                continue
+            chosen.append((left, right, cnt))
+            used.add(left)
+            used.add(right)
+        if not chosen:
+            break
+        for left, right, cnt in chosen:
+            merges.append((len(merges), left, right, cnt))
+        pairs = [(left, right) for left, right, _ in chosen]
+        for idx, (sym, n) in enumerate(words):
+            for left, right in pairs:
+                i, out = 0, []
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            words[idx] = (sym, n)
+    return merges
+
+
+def bpe_apply_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    if not word:
+        return []
+    sym = list(word[:-1]) + [word[-1] + "</w>"]
+    while len(sym) >= 2:
+        best, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        left, right = sym[best_i], sym[best_i + 1]
+        i, out = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_doc_rows(
+    docs: list[tuple[int, str]],
+    merges: list[tuple[int, str, str, int]],
+) -> list[tuple[int, int, str]]:
+    """(doc_id, n_subwords, md5 of the space-joined subword stream)."""
+    import hashlib
+
+    ranks = {(left, right): k for k, left, right, _ in merges}
+    rows = []
+    for did, text in docs:
+        subs: list[str] = []
+        for w in (text or "").split(" "):
+            if w:
+                subs.extend(bpe_apply_word(w, ranks))
+        fp = hashlib.md5(" ".join(subs).encode("utf-8")).hexdigest()
+        rows.append((did, len(subs), fp))
+    return rows
