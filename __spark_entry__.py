@@ -1155,17 +1155,20 @@ def _multimodal_real_rows() -> list[tuple[str, str, str]]:
 
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter (operators/lm.py, Wenzek et al. 2020
-    §4.3): an interpolated bigram LM trained on the doc_id%10==0 slice of
-    the documents table scores every document; buckets head/middle/tail
-    come from the reference slice's own perplexity tertiles (broadcast
-    constants — no corpus-wide percentile at scoring time).  Map-only
-    over the corpus.  VALUES oracle: pyoracle.lm_rows (independent pure-
-    Python recompute of the training counts, scoring loop and cutoffs)."""
+    §4.3), round-5 model: a PRUNED INTERPOLATED TRIGRAM (count-threshold
+    pruning, Jelinek-Mercer backoff into the bigram/unigram mix — the
+    step toward CCNet's actual pruned KenLM) trained on the doc_id%10==0
+    slice scores every document; buckets head/middle/tail come from the
+    reference slice's own perplexity tertiles (broadcast constants — no
+    corpus-wide percentile at scoring time).  Map-only over the corpus.
+    VALUES oracle: pyoracle.lm_rows(order=3) (independent pure-Python
+    recompute of the training counts, pruning, scoring loop and
+    cutoffs)."""
     from dug_spark.operators import lm
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ref = docs.where(F.col("doc_id") % 10 == 0)
-    return lm.perplexity_filter(docs, ref).select(
+    return lm.perplexity_filter(docs, ref, order=3).select(
         "doc_id", "n_tokens", "cross_entropy", "perplexity", "ppl_bucket"
     )
 
@@ -1348,7 +1351,7 @@ def _pyoracle_values() -> dict[str, str]:
             # bigram training counts, scoring loop, tertile cutoffs, and
             # the per-shard greedy packing
             "lm_perplexity": _values_or_empty(
-                po.lm_rows(docs),
+                po.lm_rows(docs, order=3),
                 "doc_id, n_tokens, cross_entropy, perplexity, ppl_bucket",
                 "BIGINT, INTEGER, DOUBLE, DOUBLE, VARCHAR",
             ),

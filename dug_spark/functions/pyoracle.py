@@ -620,13 +620,20 @@ def lm_rows(
     docs: list[tuple[int, str]],
     ref_mod: int = 10,
     lam: float = 0.9,
+    order: int = 2,
+    lam3: float = 0.6,
+    prune_trigram: int = 2,
 ) -> list[tuple]:
     """(doc_id, n_tokens, cross_entropy, perplexity, ppl_bucket) for every
     doc, LM trained on docs with doc_id %% ref_mod == 0, cutoffs = exact
-    tertiles of the reference docs' own perplexities (CCNet protocol)."""
+    tertiles of the reference docs' own perplexities (CCNet protocol).
+    ``order=3`` mirrors operators/lm.py's pruned interpolated trigram
+    (double-BOS padding, count-threshold pruning with unpruned-total
+    denominators kept only for contexts ≥ the threshold)."""
     ref = [(d, t) for d, t in docs if d % ref_mod == 0]
     uni: dict[str, int] = {}
     big: dict[tuple[str, str], int] = {}
+    tri_raw: dict[tuple[str, str, str], int] = {}
     n_ref_docs = 0
     for _d, t in ref:
         tk = _lm_toks(t)
@@ -638,19 +645,35 @@ def lm_rows(
             uni[w] = uni.get(w, 0) + 1
             big[(prev, w)] = big.get((prev, w), 0) + 1
             prev = w
+        if order == 3:
+            seq = ["<s>", "<s>"] + tk
+            for i in range(len(seq) - 2):
+                k = (seq[i], seq[i + 1], seq[i + 2])
+                tri_raw[k] = tri_raw.get(k, 0) + 1
     total = sum(uni.values())
     vocab = len(uni)
+    ctx3_raw: dict[tuple[str, str], int] = {}
+    for (c2, c1, _w), n in tri_raw.items():
+        ctx3_raw[(c2, c1)] = ctx3_raw.get((c2, c1), 0) + n
+    tri = {k: n for k, n in tri_raw.items() if n >= prune_trigram}
+    ctx3 = {k: n for k, n in ctx3_raw.items() if n >= prune_trigram}
 
     def entropy(tk: list[str]) -> float:
         if not tk:
             return 0.0
-        h, prev = 0.0, "<s>"
+        h, prev2, prev = 0.0, "<s>", "<s>"
         for w in tk:
             cn = n_ref_docs if prev == "<s>" else uni.get(prev, 0)
             p_bi = (big.get((prev, w), 0) / cn) if cn else 0.0
             p_uni = (uni.get(w, 0) + 1) / (total + vocab + 1)
-            h -= math.log2(lam * p_bi + (1.0 - lam) * p_uni)
-            prev = w
+            lower = lam * p_bi + (1.0 - lam) * p_uni
+            if order == 3:
+                cn3 = ctx3.get((prev2, prev), 0)
+                p_tri = (tri.get((prev2, prev, w), 0) / cn3) if cn3 else 0.0
+                h -= math.log2(lam3 * p_tri + (1.0 - lam3) * lower)
+            else:
+                h -= math.log2(lower)
+            prev2, prev = prev, w
         return h / len(tk)
 
     ref_ppl = sorted(

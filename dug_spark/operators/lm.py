@@ -110,6 +110,65 @@ def train_bigram_lm(
     return unigrams, bigrams, total
 
 
+def train_trigram_lm(
+    ref: DataFrame,
+    text_col: str = "text",
+    prune_trigram: int = 2,
+) -> tuple[dict, dict]:
+    """Trigram count tables with COUNT-THRESHOLD PRUNING (the CCNet-shape
+    upgrade toward its KenLM 5-gram: Wenzek et al. 2020 §4.3 score with a
+    pruned n-gram LM; count cutoffs are the standard n-gram pruning that
+    keeps a web-scale table broadcastable — KenLM's --prune).  Returns
+    ``(tables, ledger)`` where tables =
+    {trigrams: {(u,v,w): n}, ctx3: {(u,v): n}} and the ledger records
+    kept/dropped type counts so the broadcast size is observable.
+
+    Sequences are double-BOS padded (``<s> <s> w1 ..``) so the first two
+    words are modelled.  Pruning happens IN THE AGGREGATION (filter on
+    the counted table before collect) — the driver never sees the
+    unpruned tail.  ctx3 keeps every context with total ≥ the trigram
+    threshold, which covers all kept trigrams' denominators (a kept
+    trigram's context total is ≥ its own count) while staying equally
+    bounded; denominators remain UNPRUNED totals, so pruned probability
+    mass is genuinely given up to the backoff terms rather than
+    renormalized away."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    with_toks = ref.select(toks.alias("toks")).where(F.size("toks") > 0)
+    seq = F.concat(F.array(F.lit(BOS), F.lit(BOS)), F.col("toks"))
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(seq) - 3),
+        lambda i: F.struct(
+            F.element_at(seq, i + 1).alias("c2"),
+            F.element_at(seq, i + 2).alias("c1"),
+            F.element_at(seq, i + 3).alias("w"),
+        ),
+    )
+    tri_counts = (
+        with_toks.select(F.explode(tri).alias("t"))
+        .groupBy("t.c2", "t.c1", "t.w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # context totals ride on the counted table (no second ref scan)
+    ctx_counts = tri_counts.groupBy("c2", "c1").agg(F.sum("n").alias("n"))
+    kept_rows = tri_counts.where(F.col("n") >= prune_trigram).collect()
+    n_types = tri_counts.count()
+    ctx_rows = ctx_counts.where(F.col("n") >= prune_trigram).collect()
+    tables = {
+        "trigrams": {(r["c2"], r["c1"], r["w"]): r["n"] for r in kept_rows},
+        "ctx3": {(r["c2"], r["c1"]): r["n"] for r in ctx_rows},
+    }
+    ledger = {
+        "trigram_types": n_types,
+        "trigrams_kept": len(kept_rows),
+        "trigrams_pruned": n_types - len(kept_rows),
+        "ctx3_kept": len(ctx_rows),
+        "prune_trigram": prune_trigram,
+    }
+    return tables, ledger
+
+
 def context_totals(
     unigrams: dict[str, int], bigrams: dict[tuple[str, str], int]
 ) -> dict[str, int]:
@@ -155,6 +214,49 @@ def score_tokens(
     return h / len(tokens)
 
 
+# trigram weight of the Jelinek-Mercer mix; the remaining mass backs off
+# into the bigram/unigram interpolation above
+DEFAULT_LAMBDA3 = 0.6
+
+
+def score_tokens_trigram(
+    tokens: list[str],
+    unigrams: dict[str, int],
+    bigrams: dict[tuple[str, str], int],
+    total: int,
+    ctx: dict[str, int],
+    tri_tables: dict,
+    lam: float = DEFAULT_LAMBDA,
+    lam3: float = DEFAULT_LAMBDA3,
+) -> float:
+    """Cross-entropy (bits/token) under the pruned interpolated trigram:
+
+        P(w|u,v) = lam3·count(u,v,w)/count(u,v)
+                 + (1-lam3)·[ lam·P2(w|v) + (1-lam)·P1(w) ]
+
+    with the trigram term 0 when the (pruned) tables miss the n-gram or
+    its context — Jelinek-Mercer interpolation, so pruned mass falls
+    through to the bigram/unigram backoff instead of being renormalized."""
+    if not tokens:
+        return 0.0
+    vocab = len(unigrams)
+    tri = tri_tables["trigrams"]
+    ctx3 = tri_tables["ctx3"]
+    h = 0.0
+    prev2, prev1 = BOS, BOS
+    for w in tokens:
+        cn3 = ctx3.get((prev2, prev1), 0)
+        p_tri = (tri.get((prev2, prev1, w), 0) / cn3) if cn3 else 0.0
+        cn = ctx.get(prev1, 0)
+        p_bi = (bigrams.get((prev1, w), 0) / cn) if cn else 0.0
+        p_uni = (unigrams.get(w, 0) + 1) / (total + vocab + 1)
+        h -= math.log2(
+            lam3 * p_tri + (1.0 - lam3) * (lam * p_bi + (1.0 - lam) * p_uni)
+        )
+        prev2, prev1 = prev1, w
+    return h / len(tokens)
+
+
 def perplexity_filter(
     df: DataFrame,
     ref: DataFrame,
@@ -162,6 +264,9 @@ def perplexity_filter(
     id_col: str = "doc_id",
     lam: float = DEFAULT_LAMBDA,
     cutoff_ref: DataFrame | None = None,
+    order: int = 2,
+    lam3: float = DEFAULT_LAMBDA3,
+    prune_trigram: int = 2,
 ) -> DataFrame:
     """Score every document of ``df`` with a bigram LM trained on ``ref``
     and bucket it head/middle/tail by the reference corpus's own
@@ -178,14 +283,28 @@ def perplexity_filter(
     slice whose score tertiles become the bucket cutoffs.  At Wikipedia
     scale in-train calibration is fine; with a SMALL reference the LM
     memorizes it and in-train tertiles push nearly everything to tail —
-    pass a held-out slice here to calibrate on out-of-train scores."""
+    pass a held-out slice here to calibrate on out-of-train scores.
+
+    ``order=3`` (round 5) upgrades to the pruned interpolated trigram
+    (train_trigram_lm / score_tokens_trigram — the step toward CCNet's
+    actual pruned KenLM): same protocol, the trigram tables join the one
+    broadcast, and ``prune_trigram`` bounds them."""
     import pandas as pd
 
+    if order not in (2, 3):
+        raise ValueError(f"order must be 2 or 3, got {order}")
     unigrams, bigrams, total = train_bigram_lm(ref, text_col)
     ctx = context_totals(unigrams, bigrams)
+    tri_tables = (
+        train_trigram_lm(ref, text_col, prune_trigram=prune_trigram)[0]
+        if order == 3
+        else None
+    )
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((unigrams, bigrams, total, ctx, lam))
+    bc = spark.sparkContext.broadcast(
+        (unigrams, bigrams, total, ctx, lam, tri_tables, lam3)
+    )
 
     def _scored(frame: DataFrame) -> DataFrame:
         """frame + (n_tokens, cross_entropy, perplexity) via the broadcast
@@ -201,12 +320,17 @@ def perplexity_filter(
         )
 
         def score(batches):
-            uni, bi, tot, cx, lm = bc.value
+            uni, bi, tot, cx, lm, tri, l3 = bc.value
             for pdf in batches:
                 ns, hs, ps = [], [], []
                 for text in pdf[text_col]:
                     tk = _py_tokens(text)
-                    h = score_tokens(tk, uni, bi, tot, cx, lm)
+                    if tri is None:
+                        h = score_tokens(tk, uni, bi, tot, cx, lm)
+                    else:
+                        h = score_tokens_trigram(
+                            tk, uni, bi, tot, cx, tri, lm, l3
+                        )
                     ns.append(len(tk))
                     hs.append(h)
                     ps.append(2.0**h)

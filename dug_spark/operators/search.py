@@ -802,31 +802,33 @@ def group_variables(hits: DataFrame) -> DataFrame:
     )
 
 
+def _grouped_filter_pred(
+    key: str, vals: list[str], column_map: dict[str, str] | None
+):
+    """One /search_var_grouped filter as a boolean Column
+    (server.py:198-229): case-insensitive value match; the special key
+    "study name" matches any of the variable's studies'
+    collection_name."""
+    lv = [str(v).lower() for v in vals]
+    if key.lower() == "study name":
+        return F.exists(
+            "studies", lambda s: F.lower(s["collection_name"]).isin(lv)
+        )
+    col = (column_map or {}).get(key.lower(), key)
+    return F.lower(F.col(col).cast("string")).isin(lv)
+
+
 def _grouped_filter(
     grouped: DataFrame,
     filters: dict[str, list[str]],
     exclude_key: str | None = None,
     column_map: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Variable-level filters of /search_var_grouped (server.py:198-229):
-    case-insensitive value match; the special key "study name" matches any
-    of the variable's studies' collection_name."""
-    cmap = column_map or {}
     out = grouped
     for key, vals in filters.items():
         if not vals or (exclude_key and key.lower() == exclude_key.lower()):
             continue
-        lv = [str(v).lower() for v in vals]
-        if key.lower() == "study name":
-            out = out.where(
-                F.exists(
-                    "studies",
-                    lambda s: F.lower(s["collection_name"]).isin(lv),
-                )
-            )
-        else:
-            col = cmap.get(key.lower(), key)
-            out = out.where(F.lower(F.col(col).cast("string")).isin(lv))
+        out = out.where(_grouped_filter_pred(key, vals, column_map))
     return out
 
 
@@ -844,30 +846,72 @@ def search_var_grouped(
     sort count desc then value asc).
 
     Returns {"variables": df, "agg_counts": {display_key: df}}.
-    """
+
+    Single-pass faceting (round 5): the N-facet loop previously re-ran
+    the whole hits aggregation per key; now ALL facets aggregate in ONE
+    conditional pass — each variable emits a (facet, key) entry for
+    every facet whose OTHER filters it passes (study-name facets emit
+    one entry per study), one explode + one groupBy for all keys — and
+    the facet-cardinality-sized combined count table is eagerly
+    checkpointed so every returned facet frame is a slice of it, not a
+    re-aggregation.  The grouped frame itself deliberately stays LAZY:
+    measured at 32M hits, materializing it (localCheckpoint) costs ~7×
+    the facet aggregation because it defeats Catalyst's per-use column
+    pruning (a count/filter consumer prunes the collect_set +
+    first(name/desc) aggregates; a checkpoint computes them all)."""
     filters = filters or {}
     facet_keys = facet_keys or []
+    cmap = column_map or {}
     grouped = group_variables(hits)
     variables = _grouped_filter(grouped, filters, column_map=column_map)
     agg_counts: dict[str, DataFrame] = {}
+    if not facet_keys:
+        return {"variables": variables, "agg_counts": agg_counts}
+
+    entry_type = "array<struct<facet:string,key:string>>"
+
+    def others_ok(key: str):
+        pred = F.lit(True)
+        for fk, vals in filters.items():
+            if vals and fk.lower() != key.lower():
+                pred = pred & _grouped_filter_pred(fk, vals, column_map)
+        return pred
+
+    arrays = []
     for key in facet_keys:
-        base = _grouped_filter(grouped, filters, exclude_key=key, column_map=column_map)
         display = key.title()
         if key.lower() == "study name":
-            fc = (
-                base.select(F.explode("studies").alias("s"))
-                .groupBy(F.col("s.collection_name").alias("key"))
-                .agg(F.count(F.lit(1)).alias("doc_count"))
-                .orderBy(F.asc("key"))
+            ent = F.transform(
+                "studies",
+                lambda s: F.struct(
+                    F.lit(display).alias("facet"),
+                    s["collection_name"].alias("key"),
+                ),
             )
         else:
-            col = (column_map or {}).get(key.lower(), key)
-            fc = (
-                base.groupBy(F.initcap(F.col(col).cast("string")).alias("key"))
-                .agg(F.count(F.lit(1)).alias("doc_count"))
-                .orderBy(F.desc("doc_count"), F.asc("key"))
+            col = cmap.get(key.lower(), key)
+            ent = F.array(
+                F.struct(
+                    F.lit(display).alias("facet"),
+                    F.initcap(F.col(col).cast("string")).alias("key"),
+                )
             )
-        agg_counts[display] = fc
+        arrays.append(
+            F.when(others_ok(key), ent).otherwise(F.array().cast(entry_type))
+        )
+    combined = (
+        grouped.select(F.explode(F.concat(*arrays)).alias("e"))
+        .groupBy("e.facet", "e.key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .localCheckpoint(eager=True)
+    )
+    for key in facet_keys:
+        display = key.title()
+        fc = combined.where(F.col("facet") == display).select("key", "doc_count")
+        if key.lower() == "study name":
+            agg_counts[display] = fc.orderBy(F.asc("key"))
+        else:
+            agg_counts[display] = fc.orderBy(F.desc("doc_count"), F.asc("key"))
     return {"variables": variables, "agg_counts": agg_counts}
 
 
@@ -876,19 +920,54 @@ def facet_counts(
 ) -> dict[str, DataFrame]:
     """Exclude-own-filter faceting (server.py:234-275): for each facet key,
     apply every filter except its own, then count values; sort count desc,
-    key asc (:278-291)."""
-    out = {}
-    for key in facet_cols:
-        plan = df
-        for fk, vals in filters.items():
-            if fk != key and vals:
-                plan = plan.where(F.lower(F.col(fk)).isin([v.lower() for v in vals]))
-        out[key] = (
-            plan.groupBy(F.col(key).alias("value"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("value"))
-        )
-    return out
+    key asc (:278-291).
+
+    Single-pass (round 5): instead of re-scanning the base once per
+    facet key, every row emits a (facet, value) entry for each key
+    whose OTHER filters it passes — one explode, ONE groupBy shuffle
+    for all facets, and the facet-cardinality-sized result is
+    checkpointed once; per-key frames are slices of it.  Facet values
+    are strings (the endpoint's own representation)."""
+    if not facet_cols:
+        return {}
+    passes = {
+        fk: F.lower(F.col(fk)).isin([v.lower() for v in vals])
+        for fk, vals in filters.items()
+        if vals
+    }
+
+    def others_ok(key: str):
+        pred = F.lit(True)
+        for fk, p in passes.items():
+            if fk != key:
+                pred = pred & p
+        return pred
+
+    entry_type = "array<struct<facet:string,value:string>>"
+    arrays = [
+        F.when(
+            others_ok(k),
+            F.array(
+                F.struct(
+                    F.lit(k).alias("facet"),
+                    F.col(k).cast("string").alias("value"),
+                )
+            ),
+        ).otherwise(F.array().cast(entry_type))
+        for k in facet_cols
+    ]
+    combined = (
+        df.select(F.explode(F.concat(*arrays)).alias("e"))
+        .groupBy("e.facet", "e.value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return {
+        k: combined.where(F.col("facet") == k)
+        .select("value", "n")
+        .orderBy(F.desc("n"), F.asc("value"))
+        for k in facet_cols
+    }
 
 
 def program_list(variables: DataFrame) -> DataFrame:

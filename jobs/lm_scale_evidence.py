@@ -56,18 +56,24 @@ def main():
     n_docs = docs.count()
     out["docs"] = n_docs
 
-    t0 = time.monotonic()
-    scored = lm.perplexity_filter(docs, ref)
-    agg = scored.groupBy("ppl_bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("perplexity"), 2).alias("avg_ppl"),
-    ).collect()
-    secs = round(time.monotonic() - t0, 1)
-    out["perplexity"] = {
-        "secs": secs,
-        "docs_per_sec": round(n_docs / secs, 1),
-        "buckets": {r["ppl_bucket"]: [r["n"], r["avg_ppl"]] for r in agg},
-    }
+    # both model orders, same protocol: the round-5 keep-rate-stability
+    # evidence is the bucket split of the pruned trigram tracking the
+    # bigram's (head+middle ≈ the CCNet 2/3 keep rate)
+    for label, kw in (("perplexity", {}), ("perplexity_tri", {"order": 3})):
+        t0 = time.monotonic()
+        scored = lm.perplexity_filter(docs, ref, **kw)
+        agg = scored.groupBy("ppl_bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("perplexity"), 2).alias("avg_ppl"),
+        ).collect()
+        secs = round(time.monotonic() - t0, 1)
+        out[label] = {
+            "secs": secs,
+            "docs_per_sec": round(n_docs / secs, 1),
+            "buckets": {r["ppl_bucket"]: [r["n"], r["avg_ppl"]] for r in agg},
+        }
+    _tables, ledger = lm.train_trigram_lm(ref)
+    out["trigram_ledger"] = ledger
 
     t0 = time.monotonic()
     packed = lm.pack_sequences(docs, budget=2048, n_shards=args.n_shards)

@@ -166,3 +166,64 @@ def test_pack_single_shuffle(spark, docs_df):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# Pruned interpolated trigram (round 5 — the CCNet-shape model upgrade)
+
+
+def test_trigram_matches_pyoracle(spark, docs_df, docs_py):
+    ref = docs_df.where(F.col("doc_id") % 10 == 0)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["cross_entropy"],
+            r["perplexity"],
+            r["ppl_bucket"],
+        )
+        for r in lm.perplexity_filter(docs_df, ref, order=3).select(
+            "doc_id", "n_tokens", "cross_entropy", "perplexity", "ppl_bucket"
+        ).collect()
+    }
+    expected = {
+        d: (n, h, p, b) for d, n, h, p, b in po.lm_rows(docs_py, order=3)
+    }
+    assert got == expected
+
+
+def test_trigram_pruning_ledger(spark, docs_df):
+    ref = docs_df.where(F.col("doc_id") % 10 == 0)
+    tables, ledger = lm.train_trigram_lm(ref, prune_trigram=2)
+    assert ledger["trigrams_kept"] + ledger["trigrams_pruned"] == ledger[
+        "trigram_types"
+    ]
+    assert ledger["trigrams_pruned"] > 0  # web-ish text has singleton tails
+    assert all(n >= 2 for n in tables["trigrams"].values())
+    # every kept trigram's denominator survives ctx3 pruning
+    for (c2, c1, _w), n in tables["trigrams"].items():
+        assert tables["ctx3"].get((c2, c1), 0) >= n
+    # pruning bounds the broadcast: kept strictly smaller than raw types
+    assert ledger["trigrams_kept"] < ledger["trigram_types"]
+
+
+def test_trigram_improves_fit_on_reference(spark, docs_df):
+    """On its own training slice the UNPRUNED interpolated trigram must
+    fit better than the bigram (the point of the higher order).  At this
+    tiny 500-doc reference, pruning at count≥2 drops most trigram types
+    (they're singletons), so the pruned model is allowed to fit worse —
+    that's the documented trade: pruning bounds the broadcast, backoff
+    absorbs the dropped mass.  At CCNet's 10^7-doc reference the kept
+    mass is far larger."""
+    ref = docs_df.where(F.col("doc_id") % 10 == 0)
+    bi = lm.perplexity_filter(ref, ref).agg(
+        F.avg("cross_entropy").alias("h")
+    ).collect()[0]["h"]
+    tri_unpruned = lm.perplexity_filter(
+        ref, ref, order=3, prune_trigram=1
+    ).agg(F.avg("cross_entropy").alias("h")).collect()[0]["h"]
+    assert tri_unpruned < bi
+
+
+def test_trigram_invalid_order_raises(spark, docs_df):
+    with pytest.raises(ValueError, match="order"):
+        lm.perplexity_filter(docs_df, docs_df, order=4)
