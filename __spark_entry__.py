@@ -193,6 +193,19 @@ def q_kg_triples_co_mention(spark, sf_dir):
     )
 
 
+def q_kg_npmi(spark, sf_dir):
+    """NPMI-weighted co-mention edges (triples.co_mention_npmi): the same
+    per-document pair derivation as kg_triples_co_mention (which this row
+    supersedes in the driver window — the unweighted pair set is exactly
+    this row's (src, dst) projection) plus document-frequency marginals
+    and the Bouma-normalized PMI weight.  Oracle: the full count + ln
+    arithmetic re-derived in SQL; npmi rounds to 5 (cross-engine libm,
+    same reasoning as the PageRank rounding)."""
+    return triples_op.co_mention_npmi(_nmentions(spark, sf_dir)).select(
+        "src", "dst", "n_co", "npmi"
+    )
+
+
 def q_kg_pagerank(spark, sf_dir):
     """PageRank over the DIRECTED co-mention concept graph (edges point
     lexicographically smaller→larger curie, the pair orientation
@@ -1581,7 +1594,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of kg_triples_all, which carries the same 5 subclass triples)
         # cedes its slot to PageRank over the co-mention concept graph
         "kg_pagerank": q_kg_pagerank,
-        "kg_triples_co_mention": q_kg_triples_co_mention,
+        # round 5 (cont.): kg_triples_co_mention (unweighted pairs — a
+        # strict projection of kg_npmi's output, and its triple form still
+        # rides in kg_triples_all) cedes its slot to the NPMI-weighted
+        # edge family; the pair view keeps continuous verification in the
+        # extra registry
+        "kg_npmi": q_kg_npmi,
         "kg_triples_all": q_kg_triples_all,
         "kg_connected_components": q_kg_connected_components,
         "kg_canonical_mapping": q_kg_canonical_mapping,
@@ -1685,10 +1703,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM nmentions"
         ),
         "kg_pagerank": _pagerank_sql(norm_cte),
-        "kg_triples_co_mention": (
-            f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions) "
-            "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "
-            "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
+        "kg_npmi": (
+            f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+            "pd AS (SELECT url, COUNT(*) AS sz FROM dm GROUP BY url), "
+            "docs AS (SELECT url FROM pd WHERE sz BETWEEN 1 AND 64), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs), "
+            "marg AS (SELECT curie, COUNT(*) AS c FROM dm JOIN docs USING (url) GROUP BY curie), "
+            "co AS (SELECT a.curie AS src, b.curie AS dst, COUNT(*) AS n_co "
+            "  FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie "
+            "  JOIN docs ON docs.url = a.url GROUP BY 1, 2) "
+            "SELECT src, dst, n_co, "
+            "CASE WHEN CAST(n_co AS DOUBLE) = (SELECT n FROM nn) THEN 1.0 "
+            "ELSE ROUND(ln(n_co * (SELECT n FROM nn) / (ma.c * mb.c)) "
+            "         / ln((SELECT n FROM nn) / n_co), 5) END AS npmi "
+            "FROM co JOIN marg ma ON ma.curie = co.src "
+            "JOIN marg mb ON mb.curie = co.dst"
         ),
         "kg_triples_all": (
             f"{norm_cte}, {_SQL_KGE}, dm AS (SELECT DISTINCT url, curie FROM nmentions) "
@@ -2048,16 +2077,12 @@ def q_text_mojibake(spark, sf_dir):
     )
 
 
-def q_web_host_rank(spark, sf_dir):
-    """HTML → href extraction → host edge list → PageRank (operators/
-    weblinks.py + graph.py): a deterministic linked corpus is synthesized
-    from the documents table (20 hosts; three doc_id-derived absolute /
-    www-prefixed / scheme-relative links per page, plus a relative and a
-    fragment link that must drop out), run through the REAL byte-decode +
-    regexp href parser and parse_url host resolution.  Oracle: the same
-    edge arithmetic in SQL + unrolled PageRank iterations."""
-    from dug_spark.operators import weblinks
-
+def _web_linked_docs(spark, sf_dir):
+    """Deterministic linked HTML corpus synthesized from the documents
+    table (20 hosts; three doc_id-derived absolute / www-prefixed /
+    scheme-relative links per page, plus a relative and a fragment link
+    that must drop out) — shared by the web_host_rank and web_triangles
+    rows; the oracle side mirrors the arithmetic in the web_edges CTE."""
     did = F.col("doc_id")
     h = lambda k: F.concat(
         F.lit("h"), (k % 20).cast("long").cast("string"), F.lit(".example.org")
@@ -2071,16 +2096,99 @@ def q_web_host_rank(spark, sf_dir):
         h(F.floor(did / 60) % (1 + (did % 20) % 4) + 12),
         F.lit('/r">c</a><a href="/local">d</a><a href="#top">e</a><p>t</p></body></html>'),
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.concat(
             F.lit("https://"), h(did), F.lit("/d/"), did.cast("string")
         ).alias("url"),
         F.encode(html, "utf-8").alias("html"),
     )
-    pr = weblinks.host_pagerank(docs, iterations=10)
+
+
+def q_web_host_rank(spark, sf_dir):
+    """HTML → href extraction → host edge list → PageRank (operators/
+    weblinks.py + graph.py) over the synthetic linked corpus
+    (_web_linked_docs), run through the REAL byte-decode + regexp href
+    parser and parse_url host resolution.  Oracle: the same edge
+    arithmetic in SQL + unrolled PageRank iterations."""
+    from dug_spark.operators import weblinks
+
+    pr = weblinks.host_pagerank(_web_linked_docs(spark, sf_dir), iterations=10)
     return pr.select(
         F.col("node").alias("host"), F.round("rank", 5).alias("rank")
     )
+
+
+def q_web_triangles(spark, sf_dir):
+    """Host-graph triangle counts + local clustering coefficient
+    (graph.triangle_counts: degree-ordered orientation) over the same
+    href-extracted host edges as web_host_rank — the standard web-graph
+    community/spam signal one step past PageRank.  Oracle: the orientation
+    + wedge-close joins re-derived in SQL over the web_edges CTE."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    return graph.triangle_counts(
+        edges, src_col="src_host", dst_col="dst_host"
+    ).select("node", "degree", "triangles", "clustering")
+
+
+def q_quality_nb(spark, sf_dir):
+    """Model-based quality classification (operators/classify.py):
+    multinomial Naive Bayes trained on the corpus's own weak labels
+    (lang='en' as the trusted class — the GPT-3 seed-vs-crawl shape),
+    vocab 256, then applied map-only.  Oracle: token counting, Laplace
+    smoothing, the per-token log-likelihood-ratio weights and the per-doc
+    sums all re-derived in SQL; scores round to 4 (cross-engine float
+    summation order, same reasoning as the PageRank rounding)."""
+    from dug_spark.operators import classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "label", F.col("lang") == "en"
+    )
+    out = classify.quality_classifier(docs, vocab_size=256, alpha=1.0)
+    return out.select("doc_id", "nb_score", "nb_keep")
+
+
+def q_span_dedup(spark, sf_dir):
+    """Duplicate-SPAN removal at token 8-gram granularity
+    (dedup.remove_duplicate_spans — the Lee et al. 2022 ExactSubstr
+    semantics as relational passes).  Every doc_id % 7 == 0 document gets
+    a shared 10-token boilerplate suffix injected (so three overlapping
+    duplicated 8-windows per copy must union to exactly 10 removed tokens
+    everywhere except the single keeper), on top of whatever natural
+    duplication the corpus carries.  Doc ids are zero-padded strings so
+    the (id, start) keeper election is lexicographic in BOTH engines."""
+    from dug_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(_BOILERPLATE))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.remove_duplicate_spans(docs, id_col="doc_id", k=8).select(
+        "doc_id", "clean_text", "n_tokens", "n_tokens_removed"
+    )
+
+
+_BOILERPLATE = " bq1 bq2 bq3 bq4 bq5 bq6 bq7 bq8 bq9 bq10"
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup): Lloyd-trained cells + within-cell
+    min-id cosine collapse at tau=0.95 over the first 300 embeddings.
+    Oracle: full VALUES recompute (pyoracle.semantic_dedup_rows — same
+    rounded centroids, same sequential-fold cosine)."""
+    from dug_spark.operators import dedup as dd
+
+    emb = _pq(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return dd.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", k=8, tau=0.95, iters=2
+    ).select("vec_id", "cell", "keep")
 
 
 def q_kg_triples_subclass(spark, sf_dir):  # noqa: F811 — kept verbatim
@@ -2111,6 +2219,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_join": q_rel_anti_join,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        # round 5 (cont.): retired from the driver window by kg_npmi
+        # (same pair derivation, plus weights)
+        "kg_triples_co_mention": q_kg_triples_co_mention,
+        # round 5 (cont.): new graph-analytics + curation operators
+        "web_triangles": q_web_triangles,
+        "quality_nb": q_quality_nb,
+        "span_dedup": q_span_dedup,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2126,11 +2242,111 @@ def extra_oracle_sql() -> dict[str, str]:
         "    'h' || CAST(((doc_id // 60) % (1 + (doc_id % 20) % 4) + 12) % 20 AS VARCHAR) || '.example.org'"
         "  ]) AS dst FROM documents) WHERE src != dst)"
     )
+    # degree-ordered triangle counting over the same web-host edge CTE:
+    # orientation low-(degree, id) → high, wedges on the shared oriented
+    # source, closed by the oriented (b, c) edge — mirrors
+    # graph.triangle_counts exactly
+    tri_sql = (
+        web_edges
+        + ", canon AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM e)"
+        ", deg AS (SELECT node, COUNT(*) AS degree FROM ("
+        "  SELECT lo AS node FROM canon UNION ALL SELECT hi AS node FROM canon) GROUP BY node)"
+        ", o AS (SELECT "
+        "  CASE WHEN dl.degree < dh.degree OR (dl.degree = dh.degree AND c.lo < c.hi) "
+        "       THEN c.lo ELSE c.hi END AS u, "
+        "  CASE WHEN dl.degree < dh.degree OR (dl.degree = dh.degree AND c.lo < c.hi) "
+        "       THEN c.hi ELSE c.lo END AS v, "
+        "  CASE WHEN dl.degree < dh.degree OR (dl.degree = dh.degree AND c.lo < c.hi) "
+        "       THEN dh.degree ELSE dl.degree END AS d_v "
+        "  FROM canon c JOIN deg dl ON dl.node = c.lo JOIN deg dh ON dh.node = c.hi)"
+        ", wdg AS (SELECT o1.u AS u, o1.v AS b, o2.v AS c FROM o o1 JOIN o o2 "
+        "  ON o1.u = o2.u AND (o1.d_v < o2.d_v OR (o1.d_v = o2.d_v AND o1.v < o2.v)))"
+        ", tclosed AS (SELECT wdg.u, wdg.b, wdg.c FROM wdg "
+        "  JOIN o ON o.u = wdg.b AND o.v = wdg.c)"
+        ", tri AS (SELECT node, COUNT(*) AS triangles FROM ("
+        "  SELECT u AS node FROM tclosed UNION ALL SELECT b FROM tclosed "
+        "  UNION ALL SELECT c FROM tclosed) GROUP BY node) "
+        "SELECT d.node, d.degree, COALESCE(tri.triangles, 0) AS triangles, "
+        "ROUND(CASE WHEN d.degree >= 2 THEN 2.0 * COALESCE(tri.triangles, 0) "
+        "  / (d.degree * (d.degree - 1.0)) ELSE 0.0 END, 6) AS clustering "
+        "FROM deg d LEFT JOIN tri ON tri.node = d.node"
+    )
+    # multinomial NB re-derived in SQL: tokenize → top-256 vocab
+    # (count desc, token asc) → Laplace-smoothed per-class token counts →
+    # per-token log-likelihood ratios → per-doc sum + log-prior bias
+    nb_sql = (
+        "WITH lab AS (SELECT doc_id, text, (lang = 'en') AS y FROM documents), "
+        "tok AS (SELECT doc_id, y, unnest(list_filter("
+        "  string_split_regex(lower(COALESCE(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS token "
+        "  FROM lab), "
+        "vstats AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token), "
+        "vocab AS (SELECT token FROM vstats ORDER BY n DESC, token ASC LIMIT 256), "
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab), "
+        "counts AS (SELECT y, t.token, COUNT(*) AS c FROM tok t "
+        "  JOIN vocab USING (token) GROUP BY y, t.token), "
+        "tot AS (SELECT COALESCE(SUM(CASE WHEN y THEN c END), 0) AS t_pos, "
+        "  COALESCE(SUM(CASE WHEN NOT y THEN c END), 0) AS t_neg FROM counts), "
+        "prior AS (SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos, "
+        "  SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg FROM lab), "
+        "w AS (SELECT v.token, "
+        "  ln((COALESCE(cp.c, 0) + 1.0) / ((SELECT t_pos FROM tot) + (SELECT v FROM nv)))"
+        "  - ln((COALESCE(cn.c, 0) + 1.0) / ((SELECT t_neg FROM tot) + (SELECT v FROM nv))) AS lw "
+        "  FROM vocab v LEFT JOIN counts cp ON cp.token = v.token AND cp.y "
+        "  LEFT JOIN counts cn ON cn.token = v.token AND NOT cn.y), "
+        "bias AS (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) AS b FROM prior), "
+        "scores AS (SELECT t.doc_id, SUM(w.lw) AS s FROM tok t "
+        "  JOIN w ON w.token = t.token GROUP BY t.doc_id) "
+        "SELECT d.doc_id, "
+        "ROUND((SELECT b FROM bias) + COALESCE(s.s, 0), 4) AS nb_score, "
+        "ROUND((SELECT b FROM bias) + COALESCE(s.s, 0), 4) > 0 AS nb_keep "
+        "FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id"
+    )
+    # duplicate-span removal re-derived in SQL: window 8-grams via lead,
+    # md5 fingerprint aggregation with (id, start) keeper election,
+    # token-level span union, per-doc reassembly
+    _lead_gram = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER wd" for i in range(1, 8)]
+    )
+    span_sql = (
+        "WITH base AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id, "
+        f"  CASE WHEN doc_id % 7 = 0 THEN text || '{_BOILERPLATE}' ELSE text END AS text "
+        "  FROM documents), "
+        "toks AS (SELECT id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS idx "
+        "  FROM (SELECT id, list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), "
+        "        y -> y <> '') AS l FROM base)), "
+        "g AS (SELECT id, idx, CASE WHEN lead(tok, 7) OVER wd IS NOT NULL "
+        f"  THEN md5({_lead_gram}) END AS h FROM toks "
+        "  WINDOW wd AS (PARTITION BY id ORDER BY idx)), "
+        "occ AS (SELECT id, idx, h, id || '#' || lpad(CAST(idx AS VARCHAR), 12, '0') AS okey "
+        "  FROM g WHERE h IS NOT NULL), "
+        "stats AS (SELECT h, COUNT(*) AS n, MIN(okey) AS keeper FROM occ "
+        "  GROUP BY h HAVING COUNT(*) >= 2), "
+        "doomed AS (SELECT o.id, o.idx AS s FROM occ o JOIN stats st ON st.h = o.h "
+        "  WHERE o.okey <> st.keeper), "
+        "removed AS (SELECT DISTINCT t.id, t.idx FROM toks t "
+        "  JOIN doomed d ON d.id = t.id AND t.idx BETWEEN d.s AND d.s + 7), "
+        "kept AS (SELECT t.id, string_agg(t.tok, ' ' ORDER BY t.idx) AS clean_text, "
+        "  COUNT(*) AS n_kept FROM toks t WHERE NOT EXISTS ("
+        "    SELECT 1 FROM removed r WHERE r.id = t.id AND r.idx = t.idx) GROUP BY t.id), "
+        "nrm AS (SELECT id, COUNT(*) AS n_rm FROM removed GROUP BY id) "
+        "SELECT b.id AS doc_id, COALESCE(k.clean_text, '') AS clean_text, "
+        "(COALESCE(k.n_kept, 0) + COALESCE(nrm.n_rm, 0)) AS n_tokens, "
+        "COALESCE(nrm.n_rm, 0) AS n_tokens_removed "
+        "FROM base b LEFT JOIN kept k ON k.id = b.id LEFT JOIN nrm ON nrm.id = b.id"
+    )
     out = {
         "web_host_rank": (
             "SELECT node AS host, rank FROM ("
             + _pagerank_iters(web_edges)
             + ")"
+        ),
+        "web_triangles": tri_sql,
+        "quality_nb": nb_sql,
+        "span_dedup": span_sql,
+        "kg_triples_co_mention": (
+            f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions) "
+            "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "
+            "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
         ),
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "
@@ -2235,6 +2451,13 @@ def extra_oracle_sql() -> dict[str, str]:
             po.bpe_doc_rows(docs, bpe_merges),
             "doc_id, n_subwords, subwords_fp",
             "BIGINT, INTEGER, VARCHAR",
+        )
+        out["semantic_dedup"] = _values_or_empty(
+            po.semantic_dedup_rows(
+                [(v, e) for v, e, _l in vecs if v < 300], k=8, tau=0.95, iters=2
+            ),
+            "vec_id, cell, keep",
+            "BIGINT, INTEGER, BOOLEAN",
         )
     except _degrade_errs as e:
         print(f"extra pyoracle VALUES degraded: {e!r}", file=_sys.stderr)

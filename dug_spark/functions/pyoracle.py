@@ -344,6 +344,34 @@ def ivf_trained_topk(
     return ivf_topk(q_with, c_with, k)
 
 
+def semantic_dedup_rows(
+    vectors: list[tuple[int, list[float]]],
+    k: int = 8,
+    tau: float = 0.95,
+    iters: int = 2,
+) -> list[tuple[int, int, bool]]:
+    """Recompute of dedup.semantic_dedup (SemDeDup): trained Lloyd cells
+    (ivf_train — identical rounded centroids), then the greedy min-id
+    election — a vector is dropped iff some smaller-id vector in the same
+    cell has cosine ≥ tau.  The cosine folds left-to-right exactly like
+    the F.aggregate expressions and rounds half-up to 6 before the
+    comparison, mirroring the Spark side's F.round(cos, 6) >= tau."""
+    centroids = ivf_train(vectors, k, iters)
+    assigned = [(vid, v, _assign_cell(v, centroids)) for vid, v in vectors]
+    by_cell: dict = defaultdict(list)
+    for vid, v, cell in assigned:
+        by_cell[cell].append((vid, v))
+    doomed: set = set()
+    for vs in by_cell.values():
+        vs = sorted(vs, key=lambda t: t[0])
+        for j in range(1, len(vs)):
+            for i in range(j):
+                if round_half_up(_cos(vs[i][1], vs[j][1]), 6) >= tau:
+                    doomed.add(vs[j][0])
+                    break
+    return [(vid, cell, vid not in doomed) for vid, _v, cell in assigned]
+
+
 def ivf_topk(
     queries: list[tuple[int, list[float], object]],
     corpus: list[tuple[int, list[float], object]],

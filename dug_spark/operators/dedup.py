@@ -595,3 +595,188 @@ def cross_doc_line_dedup(
             F.sum((~F.col("_keep")).cast("int")).alias("n_lines_removed"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal at token k-gram granularity — the
+    substring-level dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", ExactSubstr), which removes
+    repeated passages that document-level dedup can never see (licence
+    boilerplate, templated footers, quoted chain-mail), reformulated from
+    their suffix-array construction into relational passes: a suffix
+    array is a sequential build, but "which length-k token windows occur
+    ≥ ``min_occurrences`` times corpus-wide" is ONE hash aggregation.
+
+    Semantics: every k-token window whose fingerprint occurs at least
+    ``min_occurrences`` times corpus-wide is a duplicated span; the single
+    occurrence with the smallest (id, start) survives, every other
+    occurrence's k tokens are deleted (overlapping spans union at the
+    token level — no double-count, no partial remnant).  Whitespace is
+    normalized to single spaces.  Output: one row per input document —
+    ``(id, clean_text, n_tokens, n_tokens_removed)``.
+
+    Scale shape (the 100 TB plan):
+    - tokenize + window build are NARROW: posexplode, then lead(k-1) over
+      a per-document window (doc-keyed shuffle, unique key → no skew).
+    - ONE wide aggregation keyed by the window fingerprint (md5 here for
+      cross-engine verifiability; a production run swaps in xxhash64 —
+      8 bytes/row instead of 32 — with the same plan) computing
+      occurrence count + keeper election via MIN over the zero-padded
+      (id, start) key: map-side partial combine absorbs the hot-gram skew
+      (one boilerplate sentence with 10^9 occurrences arrives at the
+      reducer as per-mapper partials, not raw rows).
+    - the non-keeper fan-out join back to occurrences is fingerprint-keyed
+      equi-join (AQE skew-splittable); token-level removal joins on the
+      UNIQUE doc id; reassembly is the same doc-keyed groupBy the line
+      dedup uses.  Net: 2 corpus-sized shuffles beyond the tokenize pass.
+    """
+    from pyspark.sql import Window
+
+    toks0 = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+        ).alias("_p", "_tok"),
+    ).where(F.col("_tok") != "")
+    wdoc = Window.partitionBy("_id").orderBy("_p")
+    toks = toks0.withColumn("_idx", F.row_number().over(wdoc) - 1).drop("_p")
+    gram_parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(wdoc.orderBy("_idx")) for i in range(1, k)
+    ]
+    occ = (
+        toks.select(
+            "_id",
+            "_idx",
+            F.when(
+                gram_parts[-1].isNotNull(), F.md5(F.concat_ws(" ", *gram_parts))
+            ).alias("_h"),
+        )
+        .where(F.col("_h").isNotNull())
+    )
+    okey = F.concat(
+        F.col("_id").cast("string"),
+        F.lit("#"),
+        F.lpad(F.col("_idx").cast("string"), 12, "0"),
+    )
+    stats = (
+        occ.select("_h", okey.alias("_okey"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_okey").alias("_keeper"))
+        .where(F.col("_n") >= min_occurrences)
+    )
+    doomed_spans = (
+        occ.withColumn("_okey", okey)
+        .join(stats, "_h")
+        .where(F.col("_okey") != F.col("_keeper"))
+        .select("_id", F.col("_idx").alias("_s"))
+    )
+    removed = (
+        toks.join(doomed_spans, "_id")
+        .where(F.col("_idx").between(F.col("_s"), F.col("_s") + (k - 1)))
+        .select("_id", "_idx")
+        .distinct()
+    )
+    kept = toks.join(removed, ["_id", "_idx"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_rm = removed.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_rm"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .join(n_rm, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (
+                F.coalesce("_n_kept", F.lit(0)) + F.coalesce("_n_rm", F.lit(0))
+            ).alias("n_tokens"),
+            F.coalesce("_n_rm", F.lit(0)).alias("n_tokens_removed"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    tau: float = 0.95,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + within-cluster cosine threshold — removes documents that
+    SAY the same thing in different bytes, the layer above MinHash (which
+    needs shared shingles) and embedding-LSH near-dup (which targets
+    near-identical vectors; SemDeDup prunes at much lower similarity).
+
+    A document is dropped iff some SMALLER-id document in the same
+    k-means cell has cosine ≥ ``tau`` (the paper keeps one exemplar per
+    ε-similar group; min-id-wins is the deterministic election, matching
+    every other dedup family here).  Output: one row per input vector —
+    ``(id, cell, keep)``.
+
+    Scale shape: the Lloyd quantizer trains in dimension-sized
+    aggregations (similarity.ivf_train_assign — O(k·dim) driver state);
+    the quadratic pairwise step runs WITHIN cells only, as a self-join
+    partitioned on the cell key, so cost is Σ|cell|² instead of N² —
+    the paper's exact trick (they run 50k clusters at 5B embeddings).
+    An oversized cell is the skew risk: AQE skew-splits the probe side,
+    and raising ``k`` shrinks cells directly."""
+    from . import similarity
+
+    assigned, _ = similarity.ivf_train_assign(
+        df, k=k, id_col=id_col, vec_col=vec_col, iters=iters
+    )
+    v = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col("cell"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).repartition("cell")
+    a = v.select(
+        F.col("cell"),
+        F.col("_id").alias("_ida"),
+        F.col("_e").alias("_ea"),
+    )
+    b = v.select(
+        F.col("cell"),
+        F.col("_id").alias("_idb"),
+        F.col("_e").alias("_eb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("_ea", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("_eb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    doomed = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(dot / (na * nb), 6) >= tau)
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    doomed = doomed.select(
+        F.col("_id").alias(id_col), F.lit(False).alias("keep")
+    )
+    return (
+        assigned.select(F.col(id_col), F.col("cell"))
+        .join(doomed, id_col, "left")
+        .select(id_col, "cell", F.coalesce("keep", F.lit(True)).alias("keep"))
+    )

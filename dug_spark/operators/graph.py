@@ -110,3 +110,82 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", "rank")
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simple graph induced by ``edges`` (direction, parallel
+    edges and self-loops are dropped).  Returns
+    ``(node, degree, triangles, clustering)`` with
+    ``clustering = 2·T / (d·(d-1))`` (0.0 for d < 2), rounded to 6.
+
+    Algorithm: degree-ordered edge orientation (Cohen 2009 / the
+    "compact-forward" MapReduce formulation).  Every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher one, so
+    each triangle {a,b,c} is found EXACTLY once as a wedge b←a→c closed
+    by the oriented edge b→c — and, critically for web/KG graphs, a
+    degree-10^7 hub generates no wedges at all (all its edges point IN),
+    bounding the wedge table by the graph's arboricity instead of
+    Σ deg².  This is the difference between "works on the test graph"
+    and "works on the host link graph": the naive wedge join explodes
+    quadratically on the hottest node.
+
+    Scale shape: 3 shuffles total — canonical-edge dedup, the wedge
+    self-join on the oriented source key (skew-bounded by orientation, as
+    above), and the wedge⋈edge close (pair-keyed).  Degrees are
+    NODE-sized and broadcast onto the edge list; the per-node roll-up of
+    closed triangles is a map-side-combinable count."""
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+    ).where(F.col("lo") != F.col("hi")).distinct()
+    e = e.localCheckpoint(eager=True)  # reused by degrees, wedges and close
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    dg = F.broadcast(deg)
+    withdeg = (
+        e.join(dg.withColumnsRenamed({"node": "lo", "degree": "d_lo"}), "lo")
+        .join(dg.withColumnsRenamed({"node": "hi", "degree": "d_hi"}), "hi")
+    )
+    lo_first = (F.col("d_lo") < F.col("d_hi")) | (
+        (F.col("d_lo") == F.col("d_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("d_hi")).otherwise(F.col("d_lo")).alias("d_v"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("d_v").alias("d_b"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("c"), F.col("d_v").alias("d_c"))
+    b_first = (F.col("d_b") < F.col("d_c")) | (
+        (F.col("d_b") == F.col("d_c")) & (F.col("b") < F.col("c"))
+    )
+    wedges = (
+        o1.join(o2, "u")
+        .where(F.col("b") != F.col("c"))
+        .where(b_first)  # each unordered wedge once, endpoints rank-ordered
+        .select("u", "b", "c")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    tri = (
+        closed.select(F.explode(F.array("u", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "node", "left")
+        .na.fill({"triangles": 0})
+        .select("node", "degree", "triangles", F.round(cc, 6).alias("clustering"))
+    )

@@ -147,6 +147,76 @@ def build_triples(
     return out.unionByName(_co_mention_from_sets(per_doc, max_concepts_per_doc))
 
 
+def co_mention_npmi(
+    mentions: DataFrame,
+    max_concepts_per_doc: int = 64,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """NPMI-weighted co-mention edges: ``(src, dst, n_co, npmi)`` with
+    ``src < dst`` — the statistical upgrade of the raw co-mention triple
+    family (Bouma 2009, "Normalized (pointwise) mutual information in
+    collocation extraction").  The reference emits unweighted co-occurrence
+    links inside KG answers (crawler.py:178-201); a KG built at web scale
+    needs edge weights that separate "co-mentioned because both are
+    everywhere" from genuine association, which is exactly what NPMI
+    normalizes for:
+
+        pmi(x,y)  = ln( N·c_xy / (c_x·c_y) )
+        npmi(x,y) = pmi / ln(N / c_xy)        (∈ [-1, 1]; 1 ⇔ always together)
+
+    where N is the number of documents with ≥1 concept, c_x the number of
+    documents mentioning x, and c_xy the number mentioning both.
+
+    Scale shape: pair counts ride the same per-document pair explode as
+    `co_mention_triples` (ONE shuffle on the unique doc key, quadratic
+    fan-out bounded by ``max_concepts_per_doc``) followed by ONE pair-keyed
+    aggregation — partial map-side combine absorbs hot-pair skew before the
+    exchange.  Concept marginals are NODE-sized and broadcast onto the pair
+    table twice (src/dst), so the corpus-sized relation never shuffles on
+    the skewed concept key.  N is a one-row aggregate collected as a scalar
+    (same class as the BM25 corpus-stats collect, operators/search.py).
+
+    npmi(x,x) is undefined and self-pairs never emit (src < dst strictly);
+    pairs present in every document (c_xy = N) hit the ln(N/c_xy) = 0 pole
+    and emit npmi = 1.0 exactly."""
+    per_doc = doc_concept_sets(mentions).where(
+        F.size("cs").between(1, max_concepts_per_doc)
+    )
+    per_doc = per_doc.localCheckpoint(eager=True)
+    n_docs = per_doc.count()  # scalar: one-row aggregate, folded to a literal
+    marginals = (
+        per_doc.select(F.explode("cs").alias("curie"))
+        .groupBy("curie")
+        .agg(F.count("*").alias("c_node"))
+    )
+    width = per_doc.sparkSession.sparkContext.defaultParallelism * 2
+    exploded = per_doc.where(F.size("cs") >= 2).repartition(width, "element_id")
+    first = exploded.select(F.posexplode("cs").alias("i", "a"), F.col("cs"))
+    pairs = first.select(
+        "a", F.explode(F.slice("cs", F.col("i") + 2, F.size("cs"))).alias("b")
+    )
+    co = pairs.groupBy("a", "b").agg(F.count("*").alias("n_co"))
+    if min_pair_count > 1:
+        co = co.where(F.col("n_co") >= min_pair_count)
+    ma = F.broadcast(marginals)
+    joined = (
+        co.join(ma.withColumnsRenamed({"curie": "a", "c_node": "c_a"}), "a")
+        .join(ma.withColumnsRenamed({"curie": "b", "c_node": "c_b"}), "b")
+    )
+    n = F.lit(float(n_docs))
+    pmi = F.log(F.col("n_co").cast("double") * n / (F.col("c_a") * F.col("c_b")))
+    denom = F.log(n / F.col("n_co").cast("double"))
+    npmi = F.when(denom == 0.0, F.lit(1.0)).otherwise(pmi / denom)
+    return joined.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        "n_co",
+        # ROUND(5): Java Math.log vs DuckDB ln may differ in the last ulp
+        # (same reasoning as the PageRank oracle's rounding)
+        F.round(npmi, 5).alias("npmi"),
+    )
+
+
 def write_triples(
     triples: DataFrame,
     path: str,
