@@ -266,8 +266,12 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
         "knn_cosine",
         "search_concepts_bm25",
         "search_bm25",
+        # round 5: NPMI edge weighting (driver row) + NB quality
+        # classifier and span dedup (extra-registry rows)
+        "kg_npmi",
     ]
     qs = entry_mod.queries()
+    extra_qs = entry_mod.extra_queries()
     # extra (non-oracle) heavy ops: minhash LSH + simhash + ANN-LSH
     from pyspark.sql import functions as F
 
@@ -283,6 +287,8 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
             "ann_lsh_topk": lambda: similarity.lsh_topk(
                 emb.where(F.col("vec_id") < 100), emb, dim=64, k=5
             ),
+            "quality_nb": lambda: extra_qs["quality_nb"](spark, SF_DIR),
+            "span_dedup": lambda: extra_qs["span_dedup"](spark, SF_DIR),
         }
     )
     # Repeats are taken as FULL PASSES over the suite (pass 1 all queries,
