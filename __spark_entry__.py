@@ -2178,6 +2178,58 @@ def q_span_dedup(spark, sf_dir):
 _BOILERPLATE = " bq1 bq2 bq3 bq4 bq5 bq6 bq7 bq8 bq9 bq10"
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 tf-idf keywords (textstats.tfidf_keywords,
+    smoothed scikit-learn idf).  Score rounds to 6 BEFORE the rank window
+    in both engines, so libm last-ulp jitter collapses into exact ties
+    resolved lexicographically."""
+    from dug_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts.tfidf_keywords(docs, top_k=3).select(
+        "doc_id", "token", "tf", "score", "rk"
+    )
+
+
+def q_sample_mix(spark, sf_dir):
+    """Deterministic domain-mixture sampling (textstats.sample_corpus_mix):
+    per-source keep fractions decided by pmod(xxhash64(id#salt), 10^6) —
+    reproducible across runs/partitionings, monotone under fraction
+    raises.  Oracle: full VALUES recompute via the pyoracle xxh64 spec
+    implementation."""
+    from dug_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ts.sample_corpus_mix(
+        docs,
+        fractions=_MIX_FRACTIONS,
+        group_col="source",
+        id_col="doc_id",
+        default_fraction=0.05,
+    )
+    return out.select("doc_id", "bucket", "keep")
+
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (dedup.exact_dedup_incremental): the new
+    batch (doc_id ≥ 250) checked against the accumulated fingerprint
+    index (doc_id < 250) — dup_of_seen membership + within-batch min-id
+    election.  Oracle: the same md5 probe + window election in SQL."""
+    from dug_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.where(F.col("doc_id") < 250).select(
+        F.md5(F.encode(F.coalesce("text", F.lit("")), "utf-8")).alias("fp")
+    )
+    batch = docs.where(F.col("doc_id") >= 250)
+    return dd.exact_dedup_incremental(batch, seen).select(
+        "doc_id", "fp", "dup_of_seen", "keep"
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (dedup.semantic_dedup): Lloyd-trained cells + within-cell
     min-id cosine collapse at tau=0.95 over the first 300 embeddings.
@@ -2227,6 +2279,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_nb": q_quality_nb,
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
+        "tfidf_keywords": q_tfidf_keywords,
+        "sample_mix": q_sample_mix,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2343,6 +2398,31 @@ def extra_oracle_sql() -> dict[str, str]:
         "web_triangles": tri_sql,
         "quality_nb": nb_sql,
         "span_dedup": span_sql,
+        "tfidf_keywords": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok "
+            "  WHERE token <> '' GROUP BY doc_id, token), "
+            "nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents), "
+            "dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), "
+            "scored AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "  ROUND(tf.tf * (ln(((SELECT n FROM nn) + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score "
+            "  FROM tf JOIN dfq USING (token)), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, token ASC) AS rk FROM scored) "
+            "SELECT doc_id, token, tf, score, rk FROM r WHERE rk <= 3"
+        ),
+        "dedup_incremental": (
+            "WITH seenfp AS (SELECT DISTINCT md5(COALESCE(text, '')) AS fp "
+            "  FROM documents WHERE doc_id < 250), "
+            "batch AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp "
+            "  FROM documents WHERE doc_id >= 250), "
+            "j AS (SELECT b.doc_id, b.fp, (s.fp IS NOT NULL) AS dup_of_seen, "
+            "  ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rk "
+            "  FROM batch b LEFT JOIN seenfp s ON s.fp = b.fp) "
+            "SELECT doc_id, fp, dup_of_seen, "
+            "(NOT dup_of_seen AND rk = 1) AS keep FROM j"
+        ),
         "kg_triples_co_mention": (
             f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions) "
             "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "
@@ -2458,6 +2538,19 @@ def extra_oracle_sql() -> dict[str, str]:
             ),
             "vec_id, cell, keep",
             "BIGINT, INTEGER, BOOLEAN",
+        )
+        con2 = duckdb.connect()
+        id_src = [
+            (int(d), s)
+            for d, s in con2.execute(
+                f"SELECT doc_id, source FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        con2.close()
+        out["sample_mix"] = _values_or_empty(
+            po.sample_mix_rows(id_src, _MIX_FRACTIONS, default_fraction=0.05),
+            "doc_id, bucket, keep",
+            "BIGINT, BIGINT, BOOLEAN",
         )
     except _degrade_errs as e:
         print(f"extra pyoracle VALUES degraded: {e!r}", file=_sys.stderr)

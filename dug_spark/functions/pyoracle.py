@@ -344,6 +344,23 @@ def ivf_trained_topk(
     return ivf_topk(q_with, c_with, k)
 
 
+def sample_mix_rows(
+    rows: list[tuple[int, str]],
+    fractions: dict[str, float],
+    salt: int = 42,
+    default_fraction: float = 0.0,
+) -> list[tuple[int, int, bool]]:
+    """Recompute of textstats.sample_corpus_mix: (id, group) →
+    (id, bucket, keep) with bucket = pmod(xxhash64(id || '#' || salt),
+    10^6) — Python's ``%`` on the signed hash IS Spark's pmod."""
+    out = []
+    for did, group in rows:
+        u = xxh64(f"{did}#{salt}".encode("utf-8")) % 1_000_000
+        p = fractions.get(group, default_fraction)
+        out.append((did, u, u < p * 1_000_000))
+    return out
+
+
 def semantic_dedup_rows(
     vectors: list[tuple[int, list[float]]],
     k: int = 8,

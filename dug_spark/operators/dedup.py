@@ -780,3 +780,51 @@ def semantic_dedup(
         .join(doomed, id_col, "left")
         .select(id_col, "cell", F.coalesce("keep", F.lit(True)).alias("keep"))
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup for a rolling crawl: verdicts for a NEW
+    batch against an already-indexed fingerprint table — the shape a
+    production pipeline actually runs (full-corpus re-dedup per crawl is
+    a non-starter at 10^12 docs; each increment checks (a) against the
+    accumulated index, (b) within itself).
+
+    ``seen`` is the fingerprint table (one md5 column, ``seen_fp_col``) —
+    at scale an Iceberg table bucketed by fingerprint, appended after
+    every increment.  A new doc keeps iff its fingerprint is NOT in
+    ``seen`` AND it is the (id-min) first occurrence within the batch.
+    Output: (id, fp, dup_of_seen, keep) — ``keep`` rows' fingerprints are
+    what the caller appends to ``seen``.
+
+    Scale shape: the batch side is increment-sized; the membership probe
+    is a LEFT JOIN on the fingerprint key against the bucketed seen table
+    (storage-partitioned join — no seen-side shuffle; a plain crawl
+    increment is ≪ the index, so AQE broadcasts the BATCH side when it
+    fits).  The within-batch election is one fingerprint-keyed window
+    over the increment only."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    batch = new_docs.select(F.col(id_col).alias("_id"), fp.alias("fp"))
+    seen_k = seen.select(F.col(seen_fp_col).alias("fp")).distinct().select(
+        "fp", F.lit(True).alias("_seen")
+    )
+    probed = batch.join(seen_k, "fp", "left")
+    w = Window.partitionBy("fp").orderBy(F.asc("_id"))
+    return (
+        probed.withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col("_id").alias(id_col),
+            "fp",
+            F.coalesce("_seen", F.lit(False)).alias("dup_of_seen"),
+            (
+                ~F.coalesce("_seen", F.lit(False)) & (F.col("_rk") == 1)
+            ).alias("keep"),
+        )
+    )

@@ -731,3 +731,84 @@ def fix_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(fix, schema=out_schema)
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-``top_k`` keywords by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn convention) — the
+    standard per-document salience signal a curation/labeling pipeline
+    attaches before indexing.  Output: (id, token, tf, score, rk) with
+    deterministic (score desc, token asc) ranking; ``score`` rounds to 6
+    BEFORE ranking so near-tie ordering is stable across engines (two
+    tokens whose raw scores differ only in libm's last ulp become an
+    exact tie and fall through to the lexicographic tiebreak).
+
+    Scale shape: tf is ONE (id, token) aggregation (unique-doc key ×
+    token — no skew); df aggregates THAT table by token (map-side combine
+    collapses stopwords); the tf⋈df equi-join on token is the one
+    skew-exposed shuffle (AQE skew split; a stopword's fan-out is its tf
+    row count, already ≤ one row per (doc, token)).  The per-doc top-k
+    window re-uses the tf side's doc keying."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()  # scalar, folded to literal
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "token").select(
+        "_id",
+        "token",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select(F.col("_id").alias(id_col), "token", "tf", "score", "rk")
+    )
+
+
+def sample_corpus_mix(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with its
+    group's target probability, decided by a hash of the ROW ID (never a
+    random number) — the mixture-reweighting step a training-data
+    pipeline runs after curation ("3 parts web, 1 part forums, 0.05
+    parts logs"), reproducible across runs, resumes and partitionings.
+
+    keep ⇔ pmod(xxhash64(id || '#' || salt), 10^6) < fraction·10^6 — so a
+    group's kept subset is STABLE under fraction changes (raising a
+    fraction only adds rows, the property that lets mixtures be tuned
+    without churning shards).  Unlisted groups get ``default_fraction``.
+    Output: the input rows + (bucket, keep); map-only, NO shuffle — the
+    fraction table rides as a literal CASE expression (group cardinality
+    is mixture-spec-sized, never data-sized)."""
+    u = F.pmod(
+        F.xxhash64(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))
+        ),
+        F.lit(1_000_000),
+    )
+    frac: F.Column = F.lit(float(default_fraction))
+    for g, p in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(frac)
+    return df.select(
+        "*",
+        u.alias("bucket"),
+        (u < frac * 1_000_000).alias("keep"),
+    )
