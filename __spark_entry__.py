@@ -2230,6 +2230,35 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_host_anchors(spark, sf_dir):
+    """Anchor-text mining (weblinks.extract_anchors → host_anchor_terms):
+    top-3 anchor terms per DESTINATION host over the synthetic linked
+    corpus — run through the REAL decode + zipped two-group regexp
+    extraction and the shared href→host resolution.  Oracle: the link
+    arithmetic re-derived per anchor token in SQL ('a'/'b'/'c' to the
+    three computed dst hosts, 'd' to the self host, 'e' dropped as a
+    fragment)."""
+    from dug_spark.operators import weblinks
+
+    return weblinks.host_anchor_terms(
+        _web_linked_docs(spark, sf_dir), top_k=3
+    ).select("host", "token", "n", "rk")
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profiling (textstats.corpus_profile): counts,
+    char totals/means and EXACT interpolated p50/p95 length quantiles —
+    Spark F.percentile and DuckDB quantile_cont share the linear
+    interpolation definition, so the gate is a bit-level check that the
+    threshold-setting table is engine-independent."""
+    from dug_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts.corpus_profile(docs, group_col="lang").select(
+        "grp", "n_docs", "total_chars", "mean_chars", "p50_chars", "p95_chars"
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (dedup.semantic_dedup): Lloyd-trained cells + within-cell
     min-id cosine collapse at tau=0.95 over the first 300 embeddings.
@@ -2282,6 +2311,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "sample_mix": q_sample_mix,
         "dedup_incremental": q_dedup_incremental,
+        "host_anchors": q_host_anchors,
+        "corpus_profile": q_corpus_profile,
     }
 
 
@@ -2411,6 +2442,29 @@ def extra_oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "  ORDER BY score DESC, token ASC) AS rk FROM scored) "
             "SELECT doc_id, token, tf, score, rk FROM r WHERE rk <= 3"
+        ),
+        "host_anchors": (
+            "WITH la AS ("
+            "  SELECT 'h' || CAST((doc_id // 20) % (1 + (doc_id % 20) % 5) % 20 AS VARCHAR) "
+            "    || '.example.org' AS host, 'a' AS token FROM documents "
+            "  UNION ALL SELECT 'h' || CAST(((doc_id // 40) % (1 + (doc_id % 20) % 7) + 5) % 20 AS VARCHAR) "
+            "    || '.example.org', 'b' FROM documents "
+            "  UNION ALL SELECT 'h' || CAST(((doc_id // 60) % (1 + (doc_id % 20) % 4) + 12) % 20 AS VARCHAR) "
+            "    || '.example.org', 'c' FROM documents "
+            "  UNION ALL SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org', 'd' "
+            "    FROM documents), "
+            "c AS (SELECT host, token, COUNT(*) AS n FROM la GROUP BY host, token), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host "
+            "  ORDER BY n DESC, token ASC) AS rk FROM c) "
+            "SELECT host, token, n, rk FROM r WHERE rk <= 3"
+        ),
+        "corpus_profile": (
+            "SELECT lang AS grp, COUNT(*) AS n_docs, "
+            "CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars, "
+            "ROUND(AVG(length(COALESCE(text, ''))), 6) AS mean_chars, "
+            "ROUND(quantile_cont(length(COALESCE(text, '')), 0.5), 6) AS p50_chars, "
+            "ROUND(quantile_cont(length(COALESCE(text, '')), 0.95), 6) AS p95_chars "
+            "FROM documents GROUP BY lang"
         ),
         "dedup_incremental": (
             "WITH seenfp AS (SELECT DISTINCT md5(COALESCE(text, '')) AS fp "

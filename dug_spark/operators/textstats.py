@@ -812,3 +812,30 @@ def sample_corpus_mix(
         u.alias("bucket"),
         (u < frac * 1_000_000).alias("keep"),
     )
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus statistics: doc count, total/mean characters, and
+    exact interpolated length quantiles (p50/p95) — the profiling pass a
+    pipeline runs between ingest and curation to set its filter
+    thresholds (Gopher's length bounds came from exactly this table).
+
+    Quantiles here are EXACT (`F.percentile`, linear interpolation — the
+    same definition DuckDB's quantile_cont uses, so the oracle matches
+    bit-for-bit after ROUND(6)); at 10^12 docs swap in
+    `F.approx_percentile` with an accuracy knob — the exact form sorts
+    each group, the approx form is one mergeable sketch aggregation.
+    One group-keyed aggregation either way; group cardinality is
+    languages × sources, dimension-sized."""
+    ln = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ln).cast("bigint").alias("total_chars"),
+        F.round(F.avg(ln), 6).alias("mean_chars"),
+        F.round(F.percentile(ln, F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile(ln, F.lit(0.95)), 6).alias("p95_chars"),
+    )

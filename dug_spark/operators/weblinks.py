@@ -42,6 +42,84 @@ def _host_of(col):
     return F.regexp_replace(h, r"^www\.", "")
 
 
+_ANCHOR_PATTERN = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, href, anchor) triples — the anchor TEXT is the web's free
+    labeling signal for the link target (what a KG-construction pipeline
+    mines for entity surface forms and relation evidence; anchor-text
+    aggregation is the classic web-IR target-description source).
+
+    Two ``regexp_extract_all`` passes over the same pattern (groups 1
+    and 2) zip positionally — same pattern ⇒ same match set ⇒ aligned
+    arrays.  Still pure codegen: decode → 2× regexp → arrays_zip →
+    explode, fused into the scan, no Python, no shuffle."""
+    decoded = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(decoded, F.lit(_ANCHOR_PATTERN), 1)
+    texts = F.regexp_extract_all(decoded, F.lit(_ANCHOR_PATTERN), 2)
+    z = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor")))
+    return df.select(F.col(url_col).alias("url"), z.alias("z")).select(
+        "url", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor")
+    )
+
+
+def _resolve_dst(src, href):
+    """Destination host of an href relative to the source host — the
+    shared resolution used by host_edges and host_anchor_terms (RFC 3986
+    §3.1 case-insensitive schemes; non-navigational schemes → NULL)."""
+    lhref = F.lower(href)
+    return (
+        F.when(lhref.rlike(r"^https?://"), _host_of(href))
+        .when(href.startswith("//"), _host_of(F.concat(F.lit("http:"), href)))
+        .when(
+            lhref.rlike(r"^(#|mailto:|javascript:|tel:|data:|about:)"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(src)
+    )
+
+
+def host_anchor_terms(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` anchor-text terms per DESTINATION host: how the rest
+    of the web (and the host itself — self-links kept, unlike the edge
+    list: a path-relative nav anchor describes the host's own pages)
+    labels each host.  Output (host, token, n, rk), rank by (n desc,
+    token asc).
+
+    Scale shape: extraction is narrow codegen; ONE (host, token)
+    aggregation with map-side combine (a hot anchor word on a hub host
+    collapses per-mapper); the top-k window runs over the aggregated
+    host×token table, host-keyed — already dimension-sized next to the
+    corpus."""
+    from pyspark.sql import Window
+
+    links = extract_anchors(df, html_col, url_col)
+    dst = _resolve_dst(_host_of(F.col("url")), F.col("href"))
+    toks = links.select(
+        dst.alias("host"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("anchor"), r"[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    ).where(F.col("host").isNotNull() & (F.col("host") != ""))
+    counts = toks.groupBy("host", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("host", "token", "n", "rk")
+    )
+
+
 def host_edges(
     links: DataFrame,
     url_col: str = "url",
@@ -56,23 +134,14 @@ def host_edges(
     PageRank conventionally ignores intra-host links).  Fragment-only and
     unparseable hrefs drop out via null hosts."""
     src = _host_of(F.col(url_col))
-    href = F.col(href_col)
     # Scheme detection is case-insensitive (RFC 3986 §3.1: schemes are
     # case-insensitive; HTTP://HOST/.. must parse its own host, not fall
     # through to the path-relative branch and become a src self-edge).
     # Non-navigational schemes (mailto:, javascript:, tel:, data:) are
     # not links between pages — NULL, not otherwise(src), so keep_self
-    # runs never fabricate self-edges from them.
-    lhref = F.lower(href)
-    dst = (
-        F.when(lhref.rlike(r"^https?://"), _host_of(href))
-        .when(href.startswith("//"), _host_of(F.concat(F.lit("http:"), href)))
-        .when(
-            lhref.rlike(r"^(#|mailto:|javascript:|tel:|data:|about:)"),
-            F.lit(None).cast("string"),
-        )
-        .otherwise(src)
-    )
+    # runs never fabricate self-edges from them.  (_resolve_dst is the
+    # shared implementation — host_anchor_terms uses the same rules.)
+    dst = _resolve_dst(src, F.col(href_col))
     edges = (
         links.select(src.alias("src_host"), dst.alias("dst_host"))
         .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
