@@ -189,3 +189,102 @@ def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
         .na.fill({"triangles": 0})
         .select("node", "degree", "triangles", F.round(cc, 6).alias("clustering"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """HITS (Kleinberg 1999): hub + authority scores over a directed edge
+    list; returns (node, hub, authority), each vector L2-normalized.
+    PageRank's natural complement on web/KG graphs: PageRank ranks
+    endorsement mass, HITS separates DIRECTORY pages (hubs — link out to
+    many good authorities) from CONTENT pages (authorities — linked from
+    many good hubs); on the co-mention concept graph the same split
+    surfaces umbrella concepts vs core entities.
+
+        a'(v) = Σ_{u→v} h(u);  a = a'/‖a'‖₂
+        h'(u) = Σ_{u→v} a(v);  h = h'/‖h'‖₂
+
+    Parallel edges count multiply (pre-dedup if unwanted); nodes with no
+    in-edges get authority 0, no out-edges get hub 0.
+
+    Scale shape mirrors ``pagerank``: scores are NODE-sized, edges
+    corpus-sized.  Each half-iteration is one edge⋈score join (score side
+    broadcast by default; pass ``broadcast_scores=False`` past ~10^6
+    nodes — same measured crossover as pagerank, see module docstring)
+    followed by a key-grouped sum.  The L2 norm is a one-row aggregate
+    over the node-sized score table (same cost class as pagerank's
+    dangling probe); each iteration localCheckpoints the node-sized
+    frame — lineage cut + shared materialization for the norm and the
+    next join.  Deterministic up to float-sum order: hash-comparing
+    callers round (the driver oracle rounds 5, like pagerank)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    # h0 = 1/sqrt(n): unit L2 norm from the start, so scores stay O(1)
+    # through every iteration (no overflow across deep iteration counts)
+    scores = nodes.select(
+        "node",
+        F.lit(1.0 / n**0.5).alias("hub"),
+        F.lit(0.0).alias("authority"),
+    )
+
+    def _norm(df: DataFrame, col: str) -> float:
+        v = df.agg(F.sum(F.col(col) * F.col(col))).collect()[0][0] or 0.0
+        return v**0.5 or 1.0  # all-zero vector: divide by 1, stays zero
+
+    for _ in range(iterations):
+        scores = scores.localCheckpoint(eager=True)
+        s = F.broadcast(scores) if broadcast_scores else scores
+        # authority pass: sum hub mass over IN-edges
+        araw = (
+            e.join(s.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        scores = (
+            scores.drop("authority")
+            .join(araw, "node", "left")
+            .select(
+                "node",
+                "hub",
+                F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        an = _norm(scores, "authority")
+        scores = scores.withColumn("authority", F.col("authority") / an)
+        scores = scores.localCheckpoint(eager=True)
+        s = F.broadcast(scores) if broadcast_scores else scores
+        # hub pass: sum (fresh) authority mass over OUT-edges
+        hraw = (
+            e.join(s.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        scores = (
+            scores.drop("hub")
+            .join(hraw, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("hub"),
+                "authority",
+            )
+            .localCheckpoint(eager=True)
+        )
+        hn = _norm(scores, "hub")
+        scores = scores.withColumn("hub", F.col("hub") / hn)
+    return scores.select("node", "hub", "authority")

@@ -6,6 +6,11 @@ error-on-unknown)."""
 from __future__ import annotations
 
 from .json_parser import parse_radx_json  # noqa: F401
+from .warc_parser import (  # noqa: F401
+    parse_warc_column,
+    read_warc,
+    warc_to_corpus,
+)
 from .tsv_parser import parse_topmed_csv, parse_topmed_tags  # noqa: F401
 from .xml_parser import (  # noqa: F401
     BRAND_TYPES,
@@ -18,6 +23,9 @@ _PARSERS = {
     "topmedtag": parse_topmed_tags,
     "topmedcsv": parse_topmed_csv,
     "radx": parse_radx_json,
+    # beyond the reference registry: the Common-Crawl container format for
+    # the BASELINE web-corpus input shape
+    "warc": read_warc,
 }
 # variant XML parsers (S7-S11): nida, scicrunch, sprint, bacpac, ctn, healdp
 for _vname in VARIANTS:
