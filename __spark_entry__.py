@@ -2134,6 +2134,118 @@ def q_web_triangles(spark, sf_dir):
     ).select("node", "degree", "triangles", "clustering")
 
 
+def q_web_hits(spark, sf_dir):
+    """HITS hub/authority scores (graph.hits: Kleinberg's L2-normalized
+    half-passes) over the SAME href-extracted host graph as web_host_rank
+    — hubs are the directory hosts that link out to good authorities,
+    authorities the content hosts those hubs converge on; PageRank's
+    complement on the web graph.  5 iterations.  Oracle: the iterations
+    unrolled into chained CTEs (same shape as the PageRank oracle);
+    both sides round 5 (cross-engine float-sum order)."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    out = graph.hits(edges, iterations=5, src_col="src_host", dst_col="dst_host")
+    return out.select(
+        "node",
+        F.round("hub", 5).alias("hub"),
+        F.round("authority", 5).alias("authority"),
+    )
+
+
+def _hits_iters(prefix_with_e: str, iters: int = 5) -> str:
+    """Unrolled HITS iterations over any prefix SQL that defines a CTE
+    ``e(src, dst)`` — mirrors operators/graph.hits exactly: h0 = 1/√n,
+    a0 = 0, then per iteration authority-from-hub (L2-normalize) followed
+    by hub-from-fresh-authority (L2-normalize); no-in-edge nodes keep
+    authority 0 via the LEFT JOIN + COALESCE."""
+    sql = (
+        f"{prefix_with_e}, "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "s0 AS MATERIALIZED (SELECT node, "
+        "1.0 / SQRT((SELECT COUNT(*) FROM nodes)) AS hub, "
+        "0.0 AS authority FROM nodes)"
+    )
+    for i in range(iters):
+        sql += (
+            f", ar{i} AS MATERIALIZED (SELECT b.node, b.hub, "
+            f"COALESCE(c.a_raw, 0) AS authority FROM s{i} b LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(s.hub) AS a_raw FROM e "
+            f"JOIN s{i} s ON e.src = s.node GROUP BY e.dst) c ON b.node = c.node)"
+            f", an{i} AS (SELECT CASE WHEN SQRT(SUM(authority * authority)) = 0 "
+            f"THEN 1 ELSE SQRT(SUM(authority * authority)) END AS v FROM ar{i})"
+            f", aa{i} AS MATERIALIZED (SELECT node, hub, "
+            f"authority / (SELECT v FROM an{i}) AS authority FROM ar{i})"
+            f", hr{i} AS MATERIALIZED (SELECT b.node, "
+            f"COALESCE(c.h_raw, 0) AS hub, b.authority FROM aa{i} b LEFT JOIN ("
+            f"SELECT e.src AS node, SUM(s.authority) AS h_raw FROM e "
+            f"JOIN aa{i} s ON e.dst = s.node GROUP BY e.src) c ON b.node = c.node)"
+            f", hn{i} AS (SELECT CASE WHEN SQRT(SUM(hub * hub)) = 0 "
+            f"THEN 1 ELSE SQRT(SUM(hub * hub)) END AS v FROM hr{i})"
+            f", s{i + 1} AS MATERIALIZED (SELECT node, "
+            f"hub / (SELECT v FROM hn{i}) AS hub, authority FROM hr{i})"
+        )
+    return sql + (
+        f" SELECT node, ROUND(hub, 5) AS hub, "
+        f"ROUND(authority, 5) AS authority FROM s{iters}"
+    )
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC container round-trip (sources/warc_parser): each document is
+    written as a spec-conformant single-record WARC response file via
+    ``build_warc_record`` (odd doc_ids wrapped as a per-record gzip
+    member — the ``.warc.gz`` Common Crawl layout), then recovered
+    through the REAL byte-walking parser (``parse_warc_column``:
+    binaryFile-shaped column → mapInPandas).  Writer and parser are
+    independent code paths, so the oracle restates the generation
+    arithmetic directly: url / epoch / status / content-type plus the
+    md5 of the recovered HTTP payload."""
+    import zlib
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from dug_spark.sources import warc_parser as wp
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                url = f"https://h{did % 20}.example.org/w/{did}"
+                ts = datetime.fromtimestamp(1704067200 + did, tz=timezone.utc)
+                payload = (
+                    "<html><body><p>" + (r["text"] or "") + "</p></body></html>"
+                ).encode("utf-8")
+                rec = wp.build_warc_record(
+                    url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), payload
+                )
+                if did % 2 == 1:
+                    c = zlib.compressobj(wbits=31)
+                    rec = c.compress(rec) + c.flush()
+                out.append(rec)
+            yield pd.DataFrame({"content": pd.Series(out, dtype="object")})
+
+    files = docs.mapInPandas(build, schema="content binary")
+    parsed = wp.parse_warc_column(files)
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "http_status",
+        "content_type",
+        F.md5("html").alias("payload_md5"),
+    )
+
+
 def q_quality_nb(spark, sf_dir):
     """Model-based quality classification (operators/classify.py):
     multinomial Naive Bayes trained on the corpus's own weak labels
@@ -2305,6 +2417,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_co_mention": q_kg_triples_co_mention,
         # round 5 (cont.): new graph-analytics + curation operators
         "web_triangles": q_web_triangles,
+        "web_hits": q_web_hits,
+        "warc_extract": q_warc_extract,
         "quality_nb": q_quality_nb,
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
@@ -2427,6 +2541,17 @@ def extra_oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "web_triangles": tri_sql,
+        "web_hits": _hits_iters(web_edges, iters=5),
+        "warc_extract": (
+            "SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) "
+            "|| '.example.org/w/' || CAST(doc_id AS VARCHAR) AS url, "
+            "1704067200 + doc_id AS warc_epoch, "
+            "200 AS http_status, "
+            "'text/html' AS content_type, "
+            "md5('<html><body><p>' || COALESCE(text, '') || '</p></body></html>') "
+            "AS payload_md5 "
+            "FROM documents WHERE doc_id < 60"
+        ),
         "quality_nb": nb_sql,
         "span_dedup": span_sql,
         "tfidf_keywords": (
