@@ -83,6 +83,11 @@ _SQL_CORPUS = (
     "text, lang FROM documents)"
 )
 _SQL_DICT = f"dict(term, curie) AS (VALUES {_vals(_DICT)})"
+
+# shared analyzer over the documents text column (inverted-index oracle)
+from dug_spark.functions.analyzer import analyze_sql as _analyze_sql  # noqa: E402
+
+_ANALYZE_TEXT_SQL = _analyze_sql("text")
 _SQL_DICT_SCORED = f"dict(term, curie, score) AS (VALUES {_vals(_DICT_SCORED)})"
 _SQL_MENTIONS = (
     "mentions AS (SELECT c.url AS url, d.term AS search_text, d.curie AS curie "
@@ -267,6 +272,165 @@ def _pagerank_sql(norm_cte: str, damping: float = 0.85, iters: int = 10) -> str:
         "  JOIN dm b ON a.url = b.url AND a.curie < b.curie)",
         damping,
         iters,
+    )
+
+
+def q_kg_closure(spark, sf_dir):
+    """Ontology ancestor closure (graph.transitive_closure): semi-naive
+    reachability with minimum hop depth over a synthetic subsumption DAG
+    derived from doc_id arithmetic — binary-tree parent i//2 for every
+    node plus a second parent i//3 on every 5th node, so multiple paths
+    exercise the first-discovery-is-min-depth property.  The reference
+    inherits exactly ONE ancestor level (crawler.py expand; J2 /
+    concepts.inherit_parent_concepts mirrors it) — this is that rule run
+    to fixpoint, the full ancestor set per concept.  Oracle: DuckDB
+    WITH RECURSIVE walk + MIN(depth) GROUP BY."""
+    from dug_spark.operators import graph
+
+    did = F.col("doc_id")
+
+    def c(col):
+        return F.concat(
+            F.lit("C"), F.lpad(col.cast("long").cast("string"), 8, "0")
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    tree = docs.where(did >= 1).select(
+        c(did).alias("src"), c(F.floor(did / 2)).alias("dst")
+    )
+    cross = docs.where((did >= 2) & (did % 5 == 0)).select(
+        c(did).alias("src"), c(F.floor(did / 3)).alias("dst")
+    )
+    return graph.transitive_closure(tree.unionByName(cross)).select(
+        "src", "dst", "depth"
+    )
+
+
+_CLOSURE_SQL = (
+    "WITH RECURSIVE e AS MATERIALIZED ("
+    "SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src, "
+    "'C' || lpad(CAST(doc_id // 2 AS VARCHAR), 8, '0') AS dst "
+    "FROM documents WHERE doc_id >= 1 "
+    "UNION "
+    "SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 8, '0'), "
+    "'C' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') "
+    "FROM documents WHERE doc_id >= 2 AND doc_id % 5 = 0), "
+    "tc AS ("
+    "SELECT src, dst, 1 AS depth FROM e "
+    "UNION ALL "
+    "SELECT tc.src, e2.dst, tc.depth + 1 FROM tc JOIN e e2 ON tc.dst = e2.src) "
+    "SELECT src, dst, CAST(MIN(depth) AS INTEGER) AS depth "
+    "FROM tc GROUP BY src, dst"
+)
+
+# injected relation-sentence vocabulary: single-word dictionary surfaces
+_REL_TERMS = ("window", "filter", "scan", "stream")
+
+
+def q_relation_extract(spark, sf_dir):
+    """Typed (subj, pred, obj) relation triples via Hearst-style
+    connective patterns (operators/relations.py) over the documents
+    corpus with a deterministically injected relation sentence per doc
+    (doc_id arithmetic picks subject term, predicate family, connective
+    variant and object term), run through the REAL longest-first regex
+    build, zipped two-group extraction and broadcast surface→CURIE
+    joins.  Oracle: the same injected text rebuilt in SQL, the same
+    literal regexes through DuckDB's RE2 (pattern class chosen so Java
+    and RE2 semantics agree: literal alternations, \\s+, \\b),
+    parallel-unnest zipping and dict VALUES joins."""
+    from dug_spark.operators import relations
+
+    did = F.col("doc_id")
+    terms = F.array(*[F.lit(t) for t in _REL_TERMS])
+    subj = F.element_at(terms, (did % 4 + 1).cast("int"))
+    obj = F.element_at(terms, ((did + 1) % 4 + 1).cast("int"))
+    pats = relations.DEFAULT_PATTERNS
+    conn = (
+        F.when(
+            did % 3 == 0,
+            F.when(did % 2 == 0, F.lit(pats["biolink:causes"][0])).otherwise(
+                F.lit(pats["biolink:causes"][1])
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.when(
+                did % 2 == 0, F.lit(pats["biolink:interacts_with"][0])
+            ).otherwise(F.lit(pats["biolink:interacts_with"][1])),
+        )
+        .otherwise(
+            F.when(did % 2 == 0, F.lit(pats["biolink:treats"][0])).otherwise(
+                F.lit(pats["biolink:treats"][1])
+            )
+        )
+    )
+    injected = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(" . "),
+            subj,
+            F.lit(" "),
+            conn,
+            F.lit(" "),
+            obj,
+            F.lit(" ."),
+        ).alias("text"),
+    )
+    rel = relations.extract_relations(
+        injected,
+        fixtures.vocab_dictionary(spark),
+        text_col="text",
+        id_col="doc_id",
+    )
+    return rel.select(
+        F.col("id").alias("doc_id"), "subj", "pred", "obj",
+        "surf_subj", "surf_obj",
+    )
+
+
+def _relation_sql() -> str:
+    """The relation-extraction oracle: injected text + per-predicate
+    regexes rebuilt in SQL; regex literals come from the SAME
+    relations.relation_regex builder the Spark side uses."""
+    from dug_spark.operators import relations
+
+    all_terms = sorted({t for t, _c in _DICT})
+    t_arr = "[" + ", ".join(f"'{t}'" for t in _REL_TERMS) + "]"
+    conn_case = (
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'causes' ELSE 'leads to' END) "
+        "WHEN doc_id % 3 = 1 THEN "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'interacts with' ELSE 'binds' END) "
+        "ELSE (CASE WHEN doc_id % 2 = 0 THEN 'treats' ELSE 'mitigates' END) END"
+    )
+    inj = (
+        "inj AS (SELECT doc_id, lower(COALESCE(text, '')) || ' . ' || "
+        f"{t_arr}[CAST(doc_id % 4 AS INT) + 1] || ' ' || {conn_case} || ' ' || "
+        f"{t_arr}[CAST((doc_id + 1) % 4 AS INT) + 1] || ' .' AS t2 "
+        "FROM documents)"
+    )
+    branches = []
+    for pred in sorted(relations.DEFAULT_PATTERNS):
+        rx = relations.relation_regex(
+            all_terms, relations.DEFAULT_PATTERNS[pred]
+        )
+        branches.append(
+            f"SELECT doc_id, '{pred}' AS pred, "
+            f"regexp_extract_all(t2, '{rx}', 1) AS s, "
+            f"regexp_extract_all(t2, '{rx}', 2) AS o FROM inj"
+        )
+    m = " UNION ALL ".join(branches)
+    return (
+        f"WITH {_SQL_DICT}, {inj}, m AS ({m}), "
+        "z AS (SELECT doc_id, pred, unnest(s) AS rs, unnest(o) AS ro FROM m), "
+        "n AS (SELECT doc_id, pred, "
+        "regexp_replace(rs, '\\s+', ' ', 'g') AS surf_subj, "
+        "regexp_replace(ro, '\\s+', ' ', 'g') AS surf_obj FROM z) "
+        "SELECT DISTINCT n.doc_id, ds.curie AS subj, n.pred, dd.curie AS obj, "
+        "n.surf_subj, n.surf_obj "
+        "FROM n JOIN dict ds ON ds.term = n.surf_subj "
+        "JOIN dict dd ON dd.term = n.surf_obj"
     )
 
 
@@ -1629,7 +1793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_facet_exclude": q_rel_facet_exclude,
         "rel_top_hit_per_group": q_rel_top_hit_per_group,
-        "rel_top_orders": q_rel_top_orders,
+        # round 5 (cont.): rel_top_orders (plain pagination, T2 —
+        # rel_top_events_per_user keeps window-rank semantics driver-
+        # visible) cedes its slot to the ontology ancestor closure; the
+        # pagination row stays green in the extra registry
+        "kg_closure": q_kg_closure,
         "rel_facet_counts": q_rel_facet_counts,
         "rel_top_events_per_user": q_rel_top_events_per_user,
         # round 4: the trivial TPC-H semi/anti-join rows (semi/anti
@@ -1646,7 +1814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "url_dedup": q_url_dedup,
         "host_profile": q_host_profile,
-        "rel_union_dedup": q_rel_union_dedup,
+        # round 5 (cont.): rel_union_dedup (U1 unionByName+distinct —
+        # exercised inside kg_triples_all and near_dedup_corpus) cedes
+        # its slot to typed relation extraction, the kg_construct-core
+        # operator; the union row stays green in the extra registry
+        "relation_extract": q_relation_extract,
         "rel_grouped_collect": q_rel_grouped_collect,
         "rel_merge_upsert": q_rel_merge_upsert,
         "rel_metadata_extract": q_rel_metadata_extract,
@@ -1886,14 +2058,7 @@ def oracle_sql() -> dict[str, str]:
             "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
             "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        "rel_top_orders": (
-            "SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name, "
-            "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
-            "(1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
-            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-            "JOIN customer c ON o.o_custkey = c.c_custkey "
-            "GROUP BY o.o_orderkey, c.c_name ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
-        ),
+        "kg_closure": _CLOSURE_SQL,
         "rel_facet_counts": (
             "SELECT UPPER(event_type) AS facet, COUNT(*) AS n FROM events "
             "WHERE value > 100 GROUP BY UPPER(event_type)"
@@ -1904,10 +2069,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk FROM events) "
             "WHERE rk <= 3"
         ),
-        "rel_union_dedup": (
-            "SELECT c_nationkey AS nationkey FROM customer "
-            "UNION SELECT s_nationkey FROM supplier"
-        ),
+        "relation_extract": _relation_sql(),
         "rel_grouped_collect": (
             "SELECT user_id, COUNT(*) AS n_events, "
             "string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types "
@@ -2246,6 +2408,22 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index materialization (search.build_inverted_index):
+    token → per-shard (df, cf, id-ordered postings fingerprint) through
+    the shared std_with_stopwords analyzer, shards = id % 4 (the
+    hot-token skew split), min_df=2 pruning on the ACROSS-shard df.
+    Oracle: the same tokenize → tf → shard → string_agg postings chain
+    in SQL."""
+    from dug_spark.operators import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = search.build_inverted_index(
+        docs, text_col="text", id_col="doc_id", num_shards=4, min_df=2
+    )
+    return out.select("token", "shard", "df", "cf", "postings_fp")
+
+
 def q_quality_nb(spark, sf_dir):
     """Model-based quality classification (operators/classify.py):
     multinomial Naive Bayes trained on the corpus's own weak labels
@@ -2419,6 +2597,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangles": q_web_triangles,
         "web_hits": q_web_hits,
         "warc_extract": q_warc_extract,
+        "inverted_index": q_inverted_index,
+        # round 5 (cont.): retired driver slots (→ kg_closure,
+        # relation_extract); both stay fully oracled here
+        "rel_top_orders": q_rel_top_orders,
+        "rel_union_dedup": q_rel_union_dedup,
         "quality_nb": q_quality_nb,
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
@@ -2542,6 +2725,31 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "web_triangles": tri_sql,
         "web_hits": _hits_iters(web_edges, iters=5),
+        "inverted_index": (
+            "WITH tok AS (SELECT doc_id AS id, "
+            f"unnest({_ANALYZE_TEXT_SQL}) AS token FROM documents), "
+            "tf AS (SELECT id, token, COUNT(*) AS tf FROM tok GROUP BY id, token), "
+            "p AS (SELECT token, CAST(id % 4 AS INT) AS shard, COUNT(*) AS df, "
+            "CAST(SUM(tf) AS BIGINT) AS cf, "
+            "md5(string_agg(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), "
+            "',' ORDER BY id)) AS postings_fp "
+            "FROM tf GROUP BY token, CAST(id % 4 AS INT)), "
+            "tot AS (SELECT token, SUM(df) AS tdf FROM p GROUP BY token) "
+            "SELECT p.token, p.shard, p.df, p.cf, p.postings_fp "
+            "FROM p JOIN tot USING (token) WHERE tot.tdf >= 2"
+        ),
+        "rel_top_orders": (
+            "SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name, "
+            "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+            "(1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_orderkey, c.c_name ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "rel_union_dedup": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "UNION SELECT s_nationkey FROM supplier"
+        ),
         "warc_extract": (
             "SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) "
             "|| '.example.org/w/' || CAST(doc_id AS VARCHAR) AS url, "

@@ -288,3 +288,83 @@ def hits(
         hn = _norm(scores, "hub")
         scores = scores.withColumn("hub", F.col("hub") / hn)
     return scores.select("node", "hub", "authority")
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Reachability closure with minimum hop distance over a DAG edge
+    list: (src, dst, depth) for every pair where dst is reachable from
+    src, depth = fewest hops.  The ontology operation KG construction
+    needs one step past the reference's fixed 2-hop concept inheritance
+    (/root/reference/src/dug/core/crawler.py expands exactly one
+    ancestor level; ``concepts.inherit_parent_concepts`` mirrors that) —
+    the full ancestor set per concept is this closure over the
+    subclass_of edge table.
+
+    Semi-naive evaluation (the datalog textbook strategy): the frontier
+    holds only pairs first discovered in the previous round, each round
+    extends the frontier by one edge hop and anti-joins the accumulated
+    closure so re-derived pairs die immediately — without that, a dense
+    DAG re-derives every short path through every long one and the join
+    blows up combinatorially.  Because expansion is breadth-layered,
+    first discovery IS minimum depth; no per-pair min aggregate needed
+    beyond the within-round dedup.
+
+    Scale shape: rounds = graph depth (ontologies: ~15; subsumption
+    hierarchies are shallow by design), each round ONE frontier⋈edges
+    shuffle join keyed on the frontier's dst + one anti-join against the
+    closure-so-far.  Closure and frontier localCheckpoint each round
+    (lineage cut; the anti-join and the union share one
+    materialization).  Edges are dimension-sized for ontologies —
+    broadcast; the FRONTIER side is what grows, and it only shuffles
+    itself.  Deterministic exactly (integer depths, set semantics).
+
+    Cyclic inputs are legal and converge too (the pair set is finite;
+    a cycle just adds self-pairs like (a, a) at its cycle length) —
+    rounds = longest shortest-path, so ``max_iterations`` is a cost
+    guard for unexpectedly deep graphs, raising instead of silently
+    truncating the ancestor sets."""
+    from functools import reduce
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    be = F.broadcast(e)
+    # the closure accumulates as a LIST of per-round checkpointed layers,
+    # unioned lazily — each layer is a materialized LogicalRDD, so the
+    # union is shallow (plan depth = rounds, no recomputation), and we
+    # never localCheckpoint a Union plan (Spark 4's constraint rewrite
+    # chokes on checkpointing unions of checkpointed frames:
+    # NoSuchElementException in LogicalRDD.rewriteStatsAndConstraints)
+    parts = [e.withColumn("depth", F.lit(1))]
+    frontier = parts[0]
+    for _ in range(max_iterations):
+        closure = reduce(lambda a, b: a.unionByName(b), parts)
+        grown = (
+            frontier.alias("f")
+            .join(be.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+        fresh = grown.join(closure, ["src", "dst"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            return closure
+        parts.append(fresh)
+        frontier = fresh
+    raise ValueError(
+        f"transitive_closure: not converged after {max_iterations} rounds — "
+        "cyclic input or raise max_iterations"
+    )

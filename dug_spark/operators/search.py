@@ -1103,3 +1103,74 @@ def search_vars_unscored(
     if concept:
         out = out.where(F.array_contains("identifiers", concept))
     return out.drop("_score").orderBy("element_id")
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 1,
+    min_df: int = 1,
+) -> DataFrame:
+    """Materialize the inverted index as a TABLE: one row per (token,
+    shard) with df, cf and the id-ordered posting list — the Spark-native
+    counterpart of the reference's index creation (it delegates the
+    postings to Elasticsearch, search.py:index_doc; here the index IS a
+    DataFrame you can write to parquet/Iceberg and join against).
+    Tokenization is the shared ``std_with_stopwords`` analyzer, so the
+    postings agree with every BM25 scorer in this module.
+
+    Scale shape: one (id, token)-keyed tf aggregation + one token-keyed
+    postings aggregation, both with map-side partial combine.  The
+    posting LIST is the skew hazard — a token appearing in 10^10
+    documents is one row — so ``num_shards`` splits each token's
+    postings by ``id % num_shards`` (numeric ids; hash upstream for
+    string ids): per-shard lists stay bounded and a term lookup reads
+    all shards of one token, which is exactly how Lucene segments
+    partition the same structure.  ``min_df`` drops hapax noise at the
+    source (df filter BEFORE the list materializes, pushed into the
+    aggregate via HAVING semantics)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(analyzer.analyze_col(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    shard = (
+        F.pmod(F.col("id"), F.lit(num_shards)).cast("int")
+        if num_shards > 1
+        else F.lit(0)
+    )
+    postings = (
+        tf.withColumn("shard", shard)
+        .groupBy("token", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_sort(F.collect_list(F.struct("id", "tf"))).alias("plist"),
+        )
+    )
+    if min_df > 1:
+        # per-token df across shards, not per-shard (a sharded hot token
+        # must not flap around the threshold shard by shard)
+        tot = postings.groupBy("token").agg(F.sum("df").alias("_tdf"))
+        postings = postings.join(
+            F.broadcast(tot.where(F.col("_tdf") >= min_df)), "token"
+        ).drop("_tdf")
+    return postings.select(
+        "token",
+        "shard",
+        "df",
+        "cf",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "plist",
+                    lambda s: F.concat_ws(
+                        ":", s["id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("postings_fp"),
+        F.col("plist").alias("postings"),
+    )

@@ -177,3 +177,49 @@ def stream_curate(corpus_stream: DataFrame, text_col: str = "text") -> DataFrame
         .withColumn("curated_text", F.when(keep, F.col("redacted_text")))
         .drop("clean_text", "redacted_text")
     )
+
+
+def stream_warc_to_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    path_glob: str = "*.warc*",
+) -> None:
+    """Drain newly-landed WARC segments into the corpus table and stop
+    (Trigger.AvailableNow) — the ingest front of the crawl: segments
+    arrive continuously from the fetcher, each is parsed ONCE
+    (exactly-once via the stream checkpoint; a crashed run re-reads only
+    unacknowledged files), corpus rows append as parquet the batch
+    pipeline (or stream_corpus_to_triples) consumes next.
+
+    Source is the streaming ``binaryFile`` format — the same one-file-
+    one-task shape as the batch reader (sources/warc_parser.read_warc);
+    ``maxFilesPerTrigger`` bounds micro-batch memory since one ~1 GiB
+    segment is the unit of work.  Parsing + text extraction run inside
+    the stream plan (mapInPandas + Project), no foreachBatch needed —
+    the whole job is map-only."""
+    from ..sources.warc_parser import parse_warc_column, warc_to_corpus
+
+    # binaryFile's schema is fixed by the format, but streaming sources
+    # require it stated explicitly
+    binary_file_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", path_glob)
+        .option("maxFilesPerTrigger", 8)
+        .load(input_dir)
+        .select("content")
+    )
+    corpus = warc_to_corpus(parse_warc_column(files))
+    q = (
+        corpus.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -191,16 +191,157 @@ def run_span_dedup(spark, replicate):
     }
 
 
+def run_closure(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import graph
+
+    # 1.6M-node subsumption DAG, the oracle's shape at 3200×: binary-tree
+    # parent i//2 everywhere + a second parent i//3 on every 5th node
+    # (multi-path min-depth at scale); depth ≈ log2(1.6M) ≈ 21 rounds
+    n = 1_600_000
+    ids = spark.range(1, n).select(F.col("id").alias("i")).repartition(64)
+    e = ids.select(
+        F.col("i").cast("string").alias("src"),
+        F.explode(
+            F.array(
+                F.floor(F.col("i") / 2).cast("string"),
+                F.when(
+                    (F.col("i") % 5 == 0) & (F.col("i") >= 2),
+                    F.floor(F.col("i") / 3).cast("string"),
+                ),
+            )
+        ).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    n_edges = e.count()
+    t0 = time.monotonic()
+    tc = graph.transitive_closure(e, max_iterations=40)
+    stats = tc.agg(
+        F.count(F.lit(1)).alias("pairs"), F.max("depth").alias("max_depth")
+    ).collect()[0]
+    secs = time.monotonic() - t0
+    return {
+        "op": "transitive_closure",
+        "nodes": n,
+        "n_edges_in": n_edges,
+        "secs": round(secs, 1),
+        "closure_pairs": int(stats["pairs"]),
+        "max_depth": int(stats["max_depth"]),
+        "pairs_per_sec": round(int(stats["pairs"]) / secs),
+    }
+
+
+def run_hits(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import graph
+
+    # same 200k-host hub-skewed graph as run_triangles, directed as built
+    n_hosts = 200_000
+    base = spark.range(n_hosts).select(F.col("id").alias("i")).repartition(64)
+    e = base.select(
+        F.col("i").cast("string").alias("src"),
+        F.explode(
+            F.array(
+                ((F.col("i") + 1) % n_hosts).cast("string"),
+                ((F.col("i") + 2) % n_hosts).cast("string"),
+                ((F.col("i") * 17 + 5) % n_hosts).cast("string"),
+                F.when(F.col("i") % 2 == 0, F.lit("0")),
+            )
+        ).alias("dst"),
+    ).where(F.col("dst").isNotNull()).localCheckpoint()
+    n_edges = e.count()
+    t0 = time.monotonic()
+    out = graph.hits(e, iterations=10, broadcast_scores=False)
+    top = out.orderBy(F.desc("authority")).limit(1).collect()[0]
+    secs = time.monotonic() - t0
+    return {
+        "op": "hits",
+        "n_edges_in": n_edges,
+        "iterations": 10,
+        "secs": round(secs, 1),
+        "secs_per_iter": round(secs / 10, 2),
+        "top_authority_node": top["node"],
+        "top_authority": round(top["authority"], 4),
+    }
+
+
+def run_relations(spark, replicate):
+    from pyspark.sql import functions as F
+
+    from dug_spark import fixtures
+    from dug_spark.operators import relations
+
+    did = F.col("doc_id")
+    terms = F.array(*[F.lit(t) for t in ("window", "filter", "scan", "stream")])
+    docs = _docs(spark, replicate).select(
+        "doc_id",
+        F.concat(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(" . "),
+            F.element_at(terms, (did % 4 + 1).cast("int")),
+            F.when(did % 2 == 0, F.lit(" causes ")).otherwise(F.lit(" treats ")),
+            F.element_at(terms, ((did + 1) % 4 + 1).cast("int")),
+            F.lit(" ."),
+        ).alias("text"),
+    ).localCheckpoint()
+    n = docs.count()
+    t0 = time.monotonic()
+    rel = relations.extract_relations(
+        docs, fixtures.vocab_dictionary(spark), text_col="text", id_col="doc_id"
+    )
+    n_rel = rel.count()
+    secs = time.monotonic() - t0
+    return {
+        "op": "extract_relations",
+        "docs": n,
+        "secs": round(secs, 1),
+        "docs_per_sec": round(n / secs),
+        "relations": n_rel,
+    }
+
+
+def run_inverted_index(spark, replicate):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import search
+
+    docs = _docs(spark, replicate).localCheckpoint()
+    n = docs.count()
+    t0 = time.monotonic()
+    idx = search.build_inverted_index(
+        docs, text_col="text", id_col="doc_id", num_shards=64, min_df=2
+    )
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.max("df").alias("max_shard_df"),
+        F.count_distinct("token").alias("tokens"),
+    ).collect()[0]
+    secs = time.monotonic() - t0
+    return {
+        "op": "build_inverted_index",
+        "docs": n,
+        "num_shards": 64,
+        "secs": round(secs, 1),
+        "docs_per_sec": round(n / secs),
+        "index_rows": int(stats["rows"]),
+        "distinct_tokens": int(stats["tokens"]),
+        "max_shard_postings": int(stats["max_shard_df"]),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=320)
     ap.add_argument(
         "--ops", default="all",
-        help="comma list: npmi,triangles,classifier,spans",
+        help="comma list: npmi,triangles,classifier,spans,closure,hits,"
+        "relations,invidx",
     )
     args = ap.parse_args()
     ops = args.ops.split(",") if args.ops != "all" else [
-        "npmi", "triangles", "classifier", "spans"
+        "npmi", "triangles", "classifier", "spans",
+        "closure", "hits", "relations", "invidx",
     ]
 
     from dug_spark.session import get_spark
@@ -214,6 +355,14 @@ def main():
         print(json.dumps(run_classifier(spark, args.replicate)), flush=True)
     if "spans" in ops:
         print(json.dumps(run_span_dedup(spark, args.replicate)), flush=True)
+    if "closure" in ops:
+        print(json.dumps(run_closure(spark)), flush=True)
+    if "hits" in ops:
+        print(json.dumps(run_hits(spark)), flush=True)
+    if "relations" in ops:
+        print(json.dumps(run_relations(spark, args.replicate)), flush=True)
+    if "invidx" in ops:
+        print(json.dumps(run_inverted_index(spark, args.replicate)), flush=True)
 
 
 if __name__ == "__main__":
