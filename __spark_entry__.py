@@ -2424,6 +2424,88 @@ def q_inverted_index(spark, sf_dir):
     return out.select("token", "shard", "df", "cf", "postings_fp")
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (textstats.canonical_url): fragment, case,
+    www., default ports, tracking params, param ORDER and trailing slash
+    all collapse — over six deterministic mess-variants per doc_id
+    (uppercase authority, :443/:80, utm/fbclid params, unsorted params,
+    non-default port that must SURVIVE).  Oracle: the same construction
+    + the same regex/list chain in DuckDB (no lookarounds in the shared
+    pattern class; DuckDB regexp_replace stays first-match — every
+    pattern is anchored so first IS all)."""
+    from dug_spark.operators import textstats as ts
+
+    did = F.col("doc_id")
+    k = (did % 20).cast("string")
+    url = (
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit("https://WWW.H"), k,
+                F.lit(".example.org:443/a/b/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            did % 6 == 1,
+            F.concat(F.lit("http://h"), k, F.lit(".example.org:80/a")),
+        )
+        .when(
+            did % 6 == 2,
+            F.concat(
+                F.lit("https://h"), k, F.lit(".example.org/a/?fbclid=zzz")
+            ),
+        )
+        .when(
+            did % 6 == 3,
+            F.concat(
+                F.lit("http://h"), k,
+                F.lit(".example.org/p?z=1&y=2&utm_campaign=c"),
+            ),
+        )
+        .when(
+            did % 6 == 4,
+            F.concat(F.lit("https://www.h"), k, F.lit(".example.org/")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://h"), k, F.lit(".example.org:8080/q?a=1"))
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", url.alias("url")
+    )
+    return ts.canonical_url(docs).select("doc_id", "url", "canon_url")
+
+
+_URL_CANON_SQL = (
+    "WITH s AS (SELECT doc_id, CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 0 THEN 'https://WWW.H' || k || '.example.org:443/a/b/?utm_source=x&b=2&a=1#frag' "
+    "WHEN 1 THEN 'http://h' || k || '.example.org:80/a' "
+    "WHEN 2 THEN 'https://h' || k || '.example.org/a/?fbclid=zzz' "
+    "WHEN 3 THEN 'http://h' || k || '.example.org/p?z=1&y=2&utm_campaign=c' "
+    "WHEN 4 THEN 'https://www.h' || k || '.example.org/' "
+    "ELSE 'http://h' || k || '.example.org:8080/q?a=1' END AS url "
+    "FROM (SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k FROM documents)), "
+    "u0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM s), "
+    "u1 AS (SELECT doc_id, url, "
+    "lower(regexp_extract(u, '^[^/]*//[^/]*')) "
+    "|| regexp_replace(u, '^[^/]*//[^/]*', '') AS u FROM u0), "
+    "u2 AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(u, "
+    "'^(https?)://www\\.', '\\1://'), "
+    "'^(http://[^/:?]+):80([/?]|$)', '\\1\\2'), "
+    "'^(https://[^/:?]+):443([/?]|$)', '\\1\\2') AS u FROM u1), "
+    "p AS (SELECT doc_id, url, "
+    "regexp_replace(regexp_extract(u, '^[^?]*'), '/$', '') AS base, "
+    "list_sort(list_filter(string_split(regexp_replace(u, '^[^?]*\\??', ''), '&'), "
+    "q -> q <> '' AND NOT regexp_matches(q, "
+    "'^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src)='))) AS prms "
+    "FROM u2) "
+    # DuckDB array_to_string([]) is NULL, not '' — coalesce before compare
+    "SELECT doc_id, url, "
+    "CASE WHEN COALESCE(array_to_string(prms, '&'), '') = '' THEN base "
+    "ELSE base || '?' || array_to_string(prms, '&') END AS canon_url FROM p"
+)
+
+
 def q_quality_nb(spark, sf_dir):
     """Model-based quality classification (operators/classify.py):
     multinomial Naive Bayes trained on the corpus's own weak labels
@@ -2598,6 +2680,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hits": q_web_hits,
         "warc_extract": q_warc_extract,
         "inverted_index": q_inverted_index,
+        "url_canon": q_url_canon,
         # round 5 (cont.): retired driver slots (→ kg_closure,
         # relation_extract); both stay fully oracled here
         "rel_top_orders": q_rel_top_orders,
@@ -2750,6 +2833,7 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT c_nationkey AS nationkey FROM customer "
             "UNION SELECT s_nationkey FROM supplier"
         ),
+        "url_canon": _URL_CANON_SQL,
         "warc_extract": (
             "SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) "
             "|| '.example.org/w/' || CAST(doc_id AS VARCHAR) AS url, "

@@ -839,3 +839,49 @@ def corpus_profile(
         F.round(F.percentile(ln, F.lit(0.5)), 6).alias("p50_chars"),
         F.round(F.percentile(ln, F.lit(0.95)), 6).alias("p95_chars"),
     )
+
+
+# tracking params stripped by canonical_url: the click-ID and campaign
+# names every crawler's canonicalizer drops (public convention)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src)="
+)
+
+
+def canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """RFC 3986-style URL canonicalization one step past url_features'
+    ``norm_url``: fragment dropped, scheme+authority lowercased, ``www.``
+    and default ports (:80 http / :443 https) stripped, TRACKING query
+    params removed (utm_*, click IDs), remaining params SORTED, trailing
+    path slash stripped.  Two URLs that differ only in these never count
+    as distinct pages — run before dedup_by_url (or any url_col groupBy)
+    to collapse re-crawl aliasing at the source.
+
+    Pure column expressions (regexp chains + split/filter/array_sort),
+    fully codegen, map-only — no UDF, no shuffle.  Pattern class is
+    shared Java/RE2 (no lookarounds: default-port strips capture the
+    following delimiter instead)."""
+    u = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    # lowercase ONLY scheme+authority (path/query stay case-significant)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^[^/]*//[^/]*", 0)),
+        F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(https?)://www\.", "$1://")
+    u = F.regexp_replace(u, r"^(http://[^/:?]+):80([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]+):443([/?]|$)", "$1$2")
+    base = F.regexp_replace(F.regexp_extract(u, r"^[^?]*", 0), r"/$", "")
+    qs = F.regexp_replace(u, r"^[^?]*\??", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    joined = F.concat_ws("&", params)
+    canon = F.when(joined == "", base).otherwise(
+        F.concat(base, F.lit("?"), joined)
+    )
+    return df.withColumn(out_col, canon)
