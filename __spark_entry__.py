@@ -323,6 +323,113 @@ _CLOSURE_SQL = (
     "FROM tc GROUP BY src, dst"
 )
 
+# the synthetic subsumption DAG shared by kg_closure / kg_communities /
+# kg_rollup: binary-tree parent i//2 for every doc_id ≥ 1 plus a second
+# parent i//3 on every 5th node (multiple inheritance)
+_ONTO_EDGE_SQL = (
+    "e AS MATERIALIZED ("
+    "SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS src, "
+    "'C' || lpad(CAST(doc_id // 2 AS VARCHAR), 8, '0') AS dst "
+    "FROM documents WHERE doc_id >= 1 "
+    "UNION "
+    "SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 8, '0'), "
+    "'C' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') "
+    "FROM documents WHERE doc_id >= 2 AND doc_id % 5 = 0)"
+)
+
+
+def _onto_edges(spark, sf_dir):
+    """Spark side of the same synthetic subsumption DAG (q_kg_closure's
+    derivation, shared)."""
+    did = F.col("doc_id")
+
+    def c(col):
+        return F.concat(F.lit("C"), F.lpad(col.cast("long").cast("string"), 8, "0"))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    tree = docs.where(did >= 1).select(
+        c(did).alias("src"), c(F.floor(did / 2)).alias("dst")
+    )
+    cross = docs.where((did >= 2) & (did % 5 == 0)).select(
+        c(did).alias("src"), c(F.floor(did / 3)).alias("dst")
+    )
+    return tree.unionByName(cross)
+
+
+def q_kg_communities(spark, sf_dir):
+    """Community detection by deterministic synchronous label propagation
+    (graph.label_propagation: min-label ties, fixed 4 rounds) over the
+    synthetic subsumption DAG shared with kg_closure — concept topic
+    clusters, the classic derivation one step past the reference's flat
+    KG assembly (crawler.py stops at edges).  Oracle: the rounds unrolled
+    into chained CTEs — symmetrize once, then per round a vote count and
+    a ROW_NUMBER argmax by (count desc, label asc)."""
+    from dug_spark.operators import graph
+
+    return graph.label_propagation(_onto_edges(spark, sf_dir), iterations=4)
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    sql = (
+        f"WITH {_ONTO_EDGE_SQL}, "
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src != dst "
+        "UNION SELECT dst, src FROM e WHERE src != dst), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"
+    )
+    for i in range(iters):
+        sql += (
+            f", c{i} AS (SELECT s.dst AS node, l.label, COUNT(*) AS c "
+            f"FROM sym s JOIN l{i} l ON s.src = l.node GROUP BY s.dst, l.label)"
+            f", l{i + 1} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+    return sql + f" SELECT node, label FROM l{iters}"
+
+
+def q_kg_rollup(spark, sf_dir):
+    """Hierarchical count rollup (graph.taxonomy_rollup: semi-naive
+    closure + ONE ancestor-keyed aggregation) over the shared subsumption
+    DAG, with per-concept direct counts 1 + doc_id % 3 — the ontology
+    subtree statistics (own / n_desc / subtree mass) a KG pipeline
+    reports per branch; diamonds (the i//3 cross edges) must count each
+    descendant ONCE.  Oracle: recursive closure + LEFT-join aggregation."""
+    from dug_spark.operators import graph
+
+    did = F.col("doc_id")
+    counts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .select(
+            F.concat(
+                F.lit("C"), F.lpad(did.cast("string"), 8, "0")
+            ).alias("node"),
+            (F.lit(1) + did % 3).alias("n"),
+        )
+    )
+    return graph.taxonomy_rollup(_onto_edges(spark, sf_dir), counts)
+
+
+_ROLLUP_SQL = (
+    f"WITH RECURSIVE {_ONTO_EDGE_SQL}, "
+    "tc AS (SELECT src, dst FROM e "
+    "UNION SELECT tc.src, e2.dst FROM tc JOIN e e2 ON tc.dst = e2.src), "
+    "cnt AS (SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node, "
+    "CAST(1 + doc_id % 3 AS BIGINT) AS dn FROM documents), "
+    "da AS (SELECT tc.dst AS node, COUNT(*) AS n_desc, "
+    "CAST(SUM(COALESCE(c.dn, 0)) AS BIGINT) AS dt "
+    "FROM tc LEFT JOIN cnt c ON c.node = tc.src GROUP BY tc.dst), "
+    # dedup inside a subquery: a UNION-bodied CTE under WITH RECURSIVE
+    # scope skips the distinct in DuckDB (observed: 2x rows)
+    "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM tc "
+    "UNION ALL SELECT dst FROM tc UNION ALL SELECT node FROM cnt) z) "
+    "SELECT n.node, CAST(COALESCE(c.dn, 0) AS BIGINT) AS own, "
+    "CAST(COALESCE(d.n_desc, 0) AS BIGINT) AS n_desc, "
+    "CAST(COALESCE(c.dn, 0) + COALESCE(d.dt, 0) AS BIGINT) AS subtree "
+    "FROM nodes n LEFT JOIN cnt c ON c.node = n.node "
+    "LEFT JOIN da d ON d.node = n.node"
+)
+
 # injected relation-sentence vocabulary: single-word dictionary surfaces
 _REL_TERMS = ("window", "filter", "scan", "stream")
 
@@ -2693,6 +2800,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "host_anchors": q_host_anchors,
         "corpus_profile": q_corpus_profile,
+        # round 5 (cont.): community detection + subtree rollup over the
+        # shared synthetic subsumption DAG
+        "kg_communities": q_kg_communities,
+        "kg_rollup": q_kg_rollup,
     }
 
 
@@ -2899,6 +3010,8 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "
             "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
         ),
+        "kg_communities": _lpa_sql(iters=4),
+        "kg_rollup": _ROLLUP_SQL,
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "
             "SELECT DISTINCT e.subject AS subj, 'biolink:subclass_of' AS pred, e.object AS obj "

@@ -368,3 +368,152 @@ def transitive_closure(
         f"transitive_closure: not converged after {max_iterations} rounds — "
         "cyclic input or raise max_iterations"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks"), deterministic variant: every
+    node starts labeled with its own id; each round every node adopts the
+    label held by the LARGEST number of its neighbors, ties broken by the
+    lexicographically smallest label.  Returns ``(node, label)`` — nodes
+    sharing a label after the final round are one community.
+
+    The reference's KG assembly (crawler.py) emits flat concept/co-mention
+    edges and stops; community structure over that graph (concept topic
+    clusters, web-host link farms) is the classic next derivation, and LPA
+    is the one community algorithm whose per-round cost is a single
+    edge-sized join — no modularity matrix, no global state.
+
+    Determinism: the textbook algorithm breaks ties randomly and updates
+    asynchronously; both are replaced here (min-label ties, synchronous
+    rounds, FIXED iteration count) so two engines — and two cluster sizes —
+    produce byte-identical output.  Synchronous LPA can oscillate between
+    two labelings on bipartite-ish structures rather than converge; a fixed
+    round budget makes that a defined, reproducible output instead of a
+    nondeterministic stopping problem.
+
+    Scale shape: edges are symmetrized once up front (one distinct,
+    checkpointed, reused every round).  Per round: ONE edges⋈labels join
+    keyed on src — with ``broadcast_labels`` (right for dictionary-bounded
+    concept graphs and host graphs) the edge side never shuffles — then one
+    (node,label)-keyed count with map-side partial aggregation absorbing
+    hot-community skew, then one node-keyed argmax.  Labels are node-sized
+    and localCheckpoint each round (lineage cut, same as pagerank's rank
+    table).  Past ~10^6 nodes pass ``broadcast_labels=False`` and
+    pre-partition the symmetrized edges by src (the pagerank crossover
+    guidance, module docstring, applies unchanged)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every node appears as src after symmetrization, so this is the full
+    # node set and no per-round left-join backfill is needed
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        labels = labels.localCheckpoint(eager=True)
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        votes = (
+            sym.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc) as ONE aggregate — min of the
+        # (-count, label) struct — instead of a window sort over all votes
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.lb").alias("label"))
+        )
+    return labels
+
+
+def taxonomy_rollup(
+    edges: DataFrame,
+    counts: DataFrame,
+    node_col: str = "node",
+    count_col: str = "n",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Hierarchical count rollup over a subsumption DAG: given
+    child→parent ``edges`` and per-node direct ``counts`` (e.g. mention
+    document frequency per concept), returns one row per node with
+
+        own      — the node's direct count (0 if absent from ``counts``)
+        n_desc   — number of distinct descendants (any depth)
+        subtree  — own + Σ descendant owns: the count "how many documents
+                   mention this concept OR ANY subconcept"
+
+    This is the aggregation the reference's one-level concept inheritance
+    gestures at (crawler.py expands exactly one ancestor level;
+    concepts.inherit_parent_concepts mirrors it) run to fixpoint and
+    aggregated — ontology-level statistics (UMLS/MONDO subtree sizes,
+    per-branch corpus coverage) that any KG-construction pipeline reports.
+
+    Scale shape: the closure is computed by ``transitive_closure``
+    (semi-naive, rounds = DAG depth, ontology edges broadcast); its output
+    is |nodes|·avg-ancestors rows — closure-sized, NOT corpus-sized (the
+    corpus collapses to per-concept counts before entering).  Then ONE
+    ancestor-keyed aggregation with a LEFT join of the dimension-sized
+    counts broadcast onto the closure, and one node-keyed outer stitch.
+    Multiple inheritance is handled exactly: the closure holds each
+    (descendant, ancestor) pair ONCE regardless of how many paths connect
+    them, so a diamond never double-counts.  Deterministic exactly
+    (integer arithmetic, set semantics)."""
+    closure = transitive_closure(edges, src_col=src_col, dst_col=dst_col,
+                                 max_iterations=max_iterations)
+    c = counts.select(
+        F.col(node_col).alias("d"), F.col(count_col).cast("long").alias("dn")
+    )
+    desc = (
+        closure.select(F.col(dst_col).alias("node"), F.col(src_col).alias("d"))
+        .join(F.broadcast(c), "d", "left")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.sum(F.coalesce("dn", F.lit(0))).alias("desc_total"),
+        )
+    )
+    nodes = (
+        closure.select(F.col(src_col).alias("node"))
+        .unionByName(closure.select(F.col(dst_col).alias("node")))
+        .unionByName(c.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(c.withColumnsRenamed({"d": "node", "dn": "own"}), "node", "left")
+        .join(desc, "node", "left")
+        .select(
+            "node",
+            F.coalesce("own", F.lit(0)).alias("own"),
+            F.coalesce("n_desc", F.lit(0)).alias("n_desc"),
+            (
+                F.coalesce("own", F.lit(0)) + F.coalesce("desc_total", F.lit(0))
+            ).alias("subtree"),
+        )
+    )
