@@ -211,6 +211,18 @@ def q_kg_npmi(spark, sf_dir):
     )
 
 
+def q_kg_concept_similarity(spark, sf_dir):
+    """Set-overlap similarity edges (triples.co_mention_similarity:
+    cosine/Jaccard/Dice over concept document-incidence) — rides the SAME
+    `_pair_counts` derivation as kg_npmi, weighting neighborhood overlap
+    instead of association strength.  Oracle: the counts re-derived in
+    SQL; cosine rounds to 5 (cross-engine libm sqrt), jaccard/dice are
+    exact rationals rounded identically."""
+    return triples_op.co_mention_similarity(_nmentions(spark, sf_dir)).select(
+        "src", "dst", "n_co", "cosine", "jaccard", "dice"
+    )
+
+
 def q_kg_pagerank(spark, sf_dir):
     """PageRank over the DIRECTED co-mention concept graph (edges point
     lexicographically smaller→larger curie, the pair orientation
@@ -2804,6 +2816,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shared synthetic subsumption DAG
         "kg_communities": q_kg_communities,
         "kg_rollup": q_kg_rollup,
+        "kg_concept_similarity": q_kg_concept_similarity,
     }
 
 
@@ -3012,6 +3025,21 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "kg_communities": _lpa_sql(iters=4),
         "kg_rollup": _ROLLUP_SQL,
+        "kg_concept_similarity": (
+            f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+            "pd AS (SELECT url, COUNT(*) AS sz FROM dm GROUP BY url), "
+            "docs AS (SELECT url FROM pd WHERE sz BETWEEN 1 AND 64), "
+            "marg AS (SELECT curie, COUNT(*) AS c FROM dm JOIN docs USING (url) GROUP BY curie), "
+            "co AS (SELECT a.curie AS src, b.curie AS dst, COUNT(*) AS n_co "
+            "  FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie "
+            "  JOIN docs ON docs.url = a.url GROUP BY 1, 2) "
+            "SELECT src, dst, n_co, "
+            "ROUND(CAST(n_co AS DOUBLE) / sqrt(ma.c * mb.c), 5) AS cosine, "
+            "ROUND(CAST(n_co AS DOUBLE) / (ma.c + mb.c - n_co), 5) AS jaccard, "
+            "ROUND(2.0 * n_co / (ma.c + mb.c), 5) AS dice "
+            "FROM co JOIN marg ma ON ma.curie = co.src "
+            "JOIN marg mb ON mb.curie = co.dst"
+        ),
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "
             "SELECT DISTINCT e.subject AS subj, 'biolink:subclass_of' AS pred, e.object AS obj "

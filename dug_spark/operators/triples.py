@@ -147,6 +147,81 @@ def build_triples(
     return out.unionByName(_co_mention_from_sets(per_doc, max_concepts_per_doc))
 
 
+def _pair_counts(
+    mentions: DataFrame, max_concepts_per_doc: int, min_pair_count: int = 1
+) -> tuple[DataFrame, int]:
+    """Shared derivation for the weighted co-mention edge families
+    (`co_mention_npmi`, `co_mention_similarity`): per-document concept
+    sets → pair counts (ONE shuffle on the unique doc key, quadratic
+    fan-out bounded by ``max_concepts_per_doc``) + broadcast node
+    marginals joined on both endpoints.  Returns the joined frame with
+    columns (a, b, n_co, c_a, c_b) and the scalar document count N."""
+    per_doc = doc_concept_sets(mentions).where(
+        F.size("cs").between(1, max_concepts_per_doc)
+    )
+    per_doc = per_doc.localCheckpoint(eager=True)
+    n_docs = per_doc.count()  # scalar: one-row aggregate, folded to a literal
+    marginals = (
+        per_doc.select(F.explode("cs").alias("curie"))
+        .groupBy("curie")
+        .agg(F.count("*").alias("c_node"))
+    )
+    width = per_doc.sparkSession.sparkContext.defaultParallelism * 2
+    exploded = per_doc.where(F.size("cs") >= 2).repartition(width, "element_id")
+    first = exploded.select(F.posexplode("cs").alias("i", "a"), F.col("cs"))
+    pairs = first.select(
+        "a", F.explode(F.slice("cs", F.col("i") + 2, F.size("cs"))).alias("b")
+    )
+    co = pairs.groupBy("a", "b").agg(F.count("*").alias("n_co"))
+    if min_pair_count > 1:
+        co = co.where(F.col("n_co") >= min_pair_count)
+    ma = F.broadcast(marginals)
+    joined = (
+        co.join(ma.withColumnsRenamed({"curie": "a", "c_node": "c_a"}), "a")
+        .join(ma.withColumnsRenamed({"curie": "b", "c_node": "c_b"}), "b")
+    )
+    return joined, n_docs
+
+
+def co_mention_similarity(
+    mentions: DataFrame,
+    max_concepts_per_doc: int = 64,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Set-overlap similarity edges over concept document-incidence:
+    ``(src, dst, n_co, cosine, jaccard, dice)`` with ``src < dst`` — the
+    distributional-similarity complement of `co_mention_npmi` (which
+    measures association strength; these measure NEIGHBORHOOD overlap of
+    the binary doc-incidence vectors):
+
+        cosine  = c_xy / √(c_x·c_y)        (Salton, binary vectors)
+        jaccard = c_xy / (c_x + c_y − c_xy)
+        dice    = 2·c_xy / (c_x + c_y)
+
+    Downstream of KG construction these weights drive concept clustering
+    and "related concept" expansion (the reference's search-side concept
+    expansion, async_search.py, is a flat synonym list; this is the
+    corpus-statistical upgrade).
+
+    Scale shape: identical to co_mention_npmi — the shared `_pair_counts`
+    derivation (ONE doc-keyed shuffle + ONE pair-keyed aggregation, node
+    marginals broadcast); the similarity arithmetic is map-only on the
+    pair table.  cosine rounds to 5 (cross-engine libm sqrt); jaccard and
+    dice are exact rationals rounded identically on both engines."""
+    joined, _n = _pair_counts(mentions, max_concepts_per_doc, min_pair_count)
+    nco = F.col("n_co").cast("double")
+    return joined.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        "n_co",
+        F.round(nco / F.sqrt(F.col("c_a") * F.col("c_b")), 5).alias("cosine"),
+        F.round(nco / (F.col("c_a") + F.col("c_b") - F.col("n_co")), 5).alias(
+            "jaccard"
+        ),
+        F.round(F.lit(2.0) * nco / (F.col("c_a") + F.col("c_b")), 5).alias("dice"),
+    )
+
+
 def co_mention_npmi(
     mentions: DataFrame,
     max_concepts_per_doc: int = 64,
@@ -179,30 +254,7 @@ def co_mention_npmi(
     npmi(x,x) is undefined and self-pairs never emit (src < dst strictly);
     pairs present in every document (c_xy = N) hit the ln(N/c_xy) = 0 pole
     and emit npmi = 1.0 exactly."""
-    per_doc = doc_concept_sets(mentions).where(
-        F.size("cs").between(1, max_concepts_per_doc)
-    )
-    per_doc = per_doc.localCheckpoint(eager=True)
-    n_docs = per_doc.count()  # scalar: one-row aggregate, folded to a literal
-    marginals = (
-        per_doc.select(F.explode("cs").alias("curie"))
-        .groupBy("curie")
-        .agg(F.count("*").alias("c_node"))
-    )
-    width = per_doc.sparkSession.sparkContext.defaultParallelism * 2
-    exploded = per_doc.where(F.size("cs") >= 2).repartition(width, "element_id")
-    first = exploded.select(F.posexplode("cs").alias("i", "a"), F.col("cs"))
-    pairs = first.select(
-        "a", F.explode(F.slice("cs", F.col("i") + 2, F.size("cs"))).alias("b")
-    )
-    co = pairs.groupBy("a", "b").agg(F.count("*").alias("n_co"))
-    if min_pair_count > 1:
-        co = co.where(F.col("n_co") >= min_pair_count)
-    ma = F.broadcast(marginals)
-    joined = (
-        co.join(ma.withColumnsRenamed({"curie": "a", "c_node": "c_a"}), "a")
-        .join(ma.withColumnsRenamed({"curie": "b", "c_node": "c_b"}), "b")
-    )
+    joined, n_docs = _pair_counts(mentions, max_concepts_per_doc, min_pair_count)
     n = F.lit(float(n_docs))
     pmi = F.log(F.col("n_co").cast("double") * n / (F.col("c_a") * F.col("c_b")))
     denom = F.log(n / F.col("n_co").cast("double"))

@@ -123,3 +123,47 @@ def test_concept_optional_terms(spark):
     # A4: node names ∪ synonyms, sorted set
     assert "Myocardial infarction" in row["optional_terms"]
     assert row["optional_terms"] == sorted(set(row["optional_terms"]))
+
+
+def test_co_mention_similarity_hand_checked(spark):
+    # 4 docs: A+B together twice, A alone once, B+C once
+    m = spark.createDataFrame(
+        [
+            ("d1", "A"), ("d1", "B"),
+            ("d2", "A"), ("d2", "B"),
+            ("d3", "A"),
+            ("d4", "B"), ("d4", "C"),
+        ],
+        "element_id string, curie string",
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_co"], r["cosine"], r["jaccard"], r["dice"])
+        for r in triples.co_mention_similarity(m).collect()
+    }
+    # c_A=3, c_B=3, c_C=1; AB co=2, BC co=1
+    import math
+
+    assert got[("A", "B")] == (
+        2,
+        round(2 / math.sqrt(9), 5),
+        round(2 / 4, 5),
+        round(4 / 6, 5),
+    )
+    assert got[("B", "C")] == (
+        1,
+        round(1 / math.sqrt(3), 5),
+        round(1 / 3, 5),
+        round(2 / 4, 5),
+    )
+    assert ("A", "C") not in got  # never co-mentioned
+
+
+def test_co_mention_similarity_always_together_is_one(spark):
+    m = spark.createDataFrame(
+        [("d1", "X"), ("d1", "Y"), ("d2", "X"), ("d2", "Y")],
+        "element_id string, curie string",
+    )
+    rows = triples.co_mention_similarity(m).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cosine"], r["jaccard"], r["dice"]) == (1.0, 1.0, 1.0)
