@@ -211,6 +211,70 @@ def q_kg_npmi(spark, sf_dir):
     )
 
 
+def q_kg_disambiguate(spark, sf_dir):
+    """Entity disambiguation by type coherence
+    (link.disambiguate_mentions) over the vocab dictionary AUGMENTED with
+    ambiguous senses (fixtures.AMBIG_EXTRA: "window" → OP:0003 operator /
+    SYS:0002 system, "stream" → OP:0006 / MEDIA:0001): unambiguous
+    mentions anchor each document, candidates rank by same-type anchor
+    count, then dictionary prior, then CURIE.  One verdict row per
+    candidate; exactly one chosen per span.  Oracle: the span stats,
+    anchor type counts and winner window re-derived in SQL."""
+    from dug_spark.operators import link
+
+    corpus = _corpus(spark, sf_dir).where(F.col("lang") == "en")
+    adict = fixtures.ambig_dictionary(spark)
+    mentions = annotate.annotate_mentions(corpus, adict, preprocess=False)
+    types = adict.select(
+        "curie", F.element_at("types", 1).alias("ctype")
+    ).distinct()
+    out = link.disambiguate_mentions(mentions, types, doc_col="url")
+    return out.select(
+        "url", "search_text", "curie", "score",
+        F.col("n_cands").cast("long").alias("n_cands"),
+        "coherence", "chosen",
+    )
+
+
+_AMBIG_DICT_SQL = (
+    "adict(term, curie, score, typ) AS (VALUES "
+    + _vals(
+        [
+            (t, c, s, ty[0])
+            for (t, c, _l, ty, s) in fixtures.VOCAB_DICTIONARY
+            + fixtures.AMBIG_EXTRA
+        ]
+    )
+    + ")"
+)
+
+_DISAMBIG_SQL = (
+    f"WITH {_SQL_CORPUS}, {_AMBIG_DICT_SQL}, "
+    "am AS (SELECT c.url AS url, d.term AS surface, d.curie AS curie, "
+    "  d.score AS score, d.typ AS typ FROM corpus c JOIN adict d "
+    "  ON (' ' || c.text || ' ') LIKE ('% ' || d.term || ' %') "
+    "  WHERE c.lang = 'en'), "
+    "spans AS (SELECT url, surface, COUNT(DISTINCT curie) AS n_cands "
+    "  FROM am GROUP BY url, surface), "
+    "anchors AS (SELECT DISTINCT m.url, m.curie, m.typ FROM am m "
+    "  JOIN spans s ON s.url = m.url AND s.surface = m.surface "
+    "  WHERE s.n_cands = 1), "
+    "tcount AS (SELECT url, typ, COUNT(DISTINCT curie) AS nt "
+    "  FROM anchors GROUP BY url, typ), "
+    "amem AS (SELECT DISTINCT url, curie FROM anchors), "
+    "scored AS (SELECT m.url, m.surface, m.curie, m.score, s.n_cands, "
+    "  COALESCE(t.nt, 0) - CASE WHEN a.curie IS NOT NULL THEN 1 ELSE 0 END "
+    "    AS coherence "
+    "  FROM am m JOIN spans s ON s.url = m.url AND s.surface = m.surface "
+    "  LEFT JOIN tcount t ON t.url = m.url AND t.typ = m.typ "
+    "  LEFT JOIN amem a ON a.url = m.url AND a.curie = m.curie) "
+    "SELECT url, surface AS search_text, curie, score, n_cands, coherence, "
+    "(ROW_NUMBER() OVER (PARTITION BY url, surface "
+    "ORDER BY coherence DESC, score DESC, curie ASC) = 1) AS chosen "
+    "FROM scored"
+)
+
+
 def q_kg_concept_similarity(spark, sf_dir):
     """Set-overlap similarity edges (triples.co_mention_similarity:
     cosine/Jaccard/Dice over concept document-incidence) — rides the SAME
@@ -1911,7 +1975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_var_grouped_facets": q_var_grouped_facets,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_facet_exclude": q_rel_facet_exclude,
-        "rel_top_hit_per_group": q_rel_top_hit_per_group,
+        # round 5 (cont.): rel_top_hit_per_group (A9 top_hits(1) — its
+        # argmax-per-group window semantics stay driver-visible via
+        # rel_top_events_per_user AND via kg_disambiguate's own winner
+        # election) cedes its slot to entity disambiguation, the
+        # kg_construct-core operator; the top-hit row stays green in the
+        # extra registry
+        "kg_disambiguate": q_kg_disambiguate,
         # round 5 (cont.): rel_top_orders (plain pagination, T2 —
         # rel_top_events_per_user keeps window-rank semantics driver-
         # visible) cedes its slot to the ontology ancestor closure; the
@@ -2163,12 +2233,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'bucket', bucket, COUNT(*) FROM ev "
             "WHERE lower(event_type) IN ('click', 'error') GROUP BY bucket"
         ),
-        "rel_top_hit_per_group": (
-            "SELECT event_type, event_id, user_id FROM ("
-            "SELECT event_type, event_id, user_id, ROW_NUMBER() OVER "
-            "(PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rk FROM events) "
-            "WHERE rk = 1"
-        ),
+        "kg_disambiguate": _DISAMBIG_SQL,
         "rel_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
@@ -2804,6 +2869,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relation_extract); both stay fully oracled here
         "rel_top_orders": q_rel_top_orders,
         "rel_union_dedup": q_rel_union_dedup,
+        "rel_top_hit_per_group": q_rel_top_hit_per_group,
         "quality_nb": q_quality_nb,
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
@@ -3022,6 +3088,12 @@ def extra_oracle_sql() -> dict[str, str]:
             f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions) "
             "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "
             "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
+        ),
+        "rel_top_hit_per_group": (
+            "SELECT event_type, event_id, user_id FROM ("
+            "SELECT event_type, event_id, user_id, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rk FROM events) "
+            "WHERE rk = 1"
         ),
         "kg_communities": _lpa_sql(iters=4),
         "kg_rollup": _ROLLUP_SQL,

@@ -254,6 +254,23 @@ def vocab_dictionary(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(VOCAB_DICTIONARY, schema=schemas.TERM_DICTIONARY)
 
 
+# Ambiguous senses layered on the vocab dictionary: the same surface maps
+# to a second CURIE with a different semantic type and lower prior —
+# exercises entity disambiguation (operators/link.disambiguate_mentions):
+# "window" resolves by type coherence (operator anchors vs system
+# anchors), "stream" by the prior fallback (no media anchors ever exist).
+AMBIG_EXTRA = [
+    ("window", "SYS:0002", "windowing service", ["system"], 0.80),
+    ("stream", "MEDIA:0001", "media stream", ["media"], 0.80),
+]
+
+
+def ambig_dictionary(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        VOCAB_DICTIONARY + AMBIG_EXTRA, schema=schemas.TERM_DICTIONARY
+    )
+
+
 def vocab_norm(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(VOCAB_NORM_ROWS, schema=schemas.CURIE_NORM)
 

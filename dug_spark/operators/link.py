@@ -82,3 +82,90 @@ def score_candidates(
         "search_text", "curie", "link_score"
     )
     return mentions.join(F.broadcast(kept), ["search_text", "curie"], "inner")
+
+
+def disambiguate_mentions(
+    candidates: DataFrame,
+    concept_types: DataFrame,
+    doc_col: str = "element_id",
+    surface_col: str = "search_text",
+    prior_col: str = "score",
+) -> DataFrame:
+    """Entity disambiguation by type coherence: for every ambiguous
+    surface occurrence (one ``(doc, surface)`` span with >1 candidate
+    CURIE), rank candidates by how many ANCHOR concepts of the same
+    semantic type the document carries, then by the dictionary prior,
+    then by CURIE (deterministic).  Anchors are the document's
+    unambiguous mentions — spans whose surface maps to exactly one
+    candidate — the standard bootstrap in collective entity linking
+    (Cucerzan 2007 §3: disambiguated context entities vote for the
+    candidate they cohere with; type overlap is the coarse-grained
+    coherence signal that needs no external link graph).
+
+    The reference defers this entirely to its annotator service
+    (annotate.py keeps every identifier the Monarch annotator returns
+    for a span); a from-scratch pipeline must resolve the one-surface →
+    many-CURIEs case itself before canonicalization.
+
+    Inputs: ``candidates`` with (doc, surface, curie, prior) — one row
+    per distinct candidate per span; ``concept_types`` — the
+    dimension-sized (curie, ctype) table (from the dictionary).
+
+    Returns ONE ROW PER INPUT CANDIDATE (verdict contract, like
+    curate_corpus): (doc, surface, curie, prior, n_cands, coherence,
+    chosen) where coherence = distinct same-type anchor concepts in the
+    document minus the candidate itself if anchored, and exactly one
+    candidate per span has chosen = true.
+
+    Scale shape: concept_types is dictionary-bounded and broadcast; the
+    corpus-sized candidate table shuffles on the document key only —
+    span stats (window), anchor type counts (doc-keyed agg), coherence
+    stitch (doc-keyed joins), winner election (span window).  No
+    concept-keyed shuffle, so hot CURIEs (the skew axis) never key an
+    exchange."""
+    c = (
+        candidates.select(
+            F.col(doc_col).alias("doc"),
+            F.col(surface_col).alias("surface"),
+            "curie",
+            F.col(prior_col).alias("prior"),
+        )
+        .distinct()
+    )
+    typed = c.join(
+        F.broadcast(concept_types.select("curie", "ctype")), "curie", "left"
+    )
+    span_w = Window.partitionBy("doc", "surface")
+    typed = typed.withColumn(
+        "n_cands", F.size(F.collect_set("curie").over(span_w))
+    ).localCheckpoint(eager=True)
+    anchors = typed.where(F.col("n_cands") == 1).select(
+        "doc", "curie", "ctype"
+    ).distinct()
+    tcount = anchors.groupBy("doc", "ctype").agg(
+        F.count_distinct("curie").alias("nt")
+    )
+    amem = anchors.select("doc", "curie").withColumn("is_anchor", F.lit(1))
+    scored = (
+        typed.join(tcount, ["doc", "ctype"], "left")
+        .join(amem, ["doc", "curie"], "left")
+        .withColumn(
+            "coherence",
+            F.coalesce("nt", F.lit(0)).cast("long")
+            - F.coalesce("is_anchor", F.lit(0)),
+        )
+    )
+    rank_w = Window.partitionBy("doc", "surface").orderBy(
+        F.desc("coherence"), F.desc("prior"), F.asc("curie")
+    )
+    return scored.withColumn(
+        "chosen", F.row_number().over(rank_w) == 1
+    ).select(
+        F.col("doc").alias(doc_col),
+        F.col("surface").alias(surface_col),
+        "curie",
+        F.col("prior").alias(prior_col),
+        "n_cands",
+        "coherence",
+        "chosen",
+    )
