@@ -275,6 +275,25 @@ _DISAMBIG_SQL = (
 )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/importance.dsir_resample,
+    Xie et al. 2023): hashed unigram+bigram Laplace multinomials over a
+    trusted target slice (en docs with doc_id % 7 == 0) vs the full raw
+    corpus, per-doc log importance weight, Gumbel-top-100 selection with
+    xxhash-seeded noise.  One verdict row per document.  Oracle: full
+    VALUES recompute via the pyoracle xxh64 spec implementation
+    (_pyoracle_values — DuckDB has no xxhash64)."""
+    from dug_spark.operators import importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
+    return importance.dsir_resample(
+        docs, target, k=100, buckets=512
+    ).select("doc_id", "n_feats", "logw", "keep")
+
+
 def q_kg_concept_similarity(spark, sf_dir):
     """Set-overlap similarity edges (triples.co_mention_similarity:
     cosine/Jaccard/Dice over concept document-incidence) — rides the SAME
@@ -1659,6 +1678,12 @@ def _pyoracle_values() -> dict[str, str]:
                 f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
             ).fetchall()
         ]
+        docs_lang = [
+            (int(d), t, lg)
+            for d, t, lg in con.execute(
+                f"SELECT doc_id, text, lang FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
         vecs = [
             (int(v), [float(x) for x in e], lab)
             for v, e, lab in con.execute(
@@ -1672,6 +1697,20 @@ def _pyoracle_values() -> dict[str, str]:
         qs30 = [(v, e) for v, e, _l in vecs if v < 30]
         vals = {
             # params mirror the q_* queries exactly
+            "dsir_select": _values_or_empty(
+                po.dsir_rows(
+                    docs,
+                    [
+                        (d, t)
+                        for d, t, lg in docs_lang
+                        if lg == "en" and d % 7 == 0
+                    ],
+                    buckets=512,
+                    k=100,
+                ),
+                "doc_id, n_feats, logw, keep",
+                "BIGINT, BIGINT, DOUBLE, BOOLEAN",
+            ),
             "dedup_simhash": _values_or_empty(
                 po.simhash_pairs(docs, max_hamming=7, bands=8),
                 "id_a, id_b, hamming",
@@ -2015,7 +2054,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_near_shingle": q_dedup_near_shingle,
         "text_quality": q_text_quality,
-        "knn_cosine": q_knn_cosine,
+        # round 5 (cont.): knn_cosine (the brute-force exact-audit path —
+        # cosine top-k semantics stay driver-visible via ann_lsh /
+        # ann_ivf_trained, whose exact re-rank IS this computation on the
+        # candidate set) cedes its slot to DSIR importance resampling,
+        # the training-data selection operator; the knn row stays green
+        # in the extra registry
+        "dsir_select": q_dsir_select,
         "dedup_embedding": q_dedup_embedding,
         # round 4 (cont.): LM-perplexity filtering and sequence packing
         # take the slots of two subsumed rows — multimodal_resize (Arrow
@@ -2370,20 +2415,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_bm25_fuzzy": _bm25_fuzzy_oracle(),
         "search_concepts_bm25": _concepts_bm25_oracle(),
-        "knn_cosine": (
-            "WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20), "
-            "sums AS (SELECT q.q_id, c.vec_id AS neighbor_id, "
-            "  SUM(CAST(q.qe[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS dot, "
-            "  SUM(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS qq, "
-            "  SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS cc "
-            "  FROM q, embeddings c, range(1, 65) t(i) WHERE c.vec_id != q.q_id "
-            "  GROUP BY q.q_id, c.vec_id), "
-            "ranked AS (SELECT q_id, neighbor_id, dot / (SQRT(qq) * SQRT(cc)) AS cos, "
-            "  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, "
-            "  neighbor_id ASC) AS rk FROM sums) "
-            "SELECT q_id, neighbor_id, rk, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rk <= 3"
-        ),
     }
+
+
+_KNN_SQL = (
+    "WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20), "
+    "sums AS (SELECT q.q_id, c.vec_id AS neighbor_id, "
+    "  SUM(CAST(q.qe[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS dot, "
+    "  SUM(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS qq, "
+    "  SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS cc "
+    "  FROM q, embeddings c, range(1, 65) t(i) WHERE c.vec_id != q.q_id "
+    "  GROUP BY q.q_id, c.vec_id), "
+    "ranked AS (SELECT q_id, neighbor_id, dot / (SQRT(qq) * SQRT(cc)) AS cos, "
+    "  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, "
+    "  neighbor_id ASC) AS rk FROM sums) "
+    "SELECT q_id, neighbor_id, rk, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rk <= 3"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2883,6 +2930,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_rollup": q_kg_rollup,
         "kg_concept_similarity": q_kg_concept_similarity,
+        "knn_cosine": q_knn_cosine,
     }
 
 
@@ -3089,6 +3137,7 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.curie AS subj, 'co_mentioned_with' AS pred, b.curie AS obj "
             "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
         ),
+        "knn_cosine": _KNN_SQL,
         "rel_top_hit_per_group": (
             "SELECT event_type, event_id, user_id FROM ("
             "SELECT event_type, event_id, user_id, ROW_NUMBER() OVER "

@@ -917,3 +917,57 @@ def bpe_doc_rows(
         fp = hashlib.md5(" ".join(subs).encode("utf-8")).hexdigest()
         rows.append((did, len(subs), fp))
     return rows
+
+
+def dsir_rows(
+    raw: list[tuple[int, str]],
+    target: list[tuple[int, str]],
+    buckets: int = 512,
+    alpha: float = 1.0,
+    k: int = 100,
+    seed: int = 7,
+) -> list[tuple[int, int, float, bool]]:
+    """Recompute of operators/importance.dsir_resample (k mode): hashed
+    unigram+bigram Laplace multinomials, per-doc log importance weight,
+    Gumbel-top-k selection with xxhash-seeded noise.  Returns
+    (doc_id, n_feats, logw[round 5], keep)."""
+
+    def feats(text: str) -> list[str]:
+        toks = _lm_toks(text)
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f: str) -> int:
+        return xxh64(f.encode("utf-8")) % buckets
+
+    t: dict[int, int] = {}
+    for _id, tx in target:
+        for f in feats(tx):
+            b = bucket(f)
+            t[b] = t.get(b, 0) + 1
+    r: dict[int, int] = {}
+    for _id, tx in raw:
+        for f in feats(tx):
+            b = bucket(f)
+            r[b] = r.get(b, 0) + 1
+    tt, rt = sum(t.values()), sum(r.values())
+    lr = {
+        b: math.log((t.get(b, 0) + alpha) / (tt + alpha * buckets))
+        - math.log((r.get(b, 0) + alpha) / (rt + alpha * buckets))
+        for b in range(buckets)
+    }
+    cells = 1 << 20
+    scored = []
+    for did, tx in raw:
+        fs = feats(tx)
+        logw = sum(lr[bucket(f)] for f in fs)
+        u = (xxh64(f"{did}#{seed}".encode("utf-8")) % cells + 0.5) / float(cells)
+        key = logw - math.log(-math.log(u))
+        scored.append((did, len(fs), logw, key))
+    kept = {
+        did
+        for did, _n, _w, _k in sorted(scored, key=lambda x: (-x[3], x[0]))[:k]
+    }
+    return [
+        (did, n, round_half_up(logw, 5), did in kept)
+        for did, n, logw, _key in scored
+    ]
