@@ -1225,6 +1225,37 @@ def q_host_profile(spark, sf_dir):
     return textstats.host_profile(d.select(url.alias("url"), "text"))
 
 
+def q_crawl_churn(spark, sf_dir):
+    """Per-URL crawl-churn profile (capture count, content-change count,
+    version count, change ratio, mean seconds between changes) over a
+    deterministically synthesized (url, warc_ts, text) capture log in the
+    BASELINE input_hint shape: 40 urls, captures ordered by warc_ts, the
+    content version cycling 0,0,2,3 per revisit so some revisits change
+    and some don't.  ONE url-keyed shuffle: the lag window and the per-url
+    aggregate share the same hash partitioning (operators/crawl.py)."""
+    from dug_spark.operators import crawl
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    visit = (did / 40).cast("long") % 4
+    version = F.when(visit.isin(0, 1), F.lit(0)).otherwise(visit)
+    cap = d.select(
+        F.concat(
+            F.lit("https://u"),
+            (did % 40).cast("string"),
+            F.lit(".example.org/p"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + did).alias("warc_ts"),
+        F.concat(
+            F.lit("v"),
+            version.cast("string"),
+            F.lit(":"),
+            (did % 40).cast("string"),
+        ).alias("text"),
+    )
+    return crawl.snapshot_churn(cap)
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
     emb = _pq(spark, sf_dir, "embeddings").select(
@@ -2931,6 +2962,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rollup": q_kg_rollup,
         "kg_concept_similarity": q_kg_concept_similarity,
         "knn_cosine": q_knn_cosine,
+        # round 5 (cont.): crawl temporality over the input_hint shape
+        "crawl_churn": q_crawl_churn,
     }
 
 
@@ -3160,6 +3193,31 @@ def extra_oracle_sql() -> dict[str, str]:
             "ROUND(2.0 * n_co / (ma.c + mb.c), 5) AS dice "
             "FROM co JOIN marg ma ON ma.curie = co.src "
             "JOIN marg mb ON mb.curie = co.dst"
+        ),
+        "crawl_churn": (
+            # same capture synthesis as q_crawl_churn; change detection on
+            # the version text directly (the Spark side hashes it — counts
+            # and flags are hash-function-independent, collisions aside)
+            "WITH cap AS (SELECT "
+            "  'https://u' || CAST(doc_id % 40 AS VARCHAR) || '.example.org/p' AS url, "
+            "  TIMESTAMP '2020-09-13 12:26:40' + doc_id * INTERVAL 1 SECOND AS warc_ts, "
+            "  'v' || CAST(CASE WHEN (doc_id // 40) % 4 IN (0, 1) THEN 0 "
+            "       ELSE (doc_id // 40) % 4 END AS VARCHAR) "
+            "    || ':' || CAST(doc_id % 40 AS VARCHAR) AS text "
+            "  FROM documents), "
+            "hist AS (SELECT url, warc_ts, text, "
+            "  lag(text) OVER (PARTITION BY url ORDER BY warc_ts) AS prev FROM cap) "
+            "SELECT url, COUNT(*) AS n_captures, "
+            "COALESCE(SUM(CASE WHEN prev IS NOT NULL AND text <> prev THEN 1 ELSE 0 END), 0) AS n_changes, "
+            "COUNT(DISTINCT text) AS n_versions, "
+            "ROUND(SUM(CASE WHEN prev IS NOT NULL AND text <> prev THEN 1 ELSE 0 END) "
+            "  * 1.0 / NULLIF(COUNT(*) - 1, 0), 6) AS change_ratio, "
+            "CAST(MIN(epoch(warc_ts)) AS BIGINT) AS first_epoch, "
+            "CAST(MAX(epoch(warc_ts)) AS BIGINT) AS last_epoch, "
+            "ROUND((MAX(epoch(warc_ts)) - MIN(epoch(warc_ts))) * 1.0 "
+            "  / NULLIF(SUM(CASE WHEN prev IS NOT NULL AND text <> prev THEN 1 ELSE 0 END), 0), 6) "
+            "  AS mean_change_secs "
+            "FROM hist GROUP BY url"
         ),
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "

@@ -1,0 +1,123 @@
+"""Crawl-snapshot temporal analytics over (url, warc_ts, text) captures.
+
+The BASELINE input is a Common-Crawl-style table of web-page captures
+keyed by ``(url, warc_ts)`` — the same URL appears once per crawl.  A
+100 TB corpus of repeated crawls needs temporal operators the reference
+(a one-shot dbGaP/TOPMed ingester) never had reason to implement:
+
+- ``capture_history``: per-capture change detection — did this capture's
+  extracted text differ from the previous capture of the same URL?
+- ``snapshot_churn``:  per-URL churn profile — capture count, change
+  count, distinct content versions, change ratio, observed lifespan, and
+  the mean seconds between content changes (the quantity a recrawl
+  scheduler budgets against).
+
+Scale shape (the 100 TB plan):
+- ONE shuffle, keyed by URL.  ``capture_history`` is a lag window over
+  ``partitionBy(url)``; URLs are near-unique keys (captures per URL is
+  crawl-frequency-bounded, typically < 10^3), so the key space is huge
+  and skew-free — the opposite of the hot-concept keys that need
+  plans/skew.py.
+- ``snapshot_churn`` aggregates the SAME url key immediately after the
+  window: Spark's EnsureRequirements reuses the window's hash
+  partitioning, so the groupBy adds NO second exchange (plan-asserted in
+  tests/test_crawl.py::test_churn_single_shuffle).
+- change detection compares xxhash64(text) (8 bytes/row carried through
+  the shuffle), never the text itself; the oracle mirror uses md5 via an
+  explicit ``hash_col`` for cross-engine verifiability — same plan, the
+  hash function is a parameter, not a design difference.
+
+No reference counterpart (crawl temporality is out of scope for dbGaP
+ingest); semantics follow the change-rate estimator of Cho &
+Garcia-Molina, "Estimating Frequency of Change" (ACM TOIT 2003): with
+captures at known times, the observed change ratio X/(n-1) and the mean
+inter-change interval are the sufficient statistics their Poisson
+estimator consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def capture_history(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    hash_expr=None,
+) -> DataFrame:
+    """One row per capture: ``(url, warc_ts, content_hash, changed)``.
+
+    ``changed`` is true when the capture's content hash differs from the
+    previous capture of the same URL (ordered by ``ts_col``); the first
+    capture of a URL has ``changed = NULL`` (there is no prior version —
+    three-valued on purpose, so downstream SUMs of casts count only real
+    transitions).
+
+    ``hash_expr`` defaults to ``xxhash64(text)`` (8-byte fingerprints
+    through the shuffle); pass e.g. ``F.md5(F.col("text"))`` when the
+    output must be recomputable by another engine.
+    """
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc())
+    out = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        h.alias("content_hash"),
+    )
+    prev = F.lag("content_hash").over(w)
+    return out.withColumn(
+        "changed",
+        F.when(prev.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col("content_hash") != prev
+        ),
+    )
+
+
+def snapshot_churn(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    hash_expr=None,
+) -> DataFrame:
+    """Per-URL churn profile over all captures.
+
+    Output, one row per distinct URL:
+      - ``n_captures``      total captures observed
+      - ``n_changes``       capture-to-capture content transitions
+      - ``n_versions``      distinct content hashes ever observed
+      - ``change_ratio``    n_changes / (n_captures - 1), NULL when only
+                            one capture exists (no transition observable)
+      - ``first_epoch`` / ``last_epoch``  observation window (unix secs)
+      - ``mean_change_secs``  observed lifespan / n_changes, NULL when no
+                            change was ever observed — the recrawl-period
+                            estimate a scheduler consumes (Cho & G-M 03)
+
+    Plan: the lag window (one url-keyed exchange) feeds a groupBy on the
+    same key — no second exchange (EnsureRequirements reuses the hash
+    partitioning).  All aggregates are algebraic, so map-side partial
+    aggregation applies if the upstream ever changes.
+    """
+    hist = capture_history(df, url_col, ts_col, text_col, hash_expr)
+    span = F.max(F.col("warc_ts").cast("long")) - F.min(
+        F.col("warc_ts").cast("long")
+    )
+    n_changes = F.coalesce(
+        F.sum(F.col("changed").cast("int")), F.lit(0)
+    ).cast("long")
+    return hist.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        n_changes.alias("n_changes"),
+        F.countDistinct("content_hash").alias("n_versions"),
+        F.round(
+            n_changes / F.nullif(F.count(F.lit(1)) - F.lit(1), F.lit(0)), 6
+        ).alias("change_ratio"),
+        F.min(F.col("warc_ts").cast("long")).alias("first_epoch"),
+        F.max(F.col("warc_ts").cast("long")).alias("last_epoch"),
+        F.round(span / F.nullif(n_changes, F.lit(0)), 6).alias(
+            "mean_change_secs"
+        ),
+    )
