@@ -2579,6 +2579,46 @@ def q_web_hits(spark, sf_dir):
     )
 
 
+def q_web_kcore(spark, sf_dir):
+    """3-core of the href-extracted host graph (graph.k_core: iterative
+    degree peel to the unique fixpoint) — the dense-region extractor one
+    step past triangles/clustering on the same edge set.  Oracle: the
+    peel unrolled into fixed SQL rounds (converges in ≤8 on this graph;
+    extra rounds are no-ops), cross-checked to true convergence by the
+    pure-Python peel in tests/test_kcore.py."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    return graph.k_core(edges, k=3, src_col="src_host", dst_col="dst_host")
+
+
+def _kcore_sql(prefix_with_e: str, k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peel over any prefix SQL defining a CTE
+    ``e(src, dst)``: symmetrize, then per round degree-count / peel /
+    edge-filter.  ``rounds`` must be ≥ the rounds the peel actually needs
+    (a no-op round is harmless; too few rounds fails the oracle check —
+    the convergence-true mirror lives in pyoracle.k_core_rows)."""
+    parts = [
+        prefix_with_e,
+        ", s0 AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", d{i} AS (SELECT src AS node, COUNT(*) AS degree "
+            f"FROM s{i} GROUP BY src)"
+            f", p{i} AS (SELECT node FROM d{i} WHERE degree < {k})"
+            f", s{i + 1} AS (SELECT src, dst FROM s{i} "
+            f"WHERE src NOT IN (SELECT node FROM p{i}) "
+            f"AND dst NOT IN (SELECT node FROM p{i}))"
+        )
+    parts.append(
+        f" SELECT src AS node, COUNT(*) AS degree FROM s{rounds} GROUP BY src"
+    )
+    return "".join(parts)
+
+
 def _hits_iters(prefix_with_e: str, iters: int = 5) -> str:
     """Unrolled HITS iterations over any prefix SQL that defines a CTE
     ``e(src, dst)`` — mirrors operators/graph.hits exactly: h0 = 1/√n,
@@ -2964,6 +3004,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         # round 5 (cont.): crawl temporality over the input_hint shape
         "crawl_churn": q_crawl_churn,
+        "web_kcore": q_web_kcore,
     }
 
 
@@ -3219,6 +3260,7 @@ def extra_oracle_sql() -> dict[str, str]:
             "  AS mean_change_secs "
             "FROM hist GROUP BY url"
         ),
+        "web_kcore": _kcore_sql(web_edges, k=3, rounds=8),
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "
             "SELECT DISTINCT e.subject AS subj, 'biolink:subclass_of' AS pred, e.object AS obj "

@@ -971,3 +971,44 @@ def dsir_rows(
         (did, n, round_half_up(logw, 5), did in kept)
         for did, n, logw, _key in scored
     ]
+
+
+def web_edges_py(doc_ids: list[int]) -> list[tuple[str, str]]:
+    """Mirror of the ``web_edges`` oracle CTE in __spark_entry__ (which in
+    turn mirrors the href synthesis of _web_linked_docs): directed
+    distinct host pairs, self-edges dropped."""
+    out = set()
+    for d in doc_ids:
+        src = f"h{d % 20}.example.org"
+        for n in (
+            (d // 20) % (1 + (d % 20) % 5) % 20,
+            ((d // 40) % (1 + (d % 20) % 7) + 5) % 20,
+            ((d // 60) % (1 + (d % 20) % 4) + 12) % 20,
+        ):
+            dst = f"h{n}.example.org"
+            if src != dst:
+                out.add((src, dst))
+    return sorted(out)
+
+
+def k_core_rows(
+    pairs: list[tuple[str, str]], k: int
+) -> list[tuple[str, int]]:
+    """Pure-Python k-core peel (Seidman 1983) over undirected pairs —
+    run to the unique fixpoint; the definitive convergence mirror for
+    graph.k_core (whose SQL oracle unrolls a fixed round count)."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+            changed = True
+    return sorted((n, len(nb)) for n, nb in adj.items())

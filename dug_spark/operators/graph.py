@@ -517,3 +517,80 @@ def taxonomy_rollup(
             ).alias("subtree"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 100,
+    broadcast_removed: bool = True,
+) -> DataFrame:
+    """k-core of the undirected graph: iteratively peel every node whose
+    degree is below ``k`` until the survivors all have degree ≥ k inside
+    the surviving subgraph (Seidman 1983, "Network structure and minimum
+    degree").  Returns ``(node, degree)`` — the in-core degree — empty
+    when the whole graph dissolves.  The k-core is the standard
+    dense-region extractor on web/host graphs (link-farm and community
+    cores; Kumar et al.'s trawling) and on KG co-mention graphs (concept
+    cliques worth materializing as first-class subgraphs).  Coreness
+    decomposition, when needed, is this operator swept over increasing k —
+    each sweep starts from the previous (smaller) core, so the total work
+    is bounded by the k=min sweep.
+
+    Deterministic exactly: peeling has no ties to break — the node set
+    removed each round is a pure predicate of the degree table, and the
+    fixpoint is unique (the k-core is order-independent).
+
+    Scale shape (the 100 TB plan):
+    - symmetrize + distinct once up front (one shuffle, checkpointed).
+    - per round: ONE degree aggregation (map-side partial combine — hot
+      hubs arrive at reducers as per-mapper partials) and TWO anti-joins
+      removing edges incident to peeled nodes.  The peeled set is the
+      DELTA, not the survivor set — early rounds on web graphs peel the
+      huge degree-1 fringe, later rounds peel a trickle; with
+      ``broadcast_removed`` the anti-joins never shuffle the edge side
+      (right default until the first-round fringe outgrows the broadcast
+      budget — then flip it and the anti-joins become one edge shuffle
+      each, keyed by endpoint).
+    - edges shrink monotonically; localCheckpoint per round cuts the
+      growing lineage exactly as label_propagation/pagerank do, and the
+      convergence probe (count of peeled nodes) is the same node-sized
+      scalar action transitive_closure uses.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        peeled = deg.where(F.col("degree") < k).select("node")
+        peeled = F.broadcast(peeled) if broadcast_removed else peeled
+        survivors = (
+            sym.join(peeled.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(peeled.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        # one scalar action per round: counts edges, but the CHANGE test
+        # only needs equality — both frames are checkpointed, so these are
+        # cheap scans of materialized blocks
+        if survivors.count() == sym.count():
+            sym = survivors
+            break
+        sym = survivors
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
