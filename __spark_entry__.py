@@ -1327,6 +1327,20 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=5)
 
 
+def q_ann_pq(spark, sf_dir):
+    """IVF-ADC product-quantization search (similarity.pq_ivf_topk,
+    Jégou et al. 2011): trained IVF coarse cells restrict each query to
+    one inverted list, PQ codes (m=8 subspaces × 16 centroids) rank it by
+    table-lookup distances — corpus carries (id, cell, code) only.
+    Oracle: bit-identical pure-Python recompute (pyoracle.pq_ivf_topk:
+    same xxhash64 seeds, 6-decimal Lloyd rounding, sequential folds)."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return similarity.pq_ivf_topk(
+        emb.where(F.col("vec_id") < 30), emb, k=5, k_cells=8, m=8, ksub=16,
+        iters=1, pq_iters=1,
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding cosine near-dup pairs (exact audit path on a subset —
     the LSH scale path is pytest-validated as a verified-subset of this)."""
@@ -3005,6 +3019,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (cont.): crawl temporality over the input_hint shape
         "crawl_churn": q_crawl_churn,
         "web_kcore": q_web_kcore,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -3349,6 +3364,15 @@ def extra_oracle_sql() -> dict[str, str]:
         out["ann_ivf"] = _values_or_empty(
             po.ivf_topk(qs3, vecs, k=5),
             "q_id, neighbor_id, rk, cos_sim",
+            "BIGINT, BIGINT, INTEGER, DOUBLE",
+        )
+        flat = [(v, e) for v, e, _l in vecs]
+        out["ann_pq"] = _values_or_empty(
+            po.pq_ivf_topk(
+                [(v, e) for v, e in flat if v < 30],
+                flat, k=5, k_cells=8, m=8, ksub=16, iters=1, pq_iters=1,
+            ),
+            "q_id, neighbor_id, rk, adc_dist",
             "BIGINT, BIGINT, INTEGER, DOUBLE",
         )
         bpe_merges = po.bpe_train(

@@ -1012,3 +1012,101 @@ def k_core_rows(
             del adj[n]
             changed = True
     return sorted((n, len(nb)) for n, nb in adj.items())
+
+
+def _pq_assign(sub: list[float], centroids: list[list[float]]) -> int:
+    """First-min squared-L2 centroid (mirrors Spark's
+    ``array_position(dists, array_min(dists))``); the distance folds
+    left-to-right exactly like F.aggregate."""
+    best_i, best_d = 0, None
+    for i, c in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(sub, c):
+            d += (a - b) * (a - b)
+        if best_d is None or d < best_d:
+            best_i, best_d = i, d
+    return best_i
+
+
+def pq_train_py(
+    vectors: list[tuple[int, list[float]]],
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Recompute of similarity.pq_train: per-subspace Lloyd with the same
+    xxhash64-ordered seeds and 6-decimal-rounded means (fsum here,
+    partial-aggregated avg there — the rounding makes them agree)."""
+    dim = len(vectors[0][1])
+    dsub = dim // m
+    order = sorted(vectors, key=lambda t: (xxh64(str(t[0]).encode("utf-8"), 42), t[0]))
+    codebooks = [
+        [list(v[s * dsub : (s + 1) * dsub]) for _, v in order[:ksub]]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        groups: dict = defaultdict(list)
+        for _vid, v in vectors:
+            for s in range(m):
+                sub = v[s * dsub : (s + 1) * dsub]
+                groups[(s, _pq_assign(sub, codebooks[s]))].append(sub)
+        new_c = [[list(c) for c in cb] for cb in codebooks]
+        for (s, cell), subs in groups.items():
+            for w in range(dsub):
+                new_c[s][cell][w] = round_half_up(
+                    math.fsum(x[w] for x in subs) / len(subs), 6
+                )
+        codebooks = new_c
+    return codebooks
+
+
+def pq_ivf_topk(
+    queries: list[tuple[int, list[float]]],
+    corpus: list[tuple[int, list[float]]],
+    k: int = 5,
+    k_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+    pq_iters: int = 1,
+) -> list[tuple[int, int, int, float]]:
+    """Recompute of similarity.pq_ivf_topk (IVF-ADC): IVF cell restrict,
+    then rank the cell's inverted list by the sum of per-subspace
+    table-lookup distances — bit-identical fold order throughout."""
+    cents = ivf_train(corpus, k_cells, iters)
+    codebooks = pq_train_py(corpus, m, ksub, pq_iters)
+    dim = len(corpus[0][1])
+    dsub = dim // m
+    enc = [
+        (
+            vid,
+            _assign_cell(v, cents),
+            [_pq_assign(v[s * dsub : (s + 1) * dsub], codebooks[s]) for s in range(m)],
+        )
+        for vid, v in corpus
+    ]
+    out = []
+    for qid, qv in queries:
+        cell = _assign_cell(qv, cents)
+        qtab = []
+        for s in range(m):
+            sub = qv[s * dsub : (s + 1) * dsub]
+            row = []
+            for c in codebooks[s]:
+                d = 0.0
+                for a, b in zip(sub, c):
+                    d += (a - b) * (a - b)
+                row.append(d)
+            qtab.append(row)
+        cand = []
+        for nid, ncell, code in enc:
+            if ncell != cell or nid == qid:
+                continue
+            adc = 0.0
+            for s in range(m):
+                adc += qtab[s][code[s]]
+            cand.append((adc, nid))
+        cand.sort()
+        for rk, (adc, nid) in enumerate(cand[:k], 1):
+            out.append((qid, nid, rk, round_half_up(adc, 5)))
+    return out

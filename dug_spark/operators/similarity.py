@@ -409,3 +409,200 @@ def ivf_topk(
         .where(F.col("rk") <= k)
         .select("q_id", "neighbor_id", "rk", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def _sq_dist(vec_expr, lits: list[float]):
+    """Squared L2 distance between an array column slice and a literal
+    centroid, folded left-to-right (F.aggregate is a sequential fold, so
+    the doubles are bit-reproducible and pure-Python-mirrorable)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_expr,
+            F.array(*[F.lit(x) for x in lits]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    vector into ``m`` contiguous subvectors and run an independent
+    ``ksub``-centroid Lloyd quantizer per subspace.  Returns
+    ``codebooks[s][j]`` = centroid ``j`` of subspace ``s`` — driver state
+    is m·ksub·(dim/m) = dim·ksub floats, dimension-sized like the IVF
+    centroids, never corpus-sized.
+
+    Seeding and rounding follow ivf_train_assign exactly: seeds are the
+    ksub corpus vectors with smallest (xxhash64(str(id)), id) — their
+    s-th subvector seeds subspace s — and Lloyd means round to 6 decimals
+    so partition-order summation jitter can't leak into the trained
+    codebook (and the pure-Python oracle in functions/pyoracle.py can
+    recompute it bit-for-bit).
+
+    Scale shape: per Lloyd round, assignment is a pure-JVM expression
+    (m·ksub literal squared-distance folds — no Python, no shuffle) and
+    the update is ONE aggregation keyed by (subspace, cell, within-dim) —
+    at most dim·ksub groups, so the reduce side is codebook-sized; all
+    subspaces train in the same single pass."""
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
+    first = v.limit(1).collect()
+    if not first:
+        raise ValueError("pq_train: empty input")
+    dim = len(first[0]["e"])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (
+        v.orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(ksub)
+        .collect()
+    )
+    codebooks = [
+        [list(r["e"][s * dsub : (s + 1) * dsub]) for r in seeds]
+        for s in range(m)
+    ]
+
+    def cells_col(cbs):
+        cols = []
+        for s in range(m):
+            sub = F.slice("e", s * dsub + 1, dsub)
+            dists = F.array(*[_sq_dist(sub, c) for c in cbs[s]])
+            cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        return F.array(*cols)
+
+    for _ in range(iters):
+        assigned = v.withColumn("cells", cells_col(codebooks))
+        means = (
+            assigned.select("cells", F.posexplode("e").alias("i", "x"))
+            .select(
+                (F.col("i") / dsub).cast("int").alias("s"),
+                F.element_at("cells", (F.col("i") / dsub).cast("int") + 1).alias(
+                    "cell"
+                ),
+                (F.col("i") % dsub).alias("w"),
+                "x",
+            )
+            .groupBy("s", "cell", "w")
+            .agg(F.round(F.avg("x"), 6).alias("mn"))
+            .collect()
+        )
+        new_c = [[list(c) for c in cb] for cb in codebooks]
+        for r in means:
+            new_c[r["s"]][r["cell"]][r["w"]] = r["mn"]
+        codebooks = new_c
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Map-only PQ encoding: append ``code`` (array<int>, length m) — the
+    per-subspace nearest-centroid indices.  dim·8 bytes of vector become
+    m small ints; at 10^12 vectors this is the representation that fits
+    a scan-everything ADC pass in cluster memory."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    e = _as_double(vec_col)
+    cols = []
+    for s in range(m):
+        sub = F.slice(e, s * dsub + 1, dsub)
+        dists = F.array(*[_sq_dist(sub, c) for c in codebooks[s]])
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(code_col, F.array(*cols))
+
+
+def pq_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    k_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC search (the IVFPQ composition of Jégou et al. 2011): an
+    IVF coarse quantizer restricts each query to one inverted list, then
+    asymmetric distance computation ranks the list by PQ codes alone —
+    per query·candidate the cost is m table lookups, never a dim-length
+    dot product, and the corpus side carries only (id, cell, code).
+
+    The query side precomputes its distance TABLE (m × ksub squared
+    subdistances to every codebook centroid) as literal-folded JVM
+    expressions; the equi-join on cell is the only wide op, and the ADC
+    score is zip_with(table, code) → sum — pure codegen.  Output:
+    ``(q_id, neighbor_id, rk, adc_dist)`` ascending by approximate
+    distance, ties by neighbor id; exact re-rank of the survivors, when
+    wanted, is brute_force_topk on the tiny top-k set.
+
+    Deterministic exactly (seeded quantizers, rounded means, sequential
+    folds) — recomputed bit-for-bit by pyoracle.pq_ivf_topk."""
+    corpus_cells, cents = ivf_train_assign(
+        corpus, k_cells, id_col, vec_col, iters
+    )
+    codebooks = pq_train(corpus, m, ksub, id_col, vec_col, pq_iters)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(corpus_cells, codebooks, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "code"
+    )
+
+    q = queries.withColumn("e", _as_double(vec_col))
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with("e", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(F.slice("e", s * dsub + 1, dsub), codebooks[s][j])
+                    for j in range(len(codebooks[s]))
+                ]
+            )
+            for s in range(len(codebooks))
+        ]
+    )
+    qq = q.select(
+        F.col(id_col).alias("q_id"),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+        qtab.alias("qtab"),
+    )
+    adc = F.aggregate(
+        F.zip_with("qtab", "code", lambda t, c: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qq.join(enc, "cell")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "rk", F.round("adc", 5).alias("adc_dist"))
+    )
