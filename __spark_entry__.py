@@ -2608,6 +2608,23 @@ def q_web_kcore(spark, sf_dir):
     return graph.k_core(edges, k=3, src_col="src_host", dst_col="dst_host")
 
 
+def q_web_walks(spark, sf_dir):
+    """Deterministic random-walk corpus over the href-extracted host
+    graph (graph.random_walks: hash-argmin neighbor draws, DeepWalk's
+    sampling pass made byte-reproducible) — 2 walks × ≤4 steps per host.
+    Oracle: bit-exact pure-Python mirror (pyoracle.random_walk_rows over
+    the shared web_edges_py synthesis)."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    return graph.random_walks(
+        edges, walk_length=4, walks_per_node=2,
+        src_col="src_host", dst_col="dst_host",
+    )
+
+
 def _kcore_sql(prefix_with_e: str, k: int = 3, rounds: int = 8) -> str:
     """Unrolled k-core peel over any prefix SQL defining a CTE
     ``e(src, dst)``: symmetrize, then per round degree-count / peel /
@@ -3020,6 +3037,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_churn": q_crawl_churn,
         "web_kcore": q_web_kcore,
         "ann_pq": q_ann_pq,
+        "web_walks": q_web_walks,
     }
 
 
@@ -3365,6 +3383,14 @@ def extra_oracle_sql() -> dict[str, str]:
             po.ivf_topk(qs3, vecs, k=5),
             "q_id, neighbor_id, rk, cos_sim",
             "BIGINT, BIGINT, INTEGER, DOUBLE",
+        )
+        out["web_walks"] = _values_or_empty(
+            po.random_walk_rows(
+                po.web_edges_py([d for d, _t in docs]),
+                walk_length=4, walks_per_node=2,
+            ),
+            "start, walk_no, path, steps",
+            "VARCHAR, INTEGER, VARCHAR, INTEGER",
         )
         flat = [(v, e) for v, e, _l in vecs]
         out["ann_pq"] = _values_or_empty(

@@ -1110,3 +1110,36 @@ def pq_ivf_topk(
         for rk, (adc, nid) in enumerate(cand[:k], 1):
             out.append((qid, nid, rk, round_half_up(adc, 5)))
     return out
+
+
+def random_walk_rows(
+    pairs: list[tuple[str, str]],
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+) -> list[tuple[str, int, str, int]]:
+    """Bit-exact mirror of graph.random_walks: hash-argmin neighbor
+    choice via xxhash64("start|w|t|neighbor") with (hash, neighbor)
+    tie-break, early stop at sinks."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+    out = []
+    for start in sorted(adj):
+        for w in range(walks_per_node):
+            path, cur = [start], start
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda n: (
+                        xxh64(f"{start}|{w}|{t}|{n}".encode("utf-8"), 42),
+                        n,
+                    ),
+                )
+                path.append(cur)
+            out.append((start, w, ">".join(path), len(path) - 1))
+    return out

@@ -594,3 +594,120 @@ def k_core(
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    symmetric: bool = False,
+) -> DataFrame:
+    """Deterministic random-walk corpus over the edge list — the sampling
+    pass that feeds DeepWalk/node2vec-style graph embeddings (Perozzi et
+    al. 2014 "DeepWalk: Online Learning of Social Representations"):
+    ``walks_per_node`` walks of ≤ ``walk_length`` steps from every node
+    with out-edges.  Returns ``(start, walk_no, path, steps)`` with the
+    path as '>'-joined node ids; a walk that reaches a sink stops early.
+
+    The textbook step draws a uniformly random neighbor; here the draw is
+    a HASH ARGMIN — step t of walk (start, w) moves to the neighbor
+    minimizing (xxhash64("start|w|t|neighbor"), neighbor).  For a fixed
+    walk the full (start, w, t) context is in the hash input, so
+    consecutive steps are independent draws and revisits can exit
+    differently — but two engines, two cluster sizes, and two runs
+    produce byte-identical corpora (pyoracle.random_walk_rows is the
+    bit-exact mirror).  The same trick as importance.py's hashed Gumbel
+    noise: reproducible pseudo-randomness beats seeded RNGs whose
+    stream order depends on partitioning.
+
+    Scale shape (the 100 TB plan):
+    - edges are hash-partitioned by src ONCE and localCheckpointed; every
+      step's join then exchanges ONLY the frontier (walks-sized = nodes ×
+      walks_per_node), never the edge table — walk_length × one
+      frontier-sized shuffle total.
+    - the per-step neighbor argmin is ONE min_by aggregate keyed by
+      (start, walk_no) — map-side partial combine absorbs hub fan-out
+      (a 10^6-degree hub contributes per-mapper partials, not 10^6 rows,
+      to the reducer).
+    - finished walks leave the frontier immediately (left-join sink
+      detection), so the working set shrinks as walks die; the frontier
+      localCheckpoints per step exactly like pagerank's rank table.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    if symmetric:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().repartition("src").localCheckpoint(eager=True)
+
+    frontier = (
+        e.select(F.col("src").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_no"),
+        )
+        .select(
+            "start",
+            "walk_no",
+            F.col("start").alias("cur"),
+            F.array(F.col("start")).alias("path"),
+        )
+    )
+    finished = []
+    for step in range(1, walk_length + 1):
+        cand = frontier.join(
+            e, frontier["cur"] == e["src"], "left"
+        ).select(
+            "start",
+            "walk_no",
+            "path",
+            "dst",
+            F.xxhash64(
+                F.concat_ws(
+                    "|",
+                    F.col("start"),
+                    F.col("walk_no").cast("string"),
+                    F.lit(str(step)),
+                    F.col("dst"),
+                )
+            ).alias("score"),
+        )
+        finished.append(
+            cand.where(F.col("dst").isNull()).select("start", "walk_no", "path")
+        )
+        frontier = (
+            cand.where(F.col("dst").isNotNull())
+            .groupBy("start", "walk_no")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("dst"), F.col("path")),
+                    F.struct(F.col("score"), F.col("dst")),
+                ).alias("m")
+            )
+            .select(
+                "start",
+                "walk_no",
+                F.col("m.dst").alias("cur"),
+                F.concat("m.path", F.array(F.col("m.dst"))).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = frontier.select("start", "walk_no", "path")
+    for f in finished:
+        out = out.unionByName(f)
+    return out.select(
+        "start",
+        "walk_no",
+        F.concat_ws(">", "path").alias("path"),
+        (F.size("path") - 1).alias("steps"),
+    )
