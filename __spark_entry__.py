@@ -2625,6 +2625,22 @@ def q_web_walks(spark, sf_dir):
     )
 
 
+def q_web_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED href host graph
+    (graph.strongly_connected_components: trim + forward-color +
+    backward-confirm rounds) — the Broder bowtie decomposition primitive.
+    Oracle: iterative-Tarjan pure-Python mirror (pyoracle.scc_rows) over
+    the shared web_edges_py synthesis."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    return graph.strongly_connected_components(
+        edges, src_col="src_host", dst_col="dst_host"
+    )
+
+
 def _kcore_sql(prefix_with_e: str, k: int = 3, rounds: int = 8) -> str:
     """Unrolled k-core peel over any prefix SQL defining a CTE
     ``e(src, dst)``: symmetrize, then per round degree-count / peel /
@@ -3038,6 +3054,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_kcore": q_web_kcore,
         "ann_pq": q_ann_pq,
         "web_walks": q_web_walks,
+        "web_scc": q_web_scc,
     }
 
 
@@ -3383,6 +3400,11 @@ def extra_oracle_sql() -> dict[str, str]:
             po.ivf_topk(qs3, vecs, k=5),
             "q_id, neighbor_id, rk, cos_sim",
             "BIGINT, BIGINT, INTEGER, DOUBLE",
+        )
+        out["web_scc"] = _values_or_empty(
+            po.scc_rows(po.web_edges_py([d for d, _t in docs])),
+            "node, scc_id",
+            "VARCHAR, VARCHAR",
         )
         out["web_walks"] = _values_or_empty(
             po.random_walk_rows(

@@ -1143,3 +1143,69 @@ def random_walk_rows(
                 path.append(cur)
             out.append((start, w, ">".join(path), len(path) - 1))
     return out
+
+
+def scc_rows(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Iterative Tarjan SCC over directed pairs — the definitive mirror
+    for graph.strongly_connected_components.  Returns (node, scc_id)
+    with scc_id = min node id in the component; isolated endpoints and
+    self-loop-only nodes are singleton components."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    comps: list[list[str]] = []
+    counter = [0]
+
+    def strongconnect(v0: str):
+        # iterative Tarjan (explicit work stack: (node, child-iter index))
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            children = adj.get(v, [])
+            for i in range(pi, len(children)):
+                w = children[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    out = []
+    for comp in comps:
+        cid = min(comp)
+        out.extend((n, cid) for n in comp)
+    return sorted(out)

@@ -711,3 +711,171 @@ def random_walks(
         F.concat_ws(">", "path").alias("path"),
         (F.size("path") - 1).alias("steps"),
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+    max_prop_iterations: int = 100,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph: ``(node,
+    scc_id)`` with ``scc_id`` = the smallest node id in the component.
+    On web link graphs the giant SCC is the core of Broder et al. 2000's
+    bowtie ("Graph structure in the Web") — the decomposition any
+    web-corpus graph report leads with; on KG relation graphs SCCs are
+    the cyclic concept clusters that must collapse before a hierarchy
+    pass (taxonomy_rollup assumes a DAG).
+
+    Algorithm: iterative trim + forward-color + backward-confirm (the
+    Pregel-style coloring scheme of Orzan 2004 / FW-BW hybrids, expressed
+    as DataFrame joins):
+
+    1. TRIM: nodes with in-degree 0 or out-degree 0 (within the live
+       subgraph) are singleton SCCs — peel them to fixpoint (cheap
+       degree anti-joins, same shape as k_core).
+    2. COLOR: propagate the minimum reachable node id FORWARD to
+       fixpoint (min-label propagation, the CC kernel restricted to edge
+       direction).  Every node gets the color of the smallest id that
+       reaches it; each color class is a superset union of SCCs and the
+       color root r (color(r) == r) belongs to exactly one SCC.
+    3. CONFIRM: propagate BACKWARD from each root within its color
+       class; nodes reached both ways (colored by r forward, reached
+       from r backward through same-colored nodes) form r's complete
+       SCC — emit and remove them, repeat from 1 on the remainder.
+
+    Every outer round settles at least every color root's SCC, so the
+    loop terminates; rounds needed in practice is small (web graphs:
+    the giant SCC falls in round 1, the tendrils trim away).
+    Deterministic exactly: min-label propagation and degree trims have
+    no ties to break.  Oracle: pyoracle.scc_rows (iterative Tarjan).
+
+    Scale shape: trims and propagations are the k_core / label_propagation
+    kernels — per iteration one degree aggregate or one edges⋈labels
+    join keyed on an endpoint, map-side partial combine on the min
+    aggregation, node-sized localCheckpoints, convergence probed by
+    scalar counts.  The live edge set shrinks monotonically across
+    rounds and localCheckpoints per round.
+    """
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e0 = e0.where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    # self-loops make their node a (possibly singleton) SCC member but
+    # carry no cross-node reachability; drop them, membership falls out
+    live = e0.where(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    all_nodes = (
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done_frames: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        # --- 1. TRIM singleton SCCs to fixpoint --------------------------
+        for _t in range(max_prop_iterations):
+            srcs = live.select(F.col("src").alias("node")).distinct()
+            dsts = live.select(F.col("dst").alias("node")).distinct()
+            both = srcs.join(dsts, "node").localCheckpoint(eager=True)
+            nxt = (
+                live.join(
+                    F.broadcast(both).withColumnRenamed("node", "src"), "src"
+                )
+                .join(F.broadcast(both).withColumnRenamed("node", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == live.count():
+                live = nxt
+                break
+            live = nxt
+        if live.count() == 0:
+            break
+        # --- 2. COLOR: forward min-label to fixpoint ---------------------
+        nodes = (
+            live.select(F.col("src").alias("node"))
+            .unionByName(live.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        color = nodes.withColumn("color", F.col("node")).localCheckpoint(
+            eager=True
+        )
+        for _p in range(max_prop_iterations):
+            incoming = (
+                live.join(
+                    color.withColumnRenamed("node", "src").withColumnRenamed(
+                        "color", "c_src"
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("c_src").alias("c_in"))
+            )
+            new_color = (
+                color.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("c_in", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "node")
+                .where(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            color = new_color
+            if changed == 0:
+                break
+        # --- 3. CONFIRM: backward reach from roots within color ----------
+        # root r: color(r) == r.  Walk edges BACKWARD but only through
+        # nodes sharing the color — reached set = r's SCC.
+        ec = (
+            live.join(color.withColumnRenamed("node", "src").withColumnRenamed("color", "c1"), "src")
+            .join(color.withColumnRenamed("node", "dst").withColumnRenamed("color", "c2"), "dst")
+            .where(F.col("c1") == F.col("c2"))
+            .select("src", "dst", F.col("c1").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        reached = color.where(F.col("node") == F.col("color")).select(
+            "node", "color"
+        ).localCheckpoint(eager=True)
+        for _b in range(max_prop_iterations):
+            step = (
+                ec.join(
+                    reached.withColumnRenamed("node", "dst"),
+                    ["dst", "color"],
+                )
+                .select(F.col("src").alias("node"), "color")
+                .unionByName(reached)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if step.count() == reached.count():
+                reached = step
+                break
+            reached = step
+        scc = reached.select("node", F.col("color").alias("scc_id"))
+        done_frames.append(scc)
+        # remove settled nodes, next round
+        settled = reached.select("node").localCheckpoint(eager=True)
+        live = (
+            live.join(settled.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(settled.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+
+    out = None
+    for f in done_frames:
+        out = f if out is None else out.unionByName(f)
+    if out is None:
+        return all_nodes.select("node", F.col("node").alias("scc_id"))
+    # trimmed / never-reached nodes are singleton SCCs of themselves
+    rest = all_nodes.join(out.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("scc_id")
+    )
+    return out.unionByName(rest)

@@ -426,6 +426,125 @@ def _sq_dist(vec_expr, lits: list[float]):
     )
 
 
+def _np_stack(series):
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype="float64") for v in series.values])
+
+
+def _np_sq_dists(X, cb):
+    """(batch, m, ksub) squared subdistances, accumulated SEQUENTIALLY
+    over the within-subspace dim so every double matches the JVM
+    F.aggregate fold and the pure-Python oracle bit-for-bit (numpy's
+    pairwise .sum() would reorder the additions)."""
+    import numpy as np
+
+    m, ksub, dsub = cb.shape
+    Xs = X.reshape(len(X), m, dsub)
+    acc = np.zeros((len(X), m, ksub))
+    for d in range(dsub):
+        diff = Xs[:, :, d][:, :, None] - cb[None, :, :, d]
+        acc += diff * diff
+    return acc
+
+
+def _np_dots(X, cents):
+    """(batch, k) dot products, sequential over dim (same bit contract
+    as _np_sq_dists)."""
+    import numpy as np
+
+    acc = np.zeros((len(X), len(cents)))
+    for d in range(X.shape[1]):
+        acc += X[:, d][:, None] * cents[None, :, d]
+    return acc
+
+
+def _cells_udf(cents: list[list[float]]):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype="float64")
+
+    @pandas_udf("int")
+    def cells(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="int32")
+        # np.argmax returns the FIRST max — same tie rule as
+        # array_position(dots, array_max(dots))
+        return pd.Series(
+            np.argmax(_np_dots(_np_stack(e), C), axis=1).astype("int32")
+        )
+
+    return cells
+
+
+def _codes_udf(codebooks: list[list[list[float]]]):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(codebooks, dtype="float64")
+
+    @pandas_udf("array<int>")
+    def codes(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        a = np.argmin(_np_sq_dists(_np_stack(e), CB), axis=2).astype("int32")
+        return pd.Series(list(a), dtype="object")
+
+    return codes
+
+
+def _qtab_udf(codebooks: list[list[list[float]]]):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    CB = np.asarray(codebooks, dtype="float64")
+
+    @pandas_udf("array<array<double>>")
+    def qtab(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        t = _np_sq_dists(_np_stack(e), CB)
+        return pd.Series([row for row in t], dtype="object")
+
+    return qtab
+
+
+def _assign_with_centroids(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Append ``cell`` = max-dot-product centroid (first max on ties) —
+    the IVF assignment shared by train and serve paths.  Arrow path by
+    default (vectorized numpy with JVM-fold-identical addition order —
+    bit-equality is test-asserted); ``use_arrow=False`` keeps the literal
+    JVM expression, whose k·dim node tree knocks the stage out of
+    whole-stage codegen at PQ widths (measured: the interpreted plan is
+    ~10× slower AND costs seconds of driver plan-build)."""
+    if use_arrow:
+        return df.withColumn("cell", _cells_udf(cents)(_as_double(vec_col)))
+    e = _as_double(vec_col)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(e, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    return df.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -433,6 +552,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 1,
+    use_arrow: bool = True,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
     "Product Quantization for Nearest Neighbor Search"): split each
@@ -449,11 +569,13 @@ def pq_train(
     codebook (and the pure-Python oracle in functions/pyoracle.py can
     recompute it bit-for-bit).
 
-    Scale shape: per Lloyd round, assignment is a pure-JVM expression
-    (m·ksub literal squared-distance folds — no Python, no shuffle) and
-    the update is ONE aggregation keyed by (subspace, cell, within-dim) —
-    at most dim·ksub groups, so the reduce side is codebook-sized; all
-    subspaces train in the same single pass."""
+    Scale shape: per Lloyd round, assignment is map-only (Arrow-batched
+    numpy by default — m·ksub literal JVM folds exist behind
+    ``use_arrow=False`` as the cross-checked slow path, see
+    _assign_with_centroids) and the update is ONE aggregation keyed by
+    (subspace, cell, within-dim) — at most dim·ksub groups, so the
+    reduce side is codebook-sized; all subspaces train in the same
+    single pass."""
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("e"))
     first = v.limit(1).collect()
     if not first:
@@ -473,6 +595,8 @@ def pq_train(
     ]
 
     def cells_col(cbs):
+        if use_arrow:
+            return _codes_udf(cbs)(F.col("e"))
         cols = []
         for s in range(m):
             sub = F.slice("e", s * dsub + 1, dsub)
@@ -510,14 +634,22 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "code",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Map-only PQ encoding: append ``code`` (array<int>, length m) — the
     per-subspace nearest-centroid indices.  dim·8 bytes of vector become
     m small ints; at 10^12 vectors this is the representation that fits
-    a scan-everything ADC pass in cluster memory."""
+    a scan-everything ADC pass in cluster memory.
+
+    Arrow-batched numpy by default with fold-order bit-parity (see
+    _np_sq_dists); ``use_arrow=False`` is the literal-JVM cross-check
+    path — its m·ksub·dsub expression tree exceeds codegen limits, so it
+    runs interpreted (measured ~10× slower at m=8, ksub=16)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     e = _as_double(vec_col)
+    if use_arrow:
+        return df.withColumn(code_col, _codes_udf(codebooks)(e))
     cols = []
     for s in range(m):
         sub = F.slice(e, s * dsub + 1, dsub)
@@ -537,6 +669,9 @@ def pq_ivf_topk(
     pq_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF-ADC search (the IVFPQ composition of Jégou et al. 2011): an
     IVF coarse quantizer restricts each query to one inverted list, then
@@ -553,43 +688,65 @@ def pq_ivf_topk(
     wanted, is brute_force_topk on the tiny top-k set.
 
     Deterministic exactly (seeded quantizers, rounded means, sequential
-    folds) — recomputed bit-for-bit by pyoracle.pq_ivf_topk."""
-    corpus_cells, cents = ivf_train_assign(
-        corpus, k_cells, id_col, vec_col, iters
-    )
-    codebooks = pq_train(corpus, m, ksub, id_col, vec_col, pq_iters)
+    folds) — recomputed bit-for-bit by pyoracle.pq_ivf_topk.  Pass
+    ``cents``/``codebooks`` to reuse already-trained quantizers (train
+    once, search many — the serving shape); both are retrained from the
+    corpus when omitted."""
+    if cents is None:
+        corpus_cells, cents = ivf_train_assign(
+            corpus, k_cells, id_col, vec_col, iters
+        )
+    else:
+        corpus_cells = _assign_with_centroids(
+            corpus, cents, id_col, vec_col, use_arrow=use_arrow
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m, ksub, id_col, vec_col, pq_iters, use_arrow=use_arrow
+        )
     dsub = len(codebooks[0][0])
-    enc = pq_encode(corpus_cells, codebooks, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell", "code"
-    )
+    enc = pq_encode(
+        corpus_cells, codebooks, vec_col, use_arrow=use_arrow
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "code")
 
     q = queries.withColumn("e", _as_double(vec_col))
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with("e", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in cents
-        ]
-    )
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(F.slice("e", s * dsub + 1, dsub), codebooks[s][j])
-                    for j in range(len(codebooks[s]))
-                ]
-            )
-            for s in range(len(codebooks))
-        ]
-    )
-    qq = q.select(
-        F.col(id_col).alias("q_id"),
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
-        qtab.alias("qtab"),
-    )
+    if use_arrow:
+        qq = q.select(
+            F.col(id_col).alias("q_id"),
+            _cells_udf(cents)(F.col("e")).alias("cell"),
+            _qtab_udf(codebooks)(F.col("e")).alias("qtab"),
+        )
+    else:
+        dots = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "e", F.array(*[F.lit(x) for x in c]), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        qtab = F.array(
+            *[
+                F.array(
+                    *[
+                        _sq_dist(F.slice("e", s * dsub + 1, dsub), codebooks[s][j])
+                        for j in range(len(codebooks[s]))
+                    ]
+                )
+                for s in range(len(codebooks))
+            ]
+        )
+        qq = q.select(
+            F.col(id_col).alias("q_id"),
+            (F.array_position(dots, F.array_max(dots)) - 1)
+            .cast("int")
+            .alias("cell"),
+            qtab.alias("qtab"),
+        )
     adc = F.aggregate(
         F.zip_with("qtab", "code", lambda t, c: F.element_at(t, c + 1)),
         F.lit(0.0),

@@ -102,3 +102,20 @@ def test_adc_recall_on_planted_clusters(spark):
         if a * 10 + c in approx.get(a * 10, set())
     )
     assert hits >= 25, approx  # ≥ 25/30 planted copies recovered
+
+
+def test_arrow_and_jvm_paths_bit_identical(vecs):
+    """The Arrow/numpy kernels must reproduce the literal-JVM fold
+    results exactly (sequential addition order, first-min/max ties) —
+    train, encode, and full search."""
+    df, rows = vecs
+    cb_a = similarity.pq_train(df, m=8, ksub=8, iters=1, use_arrow=True)
+    cb_j = similarity.pq_train(df, m=8, ksub=8, iters=1, use_arrow=False)
+    assert cb_a == cb_j
+    enc_a = {r["vec_id"]: list(r["code"]) for r in similarity.pq_encode(df, cb_a, use_arrow=True).collect()}
+    enc_j = {r["vec_id"]: list(r["code"]) for r in similarity.pq_encode(df, cb_j, use_arrow=False).collect()}
+    assert enc_a == enc_j
+    q = df.where(F.col("vec_id") < 10)
+    s_a = sorted(map(tuple, similarity.pq_ivf_topk(q, df, k=3, k_cells=4, m=8, ksub=8, use_arrow=True).collect()))
+    s_j = sorted(map(tuple, similarity.pq_ivf_topk(q, df, k=3, k_cells=4, m=8, ksub=8, use_arrow=False).collect()))
+    assert s_a == s_j

@@ -1,0 +1,97 @@
+"""Snapshot-versioned table (plans/snapshots.py): commit log, time
+travel, crash-window invisibility, retention."""
+
+import os
+
+import pytest
+
+from dug_spark.plans.snapshots import SnapshotTable
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def _xs(df):
+    return sorted(r["x"] for r in df.collect())
+
+
+def test_overwrite_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.overwrite(_df(spark, [1, 2]))
+    s2 = t.append(_df(spark, [3]))
+    s3 = t.overwrite(_df(spark, [9]))
+    assert _xs(t.read(spark)) == [9]
+    assert _xs(t.read_as_of(spark, s1)) == [1, 2]
+    assert _xs(t.read_as_of(spark, s2)) == [1, 2, 3]
+    assert _xs(t.read_as_of(spark, s3)) == [9]
+    log = {r["snapshot_id"]: r for r in t.snapshots(spark).collect()}
+    assert log[s2]["operation"] == "append" and log[s2]["rows_written"] == 1
+    assert [log[s]["seq"] for s in (s1, s2, s3)] == [1, 2, 3]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.overwrite(_df(spark, [1]))
+    s2 = t.overwrite(_df(spark, [2]))
+    log = {r["snapshot_id"]: r["ts_ms"] for r in t.snapshots(spark).collect()}
+    assert _xs(t.read_as_of_ts(spark, log[s1])) == [1]
+    assert _xs(t.read_as_of_ts(spark, log[s2] + 10)) == [2]
+    with pytest.raises(LookupError):
+        t.read_as_of_ts(spark, log[s1] - 10)
+
+
+def test_crash_window_is_invisible(spark, tmp_path):
+    """A data dir renamed without its log record (kill between the two
+    renames) must never be visible, and expire_snapshots GCs it."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root)
+    t.overwrite(_df(spark, [1]))
+    # simulate the crash window: materialize an orphan data dir by hand
+    orphan = os.path.join(root, "snap-00000002-deadbeefdeadbeef")
+    _df(spark, [777]).write.parquet(orphan)
+    assert _xs(t.read(spark)) == [1]  # orphan invisible
+    s2 = t.overwrite(_df(spark, [2]))  # next commit takes seq 2 in the LOG
+    assert _xs(t.read(spark)) == [2]
+    t.expire_snapshots(spark, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert _xs(t.read(spark)) == [2]
+    assert _xs(t.read_as_of(spark, s2)) == [2]
+
+
+def test_expire_keeps_reader_view_consistent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.overwrite(_df(spark, [1]))
+    s2 = t.append(_df(spark, [2]))
+    t.overwrite(_df(spark, [3]))
+    n = t.expire_snapshots(spark, keep_last=1)
+    assert n == 2
+    assert _xs(t.read(spark)) == [3]
+    with pytest.raises(LookupError):
+        t.read_as_of(spark, s1)
+    with pytest.raises(LookupError):
+        t.read_as_of(spark, s2)
+
+
+def test_append_never_rewrites_parent_dirs(spark, tmp_path):
+    """Fast append: parent data dirs are referenced, not rewritten —
+    their mtimes must not change across an append."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root)
+    t.overwrite(_df(spark, [1]))
+    first_dir = [d for d in os.listdir(root) if d.startswith("snap-")][0]
+    mtime = os.path.getmtime(os.path.join(root, first_dir))
+    t.append(_df(spark, [2]))
+    assert os.path.getmtime(os.path.join(root, first_dir)) == mtime
+    assert _xs(t.read(spark)) == [1, 2]
+
+
+def test_expired_then_reused_root_continues_seq(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [1]))
+    t.overwrite(_df(spark, [2]))
+    # a NEW manager (new run) on the same root picks up the seq chain
+    t2 = SnapshotTable(str(tmp_path / "tbl"))
+    t2.append(_df(spark, [3]))
+    assert [r["seq"] for r in sorted(t2.snapshots(spark).collect(), key=lambda r: r["seq"])] == [1, 2, 3]
+    assert _xs(t2.read(spark)) == [2, 3]
