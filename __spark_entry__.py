@@ -1776,6 +1776,19 @@ def _pyoracle_values() -> dict[str, str]:
                 "q_id, neighbor_id, rk, cos_sim",
                 "BIGINT, BIGINT, INTEGER, DOUBLE",
             ),
+            "ann_pq": _values_or_empty(
+                po.pq_ivf_topk(
+                    qs30, flat, k=5, k_cells=8, m=8, ksub=16,
+                    iters=1, pq_iters=1,
+                ),
+                "q_id, neighbor_id, rk, adc_dist",
+                "BIGINT, BIGINT, INTEGER, DOUBLE",
+            ),
+            "web_scc": _values_or_empty(
+                po.scc_rows(po.web_edges_py([d for d, _t in docs])),
+                "node, scc_id",
+                "VARCHAR, VARCHAR",
+            ),
             # published web-corpus filter rule sets (Gopher §A1.1 / C4
             # §2.2): independent pure-Python recompute of the rules
             "text_gopher": _values_or_empty(
@@ -2092,10 +2105,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its slot to typed relation extraction, the kg_construct-core
         # operator; the union row stays green in the extra registry
         "relation_extract": q_relation_extract,
-        "rel_grouped_collect": q_rel_grouped_collect,
         "rel_merge_upsert": q_rel_merge_upsert,
-        "rel_metadata_extract": q_rel_metadata_extract,
         "rel_window_hourly": q_rel_window_hourly,
+        # round 5 (cont. 2): rel_grouped_collect (A12 collect_list
+        # reshaping — still exercised by rel_var_grouped_filtered's
+        # grouped flatten) and rel_metadata_extract (X-class regex
+        # projection — exercised inside relation_extract's zipped
+        # two-group extraction) cede their slots to the IVFPQ ANN search
+        # and web-graph SCC rows; both stay green in the extra registry
+        "ann_pq": q_ann_pq,
+        "web_scc": q_web_scc,
         "dedup_exact": q_dedup_exact,
         "dedup_near_shingle": q_dedup_near_shingle,
         "text_quality": q_text_quality,
@@ -2344,19 +2363,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rk <= 3"
         ),
         "relation_extract": _relation_sql(),
-        "rel_grouped_collect": (
-            "SELECT user_id, COUNT(*) AS n_events, "
-            "string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types "
-            "FROM events GROUP BY user_id"
-        ),
         "rel_merge_upsert": (
             "WITH old AS (SELECT o_orderkey AS k, 'old' AS src_old FROM orders WHERE o_orderkey % 3 = 0), "
             "new AS (SELECT o_orderkey AS k, 'new' AS src_new FROM orders WHERE o_orderkey % 2 = 0) "
             "SELECT COALESCE(old.k, new.k) AS o_orderkey, COALESCE(src_new, src_old) AS src "
             "FROM old FULL OUTER JOIN new ON old.k = new.k"
-        ),
-        "rel_metadata_extract": (
-            "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events"
         ),
         "rel_window_hourly": (
             "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
@@ -2638,6 +2649,22 @@ def q_web_scc(spark, sf_dir):
     )
     return graph.strongly_connected_components(
         edges, src_col="src_host", dst_col="dst_host"
+    )
+
+
+def q_web_anf(spark, sf_dir):
+    """Approximate neighborhood function over the href host graph
+    (graph.neighborhood_function, ANF/Palmer 2002: FM bitmask sketches
+    OR-propagated 3 hops — per-node reach estimates and the effective
+    diameter's raw statistic at constant bytes/node).  Oracle: bit-exact
+    pure-Python FM mirror (pyoracle.anf_rows)."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    return graph.neighborhood_function(
+        edges, hops=3, src_col="src_host", dst_col="dst_host"
     )
 
 
@@ -3052,9 +3079,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (cont.): crawl temporality over the input_hint shape
         "crawl_churn": q_crawl_churn,
         "web_kcore": q_web_kcore,
-        "ann_pq": q_ann_pq,
         "web_walks": q_web_walks,
-        "web_scc": q_web_scc,
+        # round 5 (cont. 2): retired from the driver window by ann_pq /
+        # web_scc; both stay fully oracled here
+        "rel_grouped_collect": q_rel_grouped_collect,
+        "rel_metadata_extract": q_rel_metadata_extract,
+        "web_anf": q_web_anf,
     }
 
 
@@ -3311,6 +3341,14 @@ def extra_oracle_sql() -> dict[str, str]:
             "FROM hist GROUP BY url"
         ),
         "web_kcore": _kcore_sql(web_edges, k=3, rounds=8),
+        "rel_grouped_collect": (
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types "
+            "FROM events GROUP BY user_id"
+        ),
+        "rel_metadata_extract": (
+            "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events"
+        ),
         "kg_triples_subclass": (
             f"{norm_cte}, {_SQL_KGE} "
             "SELECT DISTINCT e.subject AS subj, 'biolink:subclass_of' AS pred, e.object AS obj "
@@ -3401,10 +3439,10 @@ def extra_oracle_sql() -> dict[str, str]:
             "q_id, neighbor_id, rk, cos_sim",
             "BIGINT, BIGINT, INTEGER, DOUBLE",
         )
-        out["web_scc"] = _values_or_empty(
-            po.scc_rows(po.web_edges_py([d for d, _t in docs])),
-            "node, scc_id",
-            "VARCHAR, VARCHAR",
+        out["web_anf"] = _values_or_empty(
+            po.anf_rows(po.web_edges_py([d for d, _t in docs]), hops=3),
+            "node, hop, sum_lzb, est",
+            "VARCHAR, INTEGER, INTEGER, DOUBLE",
         )
         out["web_walks"] = _values_or_empty(
             po.random_walk_rows(
@@ -3413,15 +3451,6 @@ def extra_oracle_sql() -> dict[str, str]:
             ),
             "start, walk_no, path, steps",
             "VARCHAR, INTEGER, VARCHAR, INTEGER",
-        )
-        flat = [(v, e) for v, e, _l in vecs]
-        out["ann_pq"] = _values_or_empty(
-            po.pq_ivf_topk(
-                [(v, e) for v, e in flat if v < 30],
-                flat, k=5, k_cells=8, m=8, ksub=16, iters=1, pq_iters=1,
-            ),
-            "q_id, neighbor_id, rk, adc_dist",
-            "BIGINT, BIGINT, INTEGER, DOUBLE",
         )
         bpe_merges = po.bpe_train(
             docs, num_merges=60, batch=4, min_count=2, max_words=5000

@@ -1209,3 +1209,54 @@ def scc_rows(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
         cid = min(comp)
         out.extend((n, cid) for n in comp)
     return sorted(out)
+
+
+def anf_rows(
+    pairs: list[tuple[str, str]],
+    hops: int = 3,
+    registers: int = 8,
+) -> list[tuple[str, int, int, float]]:
+    """Bit-exact mirror of graph.neighborhood_function: FM sketches from
+    xxhash64("node#r") trailing zeros (cap 62), OR-propagation along
+    out-edges, lowest-zero-bit statistic and the 2^(k/R)/0.77351
+    estimate (round_half_up to 3, matching Spark's ROUND)."""
+    adj: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        adj.setdefault(a, set()).add(b)
+
+    def tz_cap(h: int) -> int:
+        hm = h & _M
+        low = hm & ((~hm + 1) & _M)
+        return min(((low - 1) & _M).bit_count() if low else 64, 62)
+
+    sk = {
+        v: [
+            1 << tz_cap(xxh64(f"{v}#{r}".encode("utf-8"), 42))
+            for r in range(registers)
+        ]
+        for v in nodes
+    }
+
+    def lzb(m: int) -> int:
+        return (m ^ (m + 1)).bit_count() - 1
+
+    out = []
+    for h in range(1, hops + 1):
+        new = {}
+        for v in nodes:
+            regs = list(sk[v])
+            for w in adj.get(v, ()):
+                for r in range(registers):
+                    regs[r] |= sk[w][r]
+            new[v] = regs
+        sk = new
+        for v in sorted(nodes):
+            s = sum(lzb(m) for m in sk[v])
+            est = round_half_up(2.0 ** (s / registers) / 0.77351, 3)
+            out.append((v, h, s, est))
+    return out

@@ -879,3 +879,110 @@ def strongly_connected_components(
         "node", F.col("node").alias("scc_id")
     )
     return out.unionByName(rest)
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    hops: int = 3,
+    registers: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Approximate neighborhood function (ANF — Palmer, Gibbons &
+    Faloutsos 2002, the precursor of HyperANF): for every node and every
+    hop h ≤ ``hops``, an estimate of |{w : dist(v→w) ≤ h}| from
+    Flajolet–Martin bitmask sketches propagated along OUT-edges.  The
+    per-node distance distribution — and with one aggregation the
+    graph's effective diameter — at web scale, where exact per-node BFS
+    is quadratic and hopeless.
+
+    Returns ``(node, hop, sum_lzb, est)`` for h = 1..hops:
+    ``sum_lzb`` = Σ over registers of the lowest-zero-bit index of the
+    hop-h mask (the raw FM statistic, integer-exact — the hash-stable
+    column), ``est`` = 2^(sum_lzb/R) / 0.77351 rounded to 3 (the FM
+    cardinality estimate).
+
+    Determinism: register bits come from xxhash64("node#r") trailing
+    zeros (capped at 62), so sketches — and every downstream estimate —
+    are byte-identical across engines and cluster sizes;
+    pyoracle.anf_rows is the bit-exact mirror.
+
+    Scale shape: a sketch is R longs (R=8 → 64 bytes/node, constant in
+    graph size — the whole point of ANF).  Per hop: ONE edges⋈sketches
+    join keyed on dst + ONE bit_or aggregation keyed on src (bitwise OR
+    is algebraic — map-side partial combine collapses hub fan-in), then
+    a node-keyed left-join OR-merge with the previous sketch; sketches
+    localCheckpoint per hop like every iterative node table here.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    rcols = [f"m{r}" for r in range(registers)]
+
+    # register r of node v sets ONE bit at index = trailing zeros of
+    # xxhash64("v#r"), capped at 62 (the FM geometric distribution);
+    # pure-SQL form so the whole init is one codegen projection
+    sk = nodes.select(
+        "node",
+        *[
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), least(bit_count(((xxhash64(concat(node, '#%d')) & -xxhash64(concat(node, '#%d'))) - 1)), 62))"
+                % (r, r)
+            ).alias(f"m{r}")
+            for r in range(registers)
+        ],
+    ).localCheckpoint(eager=True)
+
+    # lowest-zero-bit index of mask m = bit_count(m ^ (m + 1)) - 1
+    def lzb(c: str):
+        m = F.col(c)
+        return F.bit_count(m.bitwiseXOR(m + F.lit(1))) - F.lit(1)
+
+    out_frames = []
+    for h in range(1, hops + 1):
+        nb = (
+            e.join(
+                sk.withColumnRenamed("node", "dst"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(*[F.bit_or(c).alias(c) for c in rcols])
+        )
+        sk = (
+            sk.alias("a")
+            .join(nb.alias("b").withColumnsRenamed({c: f"b_{c}" for c in rcols}), "node", "left")
+            .select(
+                "node",
+                *[
+                    F.col(c)
+                    .bitwiseOR(F.coalesce(F.col(f"b_{c}"), F.lit(0)))
+                    .alias(c)
+                    for c in rcols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        sum_lzb = sum([lzb(c) for c in rcols], F.lit(0))
+        est = F.round(
+            F.pow(F.lit(2.0), sum_lzb.cast("double") / registers) / 0.77351, 3
+        )
+        out_frames.append(
+            sk.select(
+                "node",
+                F.lit(h).alias("hop"),
+                sum_lzb.cast("int").alias("sum_lzb"),
+                est.alias("est"),
+            )
+        )
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.unionByName(f)
+    return out
