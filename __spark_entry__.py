@@ -2668,6 +2668,24 @@ def q_web_anf(spark, sf_dir):
     )
 
 
+def q_web_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence counts (graph.walks_to_skipgrams, the
+    DeepWalk→word2vec training-pair materialization) over the
+    deterministic host-graph walks — map-side pair expansion, ONE count
+    shuffle.  Oracle: pyoracle.skipgram_rows over the bit-exact walk
+    mirror."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    walks = graph.random_walks(
+        edges, walk_length=4, walks_per_node=2,
+        src_col="src_host", dst_col="dst_host",
+    )
+    return graph.walks_to_skipgrams(walks, window=2)
+
+
 def _kcore_sql(prefix_with_e: str, k: int = 3, rounds: int = 8) -> str:
     """Unrolled k-core peel over any prefix SQL defining a CTE
     ``e(src, dst)``: symmetrize, then per round degree-count / peel /
@@ -3085,6 +3103,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouped_collect": q_rel_grouped_collect,
         "rel_metadata_extract": q_rel_metadata_extract,
         "web_anf": q_web_anf,
+        "web_skipgrams": q_web_skipgrams,
     }
 
 
@@ -3438,6 +3457,17 @@ def extra_oracle_sql() -> dict[str, str]:
             po.ivf_topk(qs3, vecs, k=5),
             "q_id, neighbor_id, rk, cos_sim",
             "BIGINT, BIGINT, INTEGER, DOUBLE",
+        )
+        out["web_skipgrams"] = _values_or_empty(
+            po.skipgram_rows(
+                po.random_walk_rows(
+                    po.web_edges_py([d for d, _t in docs]),
+                    walk_length=4, walks_per_node=2,
+                ),
+                window=2,
+            ),
+            "center, context, n_pairs",
+            "VARCHAR, VARCHAR, BIGINT",
         )
         out["web_anf"] = _values_or_empty(
             po.anf_rows(po.web_edges_py([d for d, _t in docs]), hops=3),

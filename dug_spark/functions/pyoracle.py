@@ -1260,3 +1260,21 @@ def anf_rows(
             est = round_half_up(2.0 ** (s / registers) / 0.77351, 3)
             out.append((v, h, s, est))
     return out
+
+
+def skipgram_rows(
+    walk_rows: list[tuple[str, int, str, int]],
+    window: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Mirror of graph.walks_to_skipgrams over random_walk_rows output:
+    ordered within-window pairs, aggregated counts."""
+    counts: dict[tuple[str, str], int] = {}
+    for _start, _w, path, _steps in walk_rows:
+        toks = path.split(">")
+        for i, c in enumerate(toks):
+            for j in range(max(0, i - window), min(len(toks), i + window + 1)):
+                if j == i:
+                    continue
+                key = (c, toks[j])
+                counts[key] = counts.get(key, 0) + 1
+    return sorted((a, b, n) for (a, b), n in counts.items())

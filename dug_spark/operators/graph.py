@@ -986,3 +986,47 @@ def neighborhood_function(
     for f in out_frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def walks_to_skipgrams(
+    walks: DataFrame,
+    window: int = 2,
+    path_col: str = "path",
+    sep: str = ">",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts from a walk corpus — the training
+    pairs DeepWalk/node2vec feed to word2vec, aggregated to the
+    (center, context, n_pairs) co-occurrence table (the GloVe-style
+    materialization that survives 10^12 walks, where raw pair streams
+    don't).  Every ordered pair of walk positions within ``window`` hops
+    emits once; pair generation is PURE MAP-SIDE array arithmetic
+    (nested transform over the split path — no self-join, no explode
+    before the filter), so the ONLY shuffle is the final count
+    aggregation, whose hot keys (hub-hub pairs) collapse in map-side
+    partial combine."""
+    toks = F.split(F.col(path_col), sep)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.filter(
+                    idx,
+                    lambda j: (j != i)
+                    & (F.abs(j - i) <= F.lit(window)),
+                ),
+                lambda j: F.struct(
+                    F.element_at(toks, i).alias("center"),
+                    F.element_at(toks, j).alias("context"),
+                ),
+            ),
+        )
+    )
+    return (
+        walks.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -85,7 +85,11 @@ class SnapshotTable:
 
     # -- commit ------------------------------------------------------------
     def _commit(
-        self, df: DataFrame, operation: str, parent_dirs: list[str]
+        self,
+        df: DataFrame,
+        operation: str,
+        parent_dirs: list[str],
+        partition_by: list[str] | None = None,
     ) -> str:
         spark = df.sparkSession
         recs = self._committed()
@@ -94,7 +98,13 @@ class SnapshotTable:
         data_name = f"snap-{seq:08d}-{snap_id}"
         data_final = os.path.join(self.root, data_name)
         data_tmp = data_final + ".tmp"
-        df.write.mode("overwrite").parquet(data_tmp)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style partition dirs inside the snapshot dir: readers
+            # get partition PRUNING on the partition columns for free
+            # (the north_star's "partitioned Iceberg tables" surface)
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_tmp)
         rows = spark.read.parquet(data_tmp).count()
         os.rename(data_tmp, data_final)
         # the LOG record rename is the commit point: a kill between the
@@ -121,11 +131,15 @@ class SnapshotTable:
         os.rename(rec_tmp, rec_final)
         return snap_id
 
-    def overwrite(self, df: DataFrame) -> str:
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
         """Commit a snapshot replacing the table contents; returns its id."""
-        return self._commit(df, "overwrite", [])
+        return self._commit(df, "overwrite", [], partition_by)
 
-    def append(self, df: DataFrame) -> str:
+    def append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
         """Commit a snapshot adding rows on top of the current one (fast
         append: existing data dirs are referenced, never rewritten)."""
         spark = df.sparkSession
@@ -134,11 +148,22 @@ class SnapshotTable:
         if recs:
             cur = self._records(spark)[-1]
             parents = list(cur["data_dirs"])
-        return self._commit(df, "append", parents)
+        return self._commit(df, "append", parents, partition_by)
 
     # -- read --------------------------------------------------------------
     def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
-        return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+        # each snapshot dir is its OWN parquet root (it may carry
+        # hive-style partition subdirs): read per root and union, so
+        # partition discovery — and partition PRUNING under filters —
+        # applies inside every branch; a single multi-path read would
+        # raise CONFLICTING_DIRECTORY_STRUCTURES across partitioned roots
+        parts = [
+            spark.read.parquet(os.path.join(self.root, d)) for d in dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The current snapshot."""

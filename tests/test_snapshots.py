@@ -95,3 +95,58 @@ def test_expired_then_reused_root_continues_seq(spark, tmp_path):
     t2.append(_df(spark, [3]))
     assert [r["seq"] for r in sorted(t2.snapshots(spark).collect(), key=lambda r: r["seq"])] == [1, 2, 3]
     assert _xs(t2.read(spark)) == [2, 3]
+
+
+def test_partitioned_snapshot_prunes(spark, tmp_path):
+    """partition_by writes hive-style dirs inside the snapshot; a filter
+    on the partition column must reach the scan as partition pruning
+    (PartitionFilters / fewer files), and append chains must stay
+    readable across partitioned dirs."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "HAS_CONCEPT"), (2, "HAS_CONCEPT"), (3, "subclass_of")],
+        "x int, pred string",
+    )
+    t.overwrite(df, partition_by=["pred"])
+    t.append(
+        spark.createDataFrame([(4, "co_mention")], "x int, pred string"),
+        partition_by=["pred"],
+    )
+    cur = t.read(spark)
+    assert sorted(r["x"] for r in cur.collect()) == [1, 2, 3, 4]
+    filtered = cur.where(cur["pred"] == "HAS_CONCEPT")
+    assert sorted(r["x"] for r in filtered.collect()) == [1, 2]
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred" in plan, plan
+
+
+def test_pipeline_triples_to_snapshot_table(spark, tmp_path):
+    """North-star integration: materialize pipeline triples to a
+    partitioned snapshot table, append an incremental batch, time-travel
+    back to the first snapshot."""
+    from dug_spark import fixtures
+    from dug_spark.pipeline import Pipeline
+
+    corpus = fixtures.corpus_from_documents(spark, "/root/testdata/sf0.001")
+    pipe = Pipeline(
+        dictionary=fixtures.vocab_dictionary(spark),
+        curie_norm=fixtures.vocab_norm(spark),
+        kg_edges=fixtures.vocab_kg_edges(spark),
+    )
+    res = pipe.run(corpus)
+    t = SnapshotTable(str(tmp_path / "triples"))
+    s1 = t.overwrite(res.triples, partition_by=["pred"])
+    n1 = t.read(spark).count()
+    assert n1 == res.triples.count() and n1 > 0
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [("X:1", "HAS_CONCEPT", "Y:1")], "subj string, pred string, obj string"
+    )
+    for f in res.triples.schema.fields:
+        if f.name not in extra.columns:
+            extra = extra.withColumn(f.name, F.lit(None).cast(f.dataType))
+    extra = extra.select(*res.triples.columns)
+    t.append(extra, partition_by=["pred"])
+    assert t.read(spark).count() == n1 + 1
+    assert t.read_as_of(spark, s1).count() == n1

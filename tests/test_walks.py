@@ -56,3 +56,30 @@ def test_symmetric_mode(spark):
     rows = graph.random_walks(df, walk_length=3, walks_per_node=1, symmetric=True).collect()
     paths = {r["start"]: r["path"] for r in rows}
     assert paths == {"a": "a>b>a>b", "b": "b>a>b>a"}
+
+
+def test_skipgrams_match_mirror(small):
+    pairs, df = small
+    walks = graph.random_walks(df, walk_length=4, walks_per_node=2)
+    got = sorted(map(tuple, graph.walks_to_skipgrams(walks, window=2).collect()))
+    want = po.skipgram_rows(po.random_walk_rows(pairs, 4, 2), window=2)
+    assert got == want
+
+
+def test_skipgram_window_semantics(spark):
+    w = spark.createDataFrame([("a", 0, "a>b>c>d", 3)],
+                              "start string, walk_no int, path string, steps int")
+    rows = {(r["center"], r["context"]): r["n_pairs"]
+            for r in graph.walks_to_skipgrams(w, window=1).collect()}
+    # window=1: only adjacent ordered pairs, each once
+    assert rows == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+                    ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1}
+
+
+def test_skipgram_counts_aggregate_repeats(spark):
+    w = spark.createDataFrame(
+        [("a", 0, "a>b", 1), ("a", 1, "a>b", 1)],
+        "start string, walk_no int, path string, steps int")
+    rows = {(r["center"], r["context"]): r["n_pairs"]
+            for r in graph.walks_to_skipgrams(w, window=2).collect()}
+    assert rows == {("a", "b"): 2, ("b", "a"): 2}
