@@ -245,6 +245,34 @@ def _child_sample(cores: int, replicate: int, runs: int = 2) -> dict:
     return json.loads(line)
 
 
+# Headline registry queries timed by the per-round suite.  Resolved
+# against queries() ∪ extra_queries() at run time (tests/test_bench.py
+# asserts every name resolves, so a driver-window rotation that evicts a
+# headline op into the extra registry cannot crash the bench).
+HEADLINE_NAMES = [
+    "kg_mentions",
+    "kg_triples_all",
+    "kg_connected_components",
+    "rel_pricing_summary",
+    "rel_top_events_per_user",
+    "rel_grouped_collect",
+    "dedup_exact",
+    "dedup_near_shingle",
+    "text_quality",
+    "knn_cosine",
+    "search_concepts_bm25",
+    "search_bm25",
+    # round 5: NPMI edge weighting (driver row) + NB quality
+    # classifier and span dedup (extra-registry rows)
+    "kg_npmi",
+    # round 5 (cont.): ontology closure + typed relation extraction
+    # (rel_top_orders ceded its driver slot; timing coverage of the
+    # pagination shape stays via rel_top_events_per_user's window)
+    "kg_closure",
+    "relation_extract",
+]
+
+
 def headline_queries(spark, runs: int = 2) -> dict[str, float]:
     """Time each headline query (seconds to full materialization),
     best-of-`runs`: one steal storm during a single-sample suite reads as
@@ -252,30 +280,15 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
     the repeat costs seconds and makes the artifact storm-proof."""
     import __spark_entry__ as entry_mod
 
-    names = [
-        "kg_mentions",
-        "kg_triples_all",
-        "kg_connected_components",
-        "rel_pricing_summary",
-        "rel_top_events_per_user",
-        "rel_grouped_collect",
-        "dedup_exact",
-        "dedup_near_shingle",
-        "text_quality",
-        "knn_cosine",
-        "search_concepts_bm25",
-        "search_bm25",
-        # round 5: NPMI edge weighting (driver row) + NB quality
-        # classifier and span dedup (extra-registry rows)
-        "kg_npmi",
-        # round 5 (cont.): ontology closure + typed relation extraction
-        # (rel_top_orders ceded its driver slot; timing coverage of the
-        # pagination shape stays via rel_top_events_per_user's window)
-        "kg_closure",
-        "relation_extract",
-    ]
+    names = HEADLINE_NAMES
     qs = entry_mod.queries()
     extra_qs = entry_mod.extra_queries()
+    # Resolve headline names against BOTH registries: the driver window
+    # rotates (an op promoted into the 50-slot window evicts another into
+    # the extra registry), and the bench suite must survive that rotation
+    # — r5 saw a KeyError when rel_grouped_collect/knn_cosine ceded their
+    # driver slots to ann_pq/web_scc but stayed headline-timed here.
+    all_qs = {**extra_qs, **qs}
     # extra (non-oracle) heavy ops: minhash LSH + simhash + ANN-LSH
     from pyspark.sql import functions as F
 
@@ -283,7 +296,7 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    fns = {name: (lambda n=name: qs[n](spark, SF_DIR)) for name in names}
+    fns = {name: (lambda n=name: all_qs[n](spark, SF_DIR)) for name in names}
     fns.update(
         {
             "dedup_minhash_lsh": lambda: dedup.minhash_near_duplicates(docs),
@@ -291,9 +304,9 @@ def headline_queries(spark, runs: int = 2) -> dict[str, float]:
             "ann_lsh_topk": lambda: similarity.lsh_topk(
                 emb.where(F.col("vec_id") < 100), emb, dim=64, k=5
             ),
-            "quality_nb": lambda: extra_qs["quality_nb"](spark, SF_DIR),
-            "span_dedup": lambda: extra_qs["span_dedup"](spark, SF_DIR),
-            "inverted_index": lambda: extra_qs["inverted_index"](spark, SF_DIR),
+            "quality_nb": lambda: all_qs["quality_nb"](spark, SF_DIR),
+            "span_dedup": lambda: all_qs["span_dedup"](spark, SF_DIR),
+            "inverted_index": lambda: all_qs["inverted_index"](spark, SF_DIR),
         }
     )
     # Repeats are taken as FULL PASSES over the suite (pass 1 all queries,
