@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from dug_spark import fixtures
 from dug_spark.operators import (
     annotate,
+    bgp,
     canonicalize,
     dedup,
     expand,
@@ -643,6 +644,46 @@ def q_kg_triples_all(spark, sf_dir):
     ).select("subj", "pred", "obj")
 
 
+def q_kg_bgp(spark, sf_dir):
+    """Conjunctive basic-graph-pattern query over the materialized triple
+    table (operators/bgp.py — the declarative layer replacing the
+    reference's TranQL query strings, tranql.py:257-286): documents
+    mentioning a concept that has an ontology parent AND co-occurs with a
+    second mentioned concept.  Four patterns -> three keyed self-joins;
+    the two-constant subclass pattern broadcasts."""
+    t = triples_op.build_triples(
+        _nmentions(spark, sf_dir), fixtures.vocab_kg_edges(spark)
+    ).select("subj", "pred", "obj")
+    return bgp.match_bgp(
+        t,
+        [
+            ("?doc", "HAS_CONCEPT", "?c"),
+            ("?c", "biolink:subclass_of", "?parent"),
+            ("?doc", "HAS_CONCEPT", "?c2"),
+            ("?c", "co_mentioned_with", "?c2"),
+        ],
+    )
+
+
+def q_kg_khop(spark, sf_dir):
+    """Bounded k-hop reachability (bgp.bounded_reachability) over the
+    symmetrized co-mention concept graph from the two lexicographically
+    first co-mention sources; first-reach hop = min-hop distance, which
+    is what the recursive-CTE oracle computes."""
+    com = (
+        triples_op.build_triples(
+            _nmentions(spark, sf_dir), fixtures.vocab_kg_edges(spark)
+        )
+        .where(F.col("pred") == "co_mentioned_with")
+        .select("subj", "obj")
+    )
+    sym = com.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).unionByName(com.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+    seeds = com.select(F.col("subj").alias("seed")).distinct().orderBy("seed").limit(2)
+    return bgp.bounded_reachability(sym, seeds, 3).select("seed", "node", "hops")
+
+
 def q_kg_connected_components(spark, sf_dir):
     """N4: iterative min-label-propagation connected components."""
     edges = spark.createDataFrame(_CC_EDGES, "src string, dst string")
@@ -1254,6 +1295,46 @@ def q_crawl_churn(spark, sf_dir):
         ).alias("text"),
     )
     return crawl.snapshot_churn(cap)
+
+
+def q_kg_triple_validity(spark, sf_dir):
+    """Temporal-KG validity intervals (crawl.triple_validity): triples
+    observed across 8 deterministic crawl snapshots — doc_id encodes
+    (triple t = doc_id//8, snapshot s = doc_id%8), presence = bit s of t,
+    so every 8-snapshot presence/absence pattern (gaps, reappearances,
+    stale, current) occurs.  Timestamps exported as epoch seconds for
+    cross-engine hashing."""
+    from dug_spark.operators import crawl
+
+    d = _pq(spark, sf_dir, "documents").select("doc_id")
+    t = (F.col("doc_id") / 8).cast("long")
+    s = (F.col("doc_id") % 8).cast("int")
+    present = F.element_at(
+        F.array(*[(F.shiftright(t, b) % 2 == 1) for b in range(8)]), s + 1
+    )
+    preds = F.array(
+        F.lit("HAS_CONCEPT"),
+        F.lit("biolink:subclass_of"),
+        F.lit("co_mentioned_with"),
+    )
+    obs = d.where(present).select(
+        F.concat(F.lit("E:"), t.cast("string")).alias("subj"),
+        F.element_at(preds, (t % 3 + 1).cast("int")).alias("pred"),
+        F.concat(F.lit("C:"), (t % 13).cast("string")).alias("obj"),
+        F.timestamp_seconds(F.lit(1600000000) + s.cast("long") * 86400).alias(
+            "warc_ts"
+        ),
+    )
+    out = crawl.triple_validity(obs)
+    return out.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "n_snapshots",
+        "is_current",
+    )
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -2047,6 +2128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_all": q_kg_triples_all,
         "kg_connected_components": q_kg_connected_components,
         "kg_canonical_mapping": q_kg_canonical_mapping,
+        # round 5 (cont. 3): the declarative KG-query layer — conjunctive
+        # BGP matching (the TranQL-analog) and seeded k-hop reachability.
+        # rel_pricing_summary / rel_window_hourly cede their slots (plain
+        # one-shot SQL aggregations whose shapes ride in dedup_exact /
+        # rel_top_events_per_user); both keep continuous verification in
+        # the extra registry
+        "kg_bgp": q_kg_bgp,
+        "kg_khop": q_kg_khop,
         "kg_expand": q_kg_expand,
         "kg_node_to_elements": q_kg_node_to_elements,
         "search_kg": q_search_kg,
@@ -2070,7 +2159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_concepts_bm25": q_search_concepts_bm25,
         "rel_var_grouped_filtered": q_var_grouped_filtered,
         "rel_var_grouped_facets": q_var_grouped_facets,
-        "rel_pricing_summary": q_rel_pricing_summary,
         "rel_facet_exclude": q_rel_facet_exclude,
         # round 5 (cont.): rel_top_hit_per_group (A9 top_hits(1) — its
         # argmax-per-group window semantics stay driver-visible via
@@ -2106,7 +2194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator; the union row stays green in the extra registry
         "relation_extract": q_relation_extract,
         "rel_merge_upsert": q_rel_merge_upsert,
-        "rel_window_hourly": q_rel_window_hourly,
         # round 5 (cont. 2): rel_grouped_collect (A12 collect_list
         # reshaping — still exercised by rel_var_grouped_filtered's
         # grouped flatten) and rel_metadata_extract (X-class regex
@@ -2198,6 +2285,36 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT DISTINCT a.curie, 'co_mentioned_with', b.curie "
             "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
+        ),
+        "kg_bgp": (
+            f"{norm_cte}, {_SQL_KGE}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+            "t AS (SELECT DISTINCT url AS subj, 'HAS_CONCEPT' AS pred, curie AS obj "
+            "FROM nmentions "
+            "UNION ALL SELECT DISTINCT e.subject, 'biolink:subclass_of', e.object "
+            "FROM kg_edges e WHERE e.predicate = 'biolink:subclass_of' "
+            "AND e.subject IN (SELECT curie FROM dm) "
+            "UNION ALL SELECT DISTINCT a.curie, 'co_mentioned_with', b.curie "
+            "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie) "
+            "SELECT DISTINCT t1.obj AS c, t3.obj AS c2, t1.subj AS doc, t2.obj AS parent "
+            "FROM t t1 "
+            "JOIN t t2 ON t2.pred = 'biolink:subclass_of' AND t2.subj = t1.obj "
+            "JOIN t t3 ON t3.pred = 'HAS_CONCEPT' AND t3.subj = t1.subj "
+            "JOIN t t4 ON t4.pred = 'co_mentioned_with' AND t4.subj = t1.obj "
+            "AND t4.obj = t3.obj "
+            "WHERE t1.pred = 'HAS_CONCEPT'"
+        ),
+        "kg_khop": (
+            "WITH RECURSIVE " + norm_cte[len("WITH ") :] + ", "
+            "dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+            "cm AS (SELECT DISTINCT a.curie AS s, b.curie AS o "
+            "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie), "
+            "sym AS (SELECT s AS src, o AS dst FROM cm UNION SELECT o, s FROM cm), "
+            "seeds AS (SELECT DISTINCT s AS seed FROM cm ORDER BY seed LIMIT 2), "
+            "reach AS (SELECT seed, seed AS node, 0 AS hops FROM seeds "
+            "UNION SELECT r.seed, sy.dst, r.hops + 1 FROM reach r "
+            "JOIN sym sy ON sy.src = r.node WHERE r.hops < 3) "
+            "SELECT seed, node, CAST(MIN(hops) AS INTEGER) AS hops "
+            "FROM reach GROUP BY seed, node HAVING MIN(hops) > 0"
         ),
         "kg_connected_components": (
             f"WITH RECURSIVE e(src, dst) AS (VALUES {_vals(_CC_EDGES)}), "
@@ -2343,14 +2460,6 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lower(event_type) IN ('click', 'error') GROUP BY bucket"
         ),
         "kg_disambiguate": _DISAMBIG_SQL,
-        "rel_pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, "
-            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
-            "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
-        ),
         "kg_closure": _CLOSURE_SQL,
         "rel_facet_counts": (
             "SELECT UPPER(event_type) AS facet, COUNT(*) AS n FROM events "
@@ -2368,11 +2477,6 @@ def oracle_sql() -> dict[str, str]:
             "new AS (SELECT o_orderkey AS k, 'new' AS src_new FROM orders WHERE o_orderkey % 2 = 0) "
             "SELECT COALESCE(old.k, new.k) AS o_orderkey, COALESCE(src_new, src_old) AS src "
             "FROM old FULL OUTER JOIN new ON old.k = new.k"
-        ),
-        "rel_window_hourly": (
-            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
-            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
-            "FROM events GROUP BY date_trunc('hour', ts), event_type"
         ),
         "dedup_exact": (
             "WITH dup AS (SELECT doc_id, text FROM documents "
@@ -3096,11 +3200,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         # round 5 (cont.): crawl temporality over the input_hint shape
         "crawl_churn": q_crawl_churn,
+        # round 5 (cont. 3): temporal-KG validity intervals over crawl
+        # snapshots (SCD-2 islands; crawl.triple_validity)
+        "kg_triple_validity": q_kg_triple_validity,
         "web_kcore": q_web_kcore,
         "web_walks": q_web_walks,
         # round 5 (cont. 2): retired from the driver window by ann_pq /
         # web_scc; both stay fully oracled here
         "rel_grouped_collect": q_rel_grouped_collect,
+        # round 5 (cont. 3): retired from the driver window by kg_bgp /
+        # kg_khop; both stay fully oracled here
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_window_hourly": q_rel_window_hourly,
         "rel_metadata_extract": q_rel_metadata_extract,
         "web_anf": q_web_anf,
         "web_skipgrams": q_web_skipgrams,
@@ -3311,6 +3422,19 @@ def extra_oracle_sql() -> dict[str, str]:
             "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie"
         ),
         "knn_cosine": _KNN_SQL,
+        "rel_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
+            "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "rel_window_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
         "rel_top_hit_per_group": (
             "SELECT event_type, event_id, user_id FROM ("
             "SELECT event_type, event_id, user_id, ROW_NUMBER() OVER "
@@ -3333,6 +3457,30 @@ def extra_oracle_sql() -> dict[str, str]:
             "ROUND(2.0 * n_co / (ma.c + mb.c), 5) AS dice "
             "FROM co JOIN marg ma ON ma.curie = co.src "
             "JOIN marg mb ON mb.curie = co.dst"
+        ),
+        "kg_triple_validity": (
+            # same (triple, snapshot) synthesis as q_kg_triple_validity:
+            # t = doc_id//8, s = doc_id%8, present iff bit s of t
+            "WITH obs AS (SELECT "
+            "  'E:' || CAST(doc_id // 8 AS VARCHAR) AS subj, "
+            "  ['HAS_CONCEPT','biolink:subclass_of','co_mentioned_with']"
+            "[CAST((doc_id // 8) % 3 AS INT) + 1] AS pred, "
+            "  'C:' || CAST((doc_id // 8) % 13 AS VARCHAR) AS obj, "
+            "  TIMESTAMP '2020-09-13 12:26:40' + (doc_id % 8) * INTERVAL 1 DAY AS warc_ts "
+            "  FROM documents WHERE ((doc_id // 8) >> CAST(doc_id % 8 AS INT)) & 1 = 1), "
+            "tl AS (SELECT warc_ts, ROW_NUMBER() OVER (ORDER BY warc_ts) AS sidx "
+            "  FROM (SELECT DISTINCT warc_ts FROM obs)), "
+            "o2 AS (SELECT DISTINCT subj, pred, obj, o.warc_ts, sidx "
+            "  FROM obs o JOIN tl ON tl.warc_ts = o.warc_ts), "
+            "isl AS (SELECT subj, pred, obj, warc_ts, sidx, "
+            "  sidx - ROW_NUMBER() OVER (PARTITION BY subj, pred, obj ORDER BY sidx) AS run "
+            "  FROM o2) "
+            "SELECT subj, pred, obj, "
+            "CAST(epoch(MIN(warc_ts)) AS BIGINT) AS valid_from, "
+            "CAST(epoch(MAX(warc_ts)) AS BIGINT) AS valid_to, "
+            "COUNT(*) AS n_snapshots, "
+            "MAX(warc_ts) = (SELECT MAX(warc_ts) FROM obs) AS is_current "
+            "FROM isl GROUP BY subj, pred, obj, run"
         ),
         "crawl_churn": (
             # same capture synthesis as q_crawl_churn; change detection on

@@ -121,3 +121,58 @@ def snapshot_churn(
             "mean_change_secs"
         ),
     )
+
+
+def triple_validity(
+    obs: DataFrame,
+    ts_col: str = "warc_ts",
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """SCD-2-style validity intervals for triples observed across crawl
+    snapshots: one row per maximal run of consecutive snapshots in which
+    the triple was extracted — the temporal-KG view of a recrawled corpus
+    (a triple that disappears and later reappears gets TWO intervals).
+
+    Input: one row per (triple, snapshot) observation, ``ts_col`` the
+    capture timestamp.  Output: keys + ``valid_from``/``valid_to`` (first
+    and last snapshot of the run, closed interval), ``n_snapshots`` (run
+    length), ``is_current`` (run extends to the newest global snapshot).
+
+    Scale shape: the global snapshot TIMELINE is crawl-count-sized
+    (10^2-10^3 rows for years of crawls), so its row_number window runs
+    on one partition by design and the index table broadcasts back onto
+    the corpus-sized observation set.  The island computation is then ONE
+    triple-keyed shuffle: dropDuplicates, the run-id window
+    (row_number over partitionBy(keys)), and the interval aggregate all
+    share the same (subj, pred, obj) hash partitioning, so
+    EnsureRequirements inserts a single exchange — same discipline as
+    snapshot_churn.  Gaps-and-islands via snapshot_index - row_number:
+    constant per consecutive run, strictly drops at a gap.
+    """
+    kcols = list(keys)
+    timeline = obs.select(ts_col).distinct()
+    idx = timeline.withColumn(
+        "_snap_idx", F.row_number().over(Window.orderBy(ts_col))
+    )
+    o = obs.join(F.broadcast(idx), on=ts_col).dropDuplicates(
+        kcols + ["_snap_idx"]
+    )
+    run = F.col("_snap_idx") - F.row_number().over(
+        Window.partitionBy(*kcols).orderBy("_snap_idx")
+    )
+    out = (
+        o.withColumn("_run", run)
+        .groupBy(*kcols, "_run")
+        .agg(
+            F.min(ts_col).alias("valid_from"),
+            F.max(ts_col).alias("valid_to"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+        )
+        .drop("_run")
+    )
+    mx = timeline.agg(F.max(ts_col).alias("_max_ts"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .withColumn("is_current", F.col("valid_to") == F.col("_max_ts"))
+        .drop("_max_ts")
+    )

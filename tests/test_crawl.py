@@ -88,3 +88,89 @@ def test_custom_hash_expr(captures):
     import hashlib
 
     assert row["content_hash"] == hashlib.md5(b"beta").hexdigest()
+
+
+# ---------------------------------------------------------- triple_validity
+
+def _validity_mirror(obs):
+    """obs: list of (subj, pred, obj, ts). Returns set of
+    (subj, pred, obj, valid_from, valid_to, n_snapshots, is_current)."""
+    timeline = sorted({ts for *_k, ts in obs})
+    sidx = {ts: i for i, ts in enumerate(timeline)}
+    per = {}
+    for s, p, o, ts in obs:
+        per.setdefault((s, p, o), set()).add(sidx[ts])
+    out = set()
+    for key, idxs in per.items():
+        run = []
+        for i in sorted(idxs):
+            if run and i != run[-1] + 1:
+                out.add(
+                    key
+                    + (
+                        timeline[run[0]],
+                        timeline[run[-1]],
+                        len(run),
+                        run[-1] == len(timeline) - 1,
+                    )
+                )
+                run = []
+            run.append(i)
+        out.add(
+            key
+            + (
+                timeline[run[0]],
+                timeline[run[-1]],
+                len(run),
+                run[-1] == len(timeline) - 1,
+            )
+        )
+    return out
+
+
+def test_triple_validity_islands(spark):
+    from datetime import datetime
+
+    t = lambda d: datetime(2020, 9, d)
+    obs = [
+        # continuous run, still current at snapshot 4
+        ("a", "P", "x", t(1)), ("a", "P", "x", t(2)),
+        ("a", "P", "x", t(3)), ("a", "P", "x", t(4)),
+        # two islands with a gap at snapshot 3
+        ("b", "P", "y", t(1)), ("b", "P", "y", t(2)), ("b", "P", "y", t(4)),
+        # single stale observation
+        ("c", "Q", "z", t(2)),
+        # duplicate observation within one snapshot collapses
+        ("c", "Q", "z", t(2)),
+    ]
+    df = spark.createDataFrame(
+        obs, "subj string, pred string, obj string, warc_ts timestamp"
+    )
+    got = {
+        (
+            r["subj"], r["pred"], r["obj"], r["valid_from"], r["valid_to"],
+            r["n_snapshots"], r["is_current"],
+        )
+        for r in crawl.triple_validity(df).collect()
+    }
+    assert got == _validity_mirror(obs)
+    # b has exactly two intervals; only the later one is current
+    b_rows = sorted(x for x in got if x[0] == "b")
+    assert len(b_rows) == 2
+    assert [x[6] for x in b_rows] == [False, True]
+    # c's lone interval is stale
+    assert [x for x in got if x[0] == "c"][0][6] is False
+
+
+def test_triple_validity_single_snapshot(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("a", "P", "x", datetime(2020, 1, 1))],
+        "subj string, pred string, obj string, warc_ts timestamp",
+    )
+    rows = crawl.triple_validity(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_snapshots"] == 1 and r["is_current"] is True
+    assert r["valid_from"] == r["valid_to"]

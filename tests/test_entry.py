@@ -81,7 +81,7 @@ def test_pyoracle_failure_degrades_to_rows_only(monkeypatch):
     entry_mod._pyoracle_values_cache.pop("/nonexistent/sfdir", None)
     sqls = entry_mod.oracle_sql()
     assert "dedup_minhash" not in sqls and "ann_ivf_trained" not in sqls
-    assert "kg_mentions" in sqls and "rel_pricing_summary" in sqls
+    assert "kg_mentions" in sqls and "dedup_exact" in sqls
 
 
 def test_values_or_empty_is_typed(duck):
