@@ -93,33 +93,48 @@ def _pattern_frame(
     return df.select(*cols), list(seen), n_consts
 
 
-def match_bgp(
-    triples: DataFrame,
-    patterns: Sequence[tuple[str, str, str]],
-    distinct: bool = True,
-    broadcast_min_consts: int = 2,
-    allow_product: bool = False,
-) -> DataFrame:
-    """Match a conjunction of triple patterns; one column per variable.
+def pred_stats(triples: DataFrame) -> dict[str, int]:
+    """Predicate histogram for cost-based BGP ordering: rows per pred.
 
-    ``triples`` needs columns (subj, pred, obj); each pattern term is a
-    constant or a ``?var``.  Returns the variable bindings satisfying all
-    patterns — SELECT DISTINCT semantics by default (``distinct=False``
-    keeps bag semantics, one row per proof).
-    """
-    if not patterns:
-        raise ValueError("empty pattern list")
-    compiled = [_pattern_frame(triples, tuple(p)) for p in patterns]
+    Predicate-count-sized (tens of rows for a KG triple table — one scan,
+    one tiny agg); compute once per table version and reuse across
+    queries, exactly like Iceberg's partition-level row counts (with the
+    pred-partitioned snapshot layout this IS per-partition metadata)."""
+    return {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
 
-    # Greedy selectivity order: most constants first; then any pattern
-    # sharing a variable with the bound set (most constants among those).
-    remaining = list(range(len(compiled)))
-    start = max(remaining, key=lambda i: (compiled[i][2], -i))
+
+def _estimate(pattern: tuple[str, str, str], n_consts: int,
+              stats: dict[str, int] | None) -> float:
+    """Estimated scan cardinality of one filtered pattern.  With stats:
+    the pred histogram row count, divided 100x per additional bound term
+    (the classic 1%-equality-selectivity default).  Without stats: rank
+    purely by constant count (fewer rows the more constants)."""
+    if stats is None:
+        return -n_consts  # orders identically to "most constants first"
+    pred = pattern[1]
+    base = float(stats.get(pred, 0)) if not _is_var(pred) else float(
+        sum(stats.values())
+    )
+    extra = n_consts - (0 if _is_var(pred) else 1)
+    return base / (100.0 ** extra)
+
+
+def _order_patterns(
+    metas: Sequence[tuple[set, float]], allow_product: bool
+) -> list[int]:
+    """Greedy join order over (vars, est_rows) pattern metas: cheapest
+    first, then always a variable-sharing pattern (cheapest among those).
+    Pure function so the planner is unit-testable without Spark."""
+    remaining = list(range(len(metas)))
+    start = min(remaining, key=lambda i: (metas[i][1], i))
+    order = [start]
     remaining.remove(start)
-    acc, bound = compiled[start][0], set(compiled[start][1])
-    order_note = [start]
+    bound = set(metas[start][0])
     while remaining:
-        joinable = [i for i in remaining if bound & set(compiled[i][1])]
+        joinable = [i for i in remaining if bound & metas[i][0]]
         if not joinable:
             if not allow_product:
                 raise ValueError(
@@ -127,12 +142,59 @@ def match_bgp(
                     "cross-product; pass allow_product=True to accept"
                 )
             joinable = remaining
-        nxt = max(joinable, key=lambda i: (compiled[i][2], -i))
+        nxt = min(joinable, key=lambda i: (metas[i][1], i))
+        order.append(nxt)
         remaining.remove(nxt)
-        order_note.append(nxt)
-        frame, vars_i, n_consts = compiled[nxt]
-        if n_consts >= broadcast_min_consts:
-            frame = F.broadcast(frame)
+        bound |= metas[nxt][0]
+    return order
+
+
+def match_bgp(
+    triples: DataFrame,
+    patterns: Sequence[tuple[str, str, str]],
+    distinct: bool = True,
+    broadcast_min_consts: int = 2,
+    allow_product: bool = False,
+    stats: dict[str, int] | None = None,
+    broadcast_max_rows: int = 4_000_000,
+) -> DataFrame:
+    """Match a conjunction of triple patterns; one column per variable.
+
+    ``triples`` needs columns (subj, pred, obj); each pattern term is a
+    constant or a ``?var``.  Returns the variable bindings satisfying all
+    patterns — SELECT DISTINCT semantics by default (``distinct=False``
+    keeps bag semantics, one row per proof).
+
+    Pass ``stats`` (from :func:`pred_stats`, predicate → row count) to
+    order joins by ESTIMATED cardinality instead of the constant-count
+    heuristic: a rare predicate's pattern leads even with fewer bound
+    terms, and a pattern whose estimate is under ``broadcast_max_rows``
+    is broadcast regardless of its constant count — at 100 TB the pred
+    histogram is partition metadata, so this is Iceberg-style CBO for
+    free.  Without stats, patterns with ≥ ``broadcast_min_consts``
+    constants broadcast.
+    """
+    if not patterns:
+        raise ValueError("empty pattern list")
+    pats = [tuple(p) for p in patterns]
+    compiled = [_pattern_frame(triples, p) for p in pats]
+    metas = [
+        (set(vars_i), _estimate(p, n_consts, stats))
+        for p, (_f, vars_i, n_consts) in zip(pats, compiled)
+    ]
+    order = _order_patterns(metas, allow_product)
+
+    def _maybe_broadcast(i: int, frame: DataFrame) -> DataFrame:
+        if stats is not None:
+            small = metas[i][1] <= broadcast_max_rows
+        else:
+            small = compiled[i][2] >= broadcast_min_consts
+        return F.broadcast(frame) if small else frame
+
+    acc, bound = compiled[order[0]][0], set(compiled[order[0]][1])
+    for i in order[1:]:
+        frame, vars_i, _n = compiled[i]
+        frame = _maybe_broadcast(i, frame)
         shared = sorted(bound & set(vars_i))
         if shared:
             acc = acc.join(frame, on=shared, how="inner")

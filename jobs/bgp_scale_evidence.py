@@ -104,7 +104,12 @@ def main():
     obs = (
         t.where(F.col("pred") == "HAS_CONCEPT")
         .crossJoin(snaps)
-        .where((h.bitwiseAND(F.shiftleft(F.lit(1), F.col("s").cast("int")))) != 0)
+        .where(
+            F.element_at(
+                F.array(*[(h.bitwiseAND(F.lit(1 << b)) != 0) for b in range(8)]),
+                (F.col("s") + 1).cast("int"),
+            )
+        )
         .select(
             "subj",
             "pred",

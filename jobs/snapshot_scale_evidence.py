@@ -76,6 +76,32 @@ def main():
     files_full = scanned_files(cur)
     files_pruned = scanned_files(filtered)
 
+    # merge-on-read churn: tombstone ~1% of subjects and append their
+    # re-extracted rows in ONE delta commit (the recrawl increment); the
+    # evidence is (a) the delta commit cost is churn-sized, (b) the
+    # tombstoned read pays only a broadcast join (wall vs pre-delta read),
+    # (c) compact() restores the tombstone-free read.
+    t_read0 = time.monotonic()
+    n_cur2 = t.read(spark).count()
+    read_plain_wall = round(time.monotonic() - t_read0, 2)
+    churn = cur.select("subj").distinct().where(
+        F.abs(F.xxhash64("subj")) % 100 == 0
+    )
+    renewed = cur.join(churn, on="subj", how="left_semi").withColumn(
+        "obj", F.concat(F.col("obj"), F.lit("_v2"))
+    )
+    t0 = time.monotonic()
+    t.delta(renewed, churn, partition_by=["pred"])
+    delta_wall = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    n_after_delta = t.read(spark).count()
+    read_mor_wall = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    t.compact(spark, partition_by=["pred"])
+    compact_wall = round(time.monotonic() - t0, 2)
+    n_after_compact = t.read(spark).count()
+    n_churn = churn.count()
+
     expired = t.expire_snapshots(spark, keep_last=2)
     n_after_expire = t.read(spark).count()
     dirs_left = sum(
@@ -93,6 +119,14 @@ def main():
         "pred_filtered_rows": n_filtered,
         "files_full_scan": files_full,
         "files_pruned_scan": files_pruned,
+        "churn_keys": n_churn,
+        "delta_commit_wall_s": delta_wall,
+        "read_plain_wall_s": read_plain_wall,
+        "read_mor_wall_s": read_mor_wall,
+        "rows_after_delta": n_after_delta,
+        "compact_wall_s": compact_wall,
+        "rows_after_compact": n_after_compact,
+        "read_rows_recheck": n_cur2,
         "expired": expired,
         "rows_after_expire": n_after_expire,
         "data_dirs_after_expire": dirs_left,

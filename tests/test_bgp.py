@@ -162,3 +162,54 @@ def test_bounded_reachability_bad_hops(spark):
     seeds = spark.createDataFrame([("a",)], "seed string")
     with pytest.raises(ValueError):
         bgp.bounded_reachability(e, seeds, 0)
+
+
+# ------------------------------------------------- cost-based ordering
+
+def test_order_patterns_cheapest_first_connected():
+    metas = [({"a", "b"}, 1000.0), ({"b", "c"}, 10.0), ({"c", "d"}, 500.0)]
+    # cheapest (1) first; then the cheaper of the two connected (2); 0 last
+    assert bgp._order_patterns(metas, False) == [1, 2, 0]
+
+
+def test_order_patterns_stays_connected_even_if_dearer():
+    # cheapest remaining (idx 2, est 5) shares no var with the bound set
+    # until idx 1 joins — the planner must not jump to it early
+    metas = [({"a"}, 1.0), ({"a", "b"}, 1000.0), ({"b"}, 5.0)]
+    assert bgp._order_patterns(metas, False) == [0, 1, 2]
+
+
+def test_estimate_rare_pred_beats_more_constants():
+    stats = {"rare": 10, "common": 10_000_000}
+    rare = bgp._estimate(("?x", "rare", "?y"), 1, stats)
+    common_bound = bgp._estimate(("?x", "common", "K"), 2, stats)
+    assert rare < common_bound  # 10 < 10M/100
+
+
+def test_pred_stats_and_stats_mode_equal_results(spark):
+    df = _df(spark)
+    stats = bgp.pred_stats(df)
+    assert stats["HAS_CONCEPT"] == 5 and stats["biolink:subclass_of"] == 3
+    pats = [
+        ("?doc", "HAS_CONCEPT", "?a"),
+        ("?doc", "HAS_CONCEPT", "?b"),
+        ("?a", "co_mentioned_with", "?b"),
+    ]
+    plain = {tuple(r) for r in bgp.match_bgp(df, pats).collect()}
+    with_stats = {
+        tuple(r) for r in bgp.match_bgp(df, pats, stats=stats).collect()
+    }
+    assert plain == with_stats == _brute(pats)
+
+
+def test_stats_mode_broadcast_threshold(spark):
+    # everything under the threshold -> broadcast joins in the plan
+    df = _df(spark)
+    out = bgp.match_bgp(
+        df,
+        [("?d", "HAS_CONCEPT", "?c"), ("?c", "biolink:subclass_of", "?p")],
+        stats=bgp.pred_stats(df),
+        broadcast_max_rows=1000,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()
