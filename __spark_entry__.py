@@ -104,6 +104,20 @@ _SQL_NMENTIONS = (
 )
 _SQL_KGE = f"kg_edges(subject, predicate, object) AS (VALUES {_vals(_KGE)})"
 
+# href-extracted host edge list over the synthetic linked corpus
+# (_web_linked_docs) — shared by every web-graph oracle on both the
+# driver and extra registries; mirrors weblinks.extract_links/host_edges
+_SQL_WEB_EDGES = (
+    "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+    "  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src, "
+    "  unnest(["
+    "    'h' || CAST((doc_id // 20) % (1 + (doc_id % 20) % 5) % 20 AS VARCHAR) || '.example.org', "
+    "    'h' || CAST(((doc_id // 40) % (1 + (doc_id % 20) % 7) + 5) % 20 AS VARCHAR) || '.example.org', "
+    "    'h' || CAST(((doc_id // 60) % (1 + (doc_id % 20) % 4) + 12) % 20 AS VARCHAR) || '.example.org'"
+    "  ]) AS dst FROM documents) WHERE src != dst)"
+)
+
+
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     _record_sf_dir(sf_dir)
@@ -328,6 +342,27 @@ def q_kg_pagerank(spark, sf_dir):
     # rounding boundary could flip a digit — coarser rounding keeps the
     # hash gate deterministic (same reasoning as ann_lsh's ROUND(4)).
     return pr.select("node", F.round("rank", 5).alias("rank"))
+
+
+def _bellman_sql(prefix_with_we: str, iters: int) -> str:
+    """Unrolled Bellman-Ford rounds over any prefix SQL defining a CTE
+    ``we(src, dst, w)``: d_k = min path weight over walks of ≤ k edges
+    from the two lexicographically first source hosts — mirrors
+    operators/graph.shortest_paths (whose frontier optimization computes
+    the identical d_k sequence) exactly."""
+    sql = (
+        f"{prefix_with_we}, "
+        "seeds AS (SELECT DISTINCT src AS seed FROM we ORDER BY seed LIMIT 2), "
+        "d0 AS (SELECT seed, seed AS node, 0.0 AS dist FROM seeds)"
+    )
+    for i in range(iters):
+        sql += (
+            f", d{i + 1} AS (SELECT seed, node, MIN(dist) AS dist FROM ("
+            f"SELECT seed, node, dist FROM d{i} "
+            f"UNION ALL SELECT d.seed, w.dst AS node, d.dist + w.w AS dist "
+            f"FROM d{i} d JOIN we w ON w.src = d.node) GROUP BY seed, node)"
+        )
+    return sql + f" SELECT seed, node, dist FROM d{iters}"
 
 
 def _pagerank_iters(prefix_with_e: str, damping: float = 0.85, iters: int = 10) -> str:
@@ -682,6 +717,35 @@ def q_kg_khop(spark, sf_dir):
     ).unionByName(com.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
     seeds = com.select(F.col("subj").alias("seed")).distinct().orderBy("seed").limit(2)
     return bgp.bounded_reachability(sym, seeds, 3).select("seed", "node", "hops")
+
+
+def q_kg_validate(spark, sf_dir):
+    """SHACL-lite integrity gate (operators/validate.py) over the full
+    materialized triple table: domain/range by CURIE prefix, cardinality
+    caps, closed predicate vocabulary — the post-materialization analog
+    of the reference's ingest-time identifier exclude-list and
+    CURIE-prefix validity rules (crawler.py:70-92, factory.py:63-70).
+    The constraint set deliberately violates each family the fixture can
+    exercise: co_mentioned_with is undeclared (unknown_pred), subclass
+    subjects are OP: against a MONDO domain (domain), HAS_CONCEPT objects
+    outside OP: (SYS/EXPR/PATO) trip range, and max_out=2 flags documents
+    with ≥3 distinct concepts (cardinality).  Oracle: the same constraint
+    VALUES + prefix/cardinality predicates re-derived in SQL."""
+    from dug_spark.operators import validate as validate_op
+
+    t = triples_op.build_triples(
+        _nmentions(spark, sf_dir), fixtures.vocab_kg_edges(spark)
+    ).select("subj", "pred", "obj")
+    constraints = spark.createDataFrame(
+        [
+            ("HAS_CONCEPT", "https", "OP", 2),
+            ("biolink:subclass_of", "MONDO", "OP", 1),
+        ],
+        "pred string, domain_prefix string, range_prefix string, max_out int",
+    )
+    return validate_op.validate_triples(t, constraints).select(
+        "subj", "pred", "obj", "violation"
+    )
 
 
 def q_kg_connected_components(spark, sf_dir):
@@ -2136,6 +2200,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the extra registry
         "kg_bgp": q_kg_bgp,
         "kg_khop": q_kg_khop,
+        # round 5 (cont. 4): dedup_near_shingle (the documented crossJoin
+        # exact-audit path — near-dup semantics stay driver-visible via
+        # near_dedup_corpus, whose candidate verify IS this Jaccard on
+        # the LSH candidate set) cedes its slot to the SHACL-lite triple
+        # integrity gate, the kg_construct publish gate; the shingle row
+        # stays green in the extra registry
+        "kg_validate": q_kg_validate,
         "kg_expand": q_kg_expand,
         "kg_node_to_elements": q_kg_node_to_elements,
         "search_kg": q_search_kg,
@@ -2186,7 +2257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-visible via dedup_exact / multimodal_real_features)
         "curate_corpus": q_curate_corpus,
         "build_vocab": q_build_vocab,
-        "url_dedup": q_url_dedup,
         "host_profile": q_host_profile,
         # round 5 (cont.): rel_union_dedup (U1 unionByName+distinct —
         # exercised inside kg_triples_all and near_dedup_corpus) cedes
@@ -2202,8 +2272,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and web-graph SCC rows; both stay green in the extra registry
         "ann_pq": q_ann_pq,
         "web_scc": q_web_scc,
+        # round 5 (cont. 4): url_dedup (newest-capture max_by election —
+        # its argmax-per-key shape stays driver-visible via
+        # rel_top_events_per_user and inside crawl_churn's latest-capture
+        # logic in the extra registry) cedes its slot to link prediction
+        # over the host graph; the url row stays green in the extra
+        # registry
+        "web_link_pred": q_web_link_pred,
         "dedup_exact": q_dedup_exact,
-        "dedup_near_shingle": q_dedup_near_shingle,
         "text_quality": q_text_quality,
         # round 5 (cont.): knn_cosine (the brute-force exact-audit path —
         # cosine top-k semantics stay driver-visible via ann_lsh /
@@ -2315,6 +2391,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sym sy ON sy.src = r.node WHERE r.hops < 3) "
             "SELECT seed, node, CAST(MIN(hops) AS INTEGER) AS hops "
             "FROM reach GROUP BY seed, node HAVING MIN(hops) > 0"
+        ),
+        "kg_validate": (
+            f"{norm_cte}, {_SQL_KGE}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+            "t AS (SELECT DISTINCT url AS subj, 'HAS_CONCEPT' AS pred, curie AS obj "
+            "FROM nmentions "
+            "UNION ALL SELECT DISTINCT e.subject, 'biolink:subclass_of', e.object "
+            "FROM kg_edges e WHERE e.predicate = 'biolink:subclass_of' "
+            "AND e.subject IN (SELECT curie FROM dm) "
+            "UNION ALL SELECT DISTINCT a.curie, 'co_mentioned_with', b.curie "
+            "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie), "
+            "c(pred, domain_prefix, range_prefix, max_out) AS (VALUES "
+            "('HAS_CONCEPT', 'https', 'OP', 2), "
+            "('biolink:subclass_of', 'MONDO', 'OP', 1)), "
+            "j AS (SELECT t.subj, t.pred, t.obj, c.domain_prefix, "
+            "c.range_prefix, c.max_out, c.pred AS c_pred, "
+            "CASE WHEN contains(t.subj, ':') THEN split_part(t.subj, ':', 1) "
+            "ELSE '' END AS sp, "
+            "CASE WHEN contains(t.obj, ':') THEN split_part(t.obj, ':', 1) "
+            "ELSE '' END AS op FROM t LEFT JOIN c ON c.pred = t.pred), "
+            "card AS (SELECT subj, pred FROM j WHERE max_out IS NOT NULL "
+            "GROUP BY subj, pred, max_out HAVING COUNT(DISTINCT obj) > max_out) "
+            "SELECT subj, pred, obj, 'unknown_pred' AS violation FROM j "
+            "WHERE c_pred IS NULL "
+            "UNION ALL SELECT subj, pred, obj, 'domain' FROM j "
+            "WHERE domain_prefix IS NOT NULL AND sp <> domain_prefix "
+            "UNION ALL SELECT subj, pred, obj, 'range' FROM j "
+            "WHERE range_prefix IS NOT NULL AND op <> range_prefix "
+            "UNION ALL SELECT DISTINCT j.subj, j.pred, j.obj, 'cardinality' "
+            "FROM j JOIN card ON card.subj = j.subj AND card.pred = j.pred"
         ),
         "kg_connected_components": (
             f"WITH RECURSIVE e(src, dst) AS (VALUES {_vals(_CC_EDGES)}), "
@@ -2484,17 +2589,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
             "FROM dup GROUP BY md5(text)"
         ),
-        "dedup_near_shingle": (
-            "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, unnest("
-            "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s "
-            "  FROM docs), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
-            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
-            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT id_a, id_b, ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard "
-            "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
-            "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9"
+        "web_link_pred": (
+            _SQL_WEB_EDGES
+            + ", canon AS (SELECT DISTINCT LEAST(src, dst) AS lo, "
+            "GREATEST(src, dst) AS hi FROM e), "
+            "adj AS (SELECT lo AS node, hi AS nbr FROM canon "
+            "UNION SELECT hi, lo FROM canon), "
+            "deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node), "
+            "pairs AS (SELECT a.node AS src, b.node AS dst, COUNT(*) AS cn, "
+            "SUM(1.0 / LN(dz.deg)) AS aa "
+            "FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node "
+            "JOIN deg dz ON dz.node = a.nbr GROUP BY a.node, b.node) "
+            "SELECT p.src, p.dst, p.cn AS common_neighbors, "
+            "ROUND(CAST(p.cn AS DOUBLE) / (da.deg + db.deg - p.cn), 6) AS jaccard, "
+            "ROUND(p.aa, 5) AS adamic_adar "
+            "FROM pairs p JOIN deg da ON da.node = p.src "
+            "JOIN deg db ON db.node = p.dst "
+            "WHERE NOT EXISTS (SELECT 1 FROM canon c "
+            "WHERE c.lo = p.src AND c.hi = p.dst)"
         ),
         "text_quality": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
@@ -2513,17 +2625,6 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' "
             "GROUP BY token HAVING COUNT(*) >= 2) "
             "SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 500"
-        ),
-        "url_dedup": (
-            "WITH u AS (SELECT doc_id, "
-            "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.H' ELSE 'https://www.h' END) "
-            "|| (doc_id % 5) || '.example.org/p/' || (doc_id % 13) || '/#s' || doc_id AS url, "
-            "TIMESTAMP '2020-09-13 12:26:40' + doc_id * INTERVAL 1 SECOND AS warc_ts "
-            "FROM documents), "
-            "g AS (SELECT 'https://h' || (doc_id % 5) || '.example.org/p/' || (doc_id % 13) "
-            "AS norm_url, MAX(doc_id) AS mid, COUNT(*) AS n_captures FROM u GROUP BY 1) "
-            "SELECT g.norm_url, u.url, u.warc_ts, g.n_captures "
-            "FROM g JOIN u ON u.doc_id = g.mid"
         ),
         "host_profile": (
             "WITH u AS (SELECT doc_id, text, "
@@ -2721,6 +2822,60 @@ def q_web_kcore(spark, sf_dir):
         weblinks.extract_links(_web_linked_docs(spark, sf_dir))
     )
     return graph.k_core(edges, k=3, src_col="src_host", dst_col="dst_host")
+
+
+def q_web_link_pred(spark, sf_dir):
+    """Link prediction (graph.link_prediction: common neighbors / Jaccard
+    / Adamic-Adar, Liben-Nowell & Kleinberg 2003) over the href-extracted
+    host graph — proposing the missing host-host edges neighborhood
+    overlap implies, the graph-structural counterpart of the reference's
+    stored-answer-only relatedness (crawler.py expands TranQL answers but
+    never scores structure).  One wedge self-join keyed on the shared
+    neighbor; scores exact rationals except Adamic-Adar (libm log → both
+    sides round 5; jaccard rounds 6 per the cross-engine division ULP)."""
+    from dug_spark.operators import graph, weblinks
+
+    edges = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    )
+    lp = graph.link_prediction(edges, src_col="src_host", dst_col="dst_host")
+    return lp.select(
+        "src",
+        "dst",
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 5).alias("adamic_adar"),
+    )
+
+
+def q_web_shortest_paths(spark, sf_dir):
+    """Multi-source weighted shortest paths (graph.shortest_paths:
+    frontier Bellman-Ford, 8 relaxation rounds) over the href-extracted
+    host graph with deterministic integer weights
+    1 + (len(src) + 2·len(dst)) mod 5, from the two lexicographically
+    first source hosts.  Distances are sums of small integers — exact in
+    double on both engines, no rounding.  Oracle: the 8 rounds unrolled
+    into chained min-aggregate CTEs (full Bellman-Ford, which equals the
+    frontier formulation at every round)."""
+    from dug_spark.operators import graph, weblinks
+
+    e = (
+        weblinks.host_edges(
+            weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+        )
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w = e.select(
+        "src",
+        "dst",
+        (1.0 + (F.length("src") + 2 * F.length("dst")) % 5).alias("weight"),
+    )
+    seeds = e.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(2)
+    return graph.shortest_paths(w, seeds, iterations=8).select(
+        "seed", "node", "dist"
+    )
 
 
 def q_web_walks(spark, sf_dir):
@@ -3215,21 +3370,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_metadata_extract": q_rel_metadata_extract,
         "web_anf": q_web_anf,
         "web_skipgrams": q_web_skipgrams,
+        # round 5 (cont. 4): retired from the driver window by
+        # kg_validate / web_link_pred; both stay fully oracled here, plus
+        # the new weighted-SSSP row
+        "dedup_near_shingle": q_dedup_near_shingle,
+        "url_dedup": q_url_dedup,
+        "web_shortest_paths": q_web_shortest_paths,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     corpus_cte = f"WITH {_SQL_CORPUS}, {_SQL_DICT}, {_SQL_MENTIONS}"
     norm_cte = f"{corpus_cte}, {_SQL_NORM}, {_SQL_NMENTIONS}"
-    web_edges = (
-        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
-        "  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src, "
-        "  unnest(["
-        "    'h' || CAST((doc_id // 20) % (1 + (doc_id % 20) % 5) % 20 AS VARCHAR) || '.example.org', "
-        "    'h' || CAST(((doc_id // 40) % (1 + (doc_id % 20) % 7) + 5) % 20 AS VARCHAR) || '.example.org', "
-        "    'h' || CAST(((doc_id // 60) % (1 + (doc_id % 20) % 4) + 12) % 20 AS VARCHAR) || '.example.org'"
-        "  ]) AS dst FROM documents) WHERE src != dst)"
-    )
+    web_edges = _SQL_WEB_EDGES
     # degree-ordered triangle counting over the same web-host edge CTE:
     # orientation low-(degree, id) → high, wedges on the shared oriented
     # source, closed by the oriented (b, c) edge — mirrors
@@ -3552,6 +3705,41 @@ def extra_oracle_sql() -> dict[str, str]:
         "rel_anti_join": (
             "SELECT c_custkey, c_name FROM customer c "
             "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        # round 5 (cont. 4): retired driver slots — moved verbatim from
+        # the driver dict when kg_validate / web_link_pred rotated in
+        "dedup_near_shingle": (
+            "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, unnest("
+            "[w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s "
+            "  FROM docs), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
+            "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard "
+            "FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9"
+        ),
+        "url_dedup": (
+            "WITH u AS (SELECT doc_id, "
+            "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.H' ELSE 'https://www.h' END) "
+            "|| (doc_id % 5) || '.example.org/p/' || (doc_id % 13) || '/#s' || doc_id AS url, "
+            "TIMESTAMP '2020-09-13 12:26:40' + doc_id * INTERVAL 1 SECOND AS warc_ts "
+            "FROM documents), "
+            "g AS (SELECT 'https://h' || (doc_id % 5) || '.example.org/p/' || (doc_id % 13) "
+            "AS norm_url, MAX(doc_id) AS mid, COUNT(*) AS n_captures FROM u GROUP BY 1) "
+            "SELECT g.norm_url, u.url, u.warc_ts, g.n_captures "
+            "FROM g JOIN u ON u.doc_id = g.mid"
+        ),
+        # weighted SSSP: 8 Bellman-Ford rounds unrolled into chained
+        # min-aggregate CTEs (equal to the frontier formulation at every
+        # round) over the shared host-edge CTE with deterministic
+        # integer weights
+        "web_shortest_paths": _bellman_sql(
+            web_edges
+            + ", we AS (SELECT src, dst, "
+            "1.0 + (LENGTH(src) + 2 * LENGTH(dst)) % 5 AS w FROM e)",
+            iters=8,
         ),
     }
     # pyoracle-backed VALUES oracles (same degradation contract as

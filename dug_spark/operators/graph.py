@@ -1030,3 +1030,177 @@ def walks_to_skipgrams(
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores (Liben-Nowell & Kleinberg 2003) for
+    NON-adjacent node pairs of the undirected graph that share at least
+    one neighbor: ``(src, dst, common_neighbors, jaccard, adamic_adar)``
+    with src < dst.  The KG-construction use: propose missing
+    ``co_mentioned_with`` / ontology edges from neighborhood overlap —
+    the reference surfaces related concepts only through stored TranQL
+    answers (crawler.py), never from graph structure.
+
+        jaccard(a,b)     = |N(a)∩N(b)| / |N(a)∪N(b)|
+        adamic_adar(a,b) = Σ_{z ∈ N(a)∩N(b)} 1 / ln(deg(z))
+
+    Scale shape: candidate pairs are generated by ONE self-join of the
+    adjacency list keyed on the shared neighbor z — each z contributes
+    deg(z)² pairs, so a web-scale hub (a concept mentioned on every
+    page) is the quadratic blowup.  ``max_degree`` excludes hubs from
+    the *wedge* role (they still score as endpoints): standard practice
+    (their AA weight 1/ln(deg) ≈ 0 anyway), same cap-and-ledger idea
+    as dedup.cap_lsh_buckets — the dropped-hub ledger is one node-sized
+    count: ``deg.where(deg > max_degree)``.  Degrees are node-sized and
+    join the adjacency on z without a forced broadcast (AQE picks; at
+    dictionary-bounded node counts it broadcasts itself).  All
+    scores are exact rationals except adamic_adar (libm log) — hash
+    oracles round it.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    adj = (
+        e.select(F.col("s").alias("node"), F.col("d").alias("nbr"))
+        .unionByName(e.select(F.col("d").alias("node"), F.col("s").alias("nbr")))
+        .where(F.col("node") != F.col("nbr"))
+        .distinct()
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_mid = deg if max_degree is None else deg.where(F.col("deg") <= max_degree)
+    # adjacency keyed on the shared neighbor z, with z's degree attached
+    # once (node-sized join) so the pair aggregate needs no re-join.
+    by_z = adj.select(
+        F.col("nbr").alias("z"), F.col("node").alias("endpoint")
+    ).join(wedge_mid.select(F.col("node").alias("z"), "deg"), "z")
+    a = by_z.select("z", F.col("endpoint").alias("a"), F.col("deg").alias("zdeg"))
+    b = by_z.select("z", F.col("endpoint").alias("b"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("zdeg"))).alias("adamic_adar"),
+        )
+    )
+    existing = adj.select(
+        F.least("node", "nbr").alias("src"), F.greatest("node", "nbr").alias("dst")
+    ).distinct()
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(existing, ["src", "dst"], "left_anti")
+        .join(da, "src")
+        .join(db, "dst")
+        .select(
+            "src",
+            "dst",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths by synchronous Bellman-Ford
+    relaxation: ``(seed, node, dist)`` = the minimum path weight from
+    each seed reachable within ``iterations`` edge relaxations
+    (non-negative weights; exact SSSP once iterations ≥ longest shortest
+    path's hop count).  Complements bgp.bounded_reachability, which is
+    the UNWEIGHTED hop-count special case — weighted distance is what
+    ranks ontology paths (edge weight = 1/association strength) and
+    host-graph latches.
+
+    Scale shape: the distance table is (seeds × reached nodes)-sized,
+    edges are corpus-sized.  Each round is FRONTIER-driven: only rows
+    improved in the previous round join against the edge list (the
+    standard delta optimization), so converged components stop paying;
+    the round's relaxation is one src-keyed shuffle join + one
+    (seed,node)-keyed min aggregate.  Every round eagerly
+    localCheckpoints the distance table — the lineage cut without which
+    ``iterations`` chained joins compile quadratically (same pattern as
+    pagerank / connected_components).  Convergence probe: the loop exits
+    early when a round improves nothing (count on the frontier,
+    frontier-sized scan).
+    """
+    spark = edges.sparkSession
+    # Constraint propagation must be OFF for this loop: each round self-
+    # joins two localCheckpointed frames that share lineage provenance,
+    # and Spark 4.1's constraint rewrite over the copied LogicalRDD looks
+    # up the ORIGINAL (pre-checkpoint) exprIds — key-not-found
+    # (NoSuchElementException: key not found: seed#N) at the next
+    # checkpoint.  AQE also goes off for per-round latency, same
+    # reasoning as canonicalize.connected_components.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_cp = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _sssp_loop(edges, seeds, iterations, src_col, dst_col,
+                          weight_col, seed_col)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", old_cp)
+
+
+def _sssp_loop(edges, seeds, iterations, src_col, dst_col, weight_col, seed_col):
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = seeds.select(
+        F.col(seed_col).alias("seed"),
+        F.col(seed_col).alias("node"),
+        F.lit(0.0).alias("dist"),
+    )
+    frontier = dist
+    for _ in range(iterations):
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            relaxed.alias("r")
+            .join(
+                dist.alias("d"),
+                (F.col("r.seed") == F.col("d.seed"))
+                & (F.col("r.node") == F.col("d.node")),
+                "left",
+            )
+            .where(F.col("d.dist").isNull() | (F.col("r.dist") < F.col("d.dist")))
+            .select(F.col("r.seed"), F.col("r.node"), F.col("r.dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

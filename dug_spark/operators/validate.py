@@ -1,0 +1,151 @@
+"""SHACL-lite constraint validation over the materialized triple table.
+
+A KG-construction pipeline that emits (subj, pred, obj) at 10^12-doc
+scale needs a declarative integrity gate before triples reach consumers;
+the reference enforces shape only piecemeal at ingest (identifier
+exclude-lists and CURIE-prefix validity inside the crawler,
+/root/reference/src/dug/core/crawler.py:70-92, factory.py:63-70) and has
+no post-materialization validator.  This operator checks the three
+constraint families that cover those ingest rules and the usual
+SHACL/ShEx core:
+
+- ``domain``      — subj CURIE prefix must match the predicate's
+                    declared subject prefix
+- ``range``       — obj CURIE prefix must match the declared object
+                    prefix
+- ``cardinality`` — at most ``max_out`` distinct objects per
+                    (subj, pred)
+- ``unknown_pred``— predicate absent from the constraint table
+                    (closed predicate vocabulary, the analog of the
+                    reference's normalization greenlist)
+
+Constraint rows are ``(pred, domain_prefix, range_prefix, max_out)``
+with NULL = unconstrained.  Prefix = text before the first ':'; bare
+identifiers (no ':') have prefix '' and only match an explicit ''.
+
+Scale shape: the constraint table is dimension-sized (one row per
+predicate) and broadcasts; domain/range/unknown checks are then PURE
+MAP-SIDE codegen over the triple scan — no shuffle.  The cardinality
+check is the one wide op: a (subj, pred)-keyed count-distinct, then the
+violating groups (a tiny frame — violations, not triples) broadcast back
+against the scan to emit per-triple rows.  Nothing in the plan is
+triple-count-sized on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VIOLATION_SCHEMA = "subj string, pred string, obj string, violation string"
+
+
+def _prefix(col):
+    # text before the first ':', '' when there is none — matches
+    # normalize.curie_prefix semantics for proper CURIEs and gives bare
+    # ids (document urls) the '' prefix.
+    return F.when(
+        F.col(col).contains(":"), F.split(F.col(col), ":", 2).getItem(0)
+    ).otherwise(F.lit(""))
+
+
+def validate_triples(
+    triples: DataFrame,
+    constraints: DataFrame,
+) -> DataFrame:
+    """Validate ``triples(subj, pred, obj)`` against
+    ``constraints(pred, domain_prefix, range_prefix, max_out)``; returns
+    one ``(subj, pred, obj, violation)`` row per violated constraint (a
+    triple can appear once per family it violates; conforming triples
+    emit nothing).  Deterministic; fully SQL-expressible (DuckDB oracle
+    in the driver contract)."""
+    c = F.broadcast(
+        constraints.select(
+            F.col("pred").alias("c_pred"),
+            "domain_prefix",
+            "range_prefix",
+            F.col("max_out").cast("long").alias("max_out"),
+        )
+    )
+    t = triples.select("subj", "pred", "obj").join(
+        c, F.col("pred") == F.col("c_pred"), "left"
+    )
+    unknown = t.where(F.col("c_pred").isNull()).select(
+        "subj", "pred", "obj", F.lit("unknown_pred").alias("violation")
+    )
+    domain = t.where(
+        F.col("domain_prefix").isNotNull()
+        & (_prefix("subj") != F.col("domain_prefix"))
+    ).select("subj", "pred", "obj", F.lit("domain").alias("violation"))
+    rng = t.where(
+        F.col("range_prefix").isNotNull()
+        & (_prefix("obj") != F.col("range_prefix"))
+    ).select("subj", "pred", "obj", F.lit("range").alias("violation"))
+    # cardinality: the violating (subj, pred) groups are a violation-
+    # sized frame; broadcast them back so every member triple is emitted.
+    capped = triples.join(
+        F.broadcast(
+            constraints.where(F.col("max_out").isNotNull()).select(
+                "pred", F.col("max_out").cast("long").alias("max_out")
+            )
+        ),
+        "pred",
+    )
+    over = (
+        capped.groupBy("subj", "pred", "max_out")
+        .agg(F.count_distinct("obj").alias("n_obj"))
+        .where(F.col("n_obj") > F.col("max_out"))
+        .select("subj", "pred")
+    )
+    cardinality = (
+        capped.join(F.broadcast(over), ["subj", "pred"])
+        .select("subj", "pred", "obj", F.lit("cardinality").alias("violation"))
+        .distinct()
+    )
+    return unknown.unionByName(domain).unionByName(rng).unionByName(cardinality)
+
+
+def conformance_report(violations: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-predicate conformance summary: total triples, violating
+    triples (distinct (subj,pred,obj) with ≥1 violation), and per-family
+    counts — the job-level gate a pipeline asserts on before publishing a
+    snapshot.  Two pred-keyed aggregates, both predicate-cardinality
+    output."""
+    tot = triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"))
+    v = violations.groupBy("pred").agg(
+        F.count_distinct("subj", "obj").alias("n_violating"),
+        F.sum(F.when(F.col("violation") == "domain", 1).otherwise(0)).alias(
+            "n_domain"
+        ),
+        F.sum(F.when(F.col("violation") == "range", 1).otherwise(0)).alias(
+            "n_range"
+        ),
+        F.sum(
+            F.when(F.col("violation") == "cardinality", 1).otherwise(0)
+        ).alias("n_cardinality"),
+        F.sum(
+            F.when(F.col("violation") == "unknown_pred", 1).otherwise(0)
+        ).alias("n_unknown_pred"),
+    )
+    return (
+        tot.join(v, "pred", "left")
+        .fillna(
+            0,
+            subset=[
+                "n_violating",
+                "n_domain",
+                "n_range",
+                "n_cardinality",
+                "n_unknown_pred",
+            ],
+        )
+        .select(
+            "pred",
+            "n_triples",
+            "n_violating",
+            "n_domain",
+            "n_range",
+            "n_cardinality",
+            "n_unknown_pred",
+        )
+    )
