@@ -344,6 +344,64 @@ def q_kg_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 5).alias("rank"))
 
 
+def _ppr_iters(prefix_with_e_rv: str, damping: float = 0.85, iters: int = 10) -> str:
+    """Unrolled personalized-PageRank iterations over any prefix SQL
+    defining CTEs ``e(src, dst)`` and ``rv(node, w)`` (w normalized to
+    Σ=1): teleport AND dangling mass land on rv — mirrors
+    operators/graph.personalized_pagerank exactly."""
+    d = repr(damping)
+    sql = (
+        f"{prefix_with_e_rv}, "
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION "
+        "SELECT dst FROM e UNION SELECT node FROM rv), "
+        "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src), "
+        "w AS MATERIALIZED (SELECT n.node, COALESCE(rv.w, 0.0) AS w "
+        "FROM nodes n LEFT JOIN rv ON rv.node = n.node), "
+        "r0 AS MATERIALIZED (SELECT node, w AS rank FROM w)"
+    )
+    for i in range(iters):
+        dang = (
+            f"(SELECT COALESCE(SUM(r.rank), 0) FROM r{i} r "
+            "LEFT JOIN deg ON deg.node = r.node WHERE deg.node IS NULL)"
+        )
+        sql += (
+            f", r{i + 1} AS MATERIALIZED (SELECT w.node, "
+            f"(1 - {d}) * w.w + {d} * (COALESCE(c.contrib, 0) "
+            f"+ {dang} * w.w) AS rank "
+            "FROM w LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS contrib "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            "JOIN deg ON deg.node = e.src GROUP BY e.dst) c ON w.node = c.node)"
+        )
+    # ROUND(5) matches the Spark side — see q_kg_pagerank's rounding note
+    return sql + f" SELECT node, ROUND(rank, 5) AS rank FROM r{iters}"
+
+
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.personalized_pagerank) over the SAME
+    directed co-mention concept graph as kg_pagerank, seeded on the two
+    lexicographically first co-mention subjects (uniform weights) — the
+    seeded-relevance query a KG answers for "concepts related to this
+    seed set"; teleport and dangling mass land on the seeds, so rank
+    concentrates near them instead of uniformly.  10 iterations, damping
+    0.85, ROUND(5) both engines (float-sum order).  Oracle: REAL
+    unrolled-iteration SQL with the reset vector as a CTE."""
+    from dug_spark.operators import graph
+
+    edges = triples_op.co_mention_triples(_nmentions(spark, sf_dir)).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+        .select("node", F.lit(1.0).alias("weight"))
+    )
+    pr = graph.personalized_pagerank(edges, seeds, damping=0.85, iterations=10)
+    return pr.select("node", F.round("rank", 5).alias("rank"))
+
+
 def _bellman_sql(prefix_with_we: str, iters: int) -> str:
     """Unrolled Bellman-Ford rounds over any prefix SQL defining a CTE
     ``we(src, dst, w)``: d_k = min path weight over walks of ≤ k edges
@@ -3376,6 +3434,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_shingle": q_dedup_near_shingle,
         "url_dedup": q_url_dedup,
         "web_shortest_paths": q_web_shortest_paths,
+        "kg_ppr": q_kg_ppr,
     }
 
 
@@ -3740,6 +3799,16 @@ def extra_oracle_sql() -> dict[str, str]:
             + ", we AS (SELECT src, dst, "
             "1.0 + (LENGTH(src) + 2 * LENGTH(dst)) % 5 AS w FROM e)",
             iters=8,
+        ),
+        "kg_ppr": _ppr_iters(
+            f"{norm_cte}, dm AS (SELECT DISTINCT url, curie FROM nmentions), "
+            "e AS MATERIALIZED (SELECT DISTINCT a.curie AS src, b.curie AS dst "
+            "FROM dm a JOIN dm b ON a.url = b.url AND a.curie < b.curie), "
+            "seeds AS (SELECT DISTINCT src FROM e ORDER BY src LIMIT 2), "
+            "rv AS (SELECT src AS node, 1.0 / (SELECT COUNT(*) FROM seeds) AS w "
+            "FROM seeds)",
+            damping=0.85,
+            iters=10,
         ),
     }
     # pyoracle-backed VALUES oracles (same degradation contract as

@@ -1204,3 +1204,95 @@ def _sssp_loop(edges, seeds, iterations, src_col, dst_col, weight_col, seed_col)
         )
         frontier = improved
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    reset: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reset_node_col: str = "node",
+    reset_weight_col: str = "weight",
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002): PageRank whose teleport
+    lands on the ``reset`` distribution instead of uniformly — the
+    seeded-relevance primitive ("concepts related to THIS study" /
+    "hosts related to THIS seed set") a KG serves recommendations from;
+    the reference can only return stored TranQL answers for such
+    queries.
+
+        rank'(v) = (1-d)·w(v) + d·(Σ_{u→v} rank(u)/out(u) + dangling·w(v))
+
+    where w is ``reset`` normalized to Σ=1 (nodes absent from reset get
+    w=0, so mass cannot leak to them except through edges) and dangling
+    mass re-enters through w — the standard PPR correction, which keeps
+    Σ rank = 1 exactly.
+
+    Scale shape identical to :func:`pagerank` (same per-iteration
+    contribution join + node-sized checkpoints, same
+    broadcast↔shuffle crossover guidance); the reset vector is
+    seed-sized and joins the node table once.  Deterministic up to
+    float-sum order — hash oracles round."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    rv = reset.select(
+        F.col(reset_node_col).alias("node"),
+        F.col(reset_weight_col).cast("double").alias("w_raw"),
+    )
+    total = rv.agg(F.sum("w_raw")).collect()[0][0]
+    if not total:
+        raise ValueError("personalized_pagerank: reset weights sum to 0")
+    rv = rv.groupBy("node").agg((F.sum("w_raw") / total).alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(rv.select("node"))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .join(rv, "node", "left")
+        .select("node", "out_deg", F.coalesce(F.col("w"), F.lit(0.0)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("node", "out_deg", "w", F.col("w").alias("rank"))
+    has_dangling = base.where(F.col("out_deg").isNull()).limit(1).count() > 0
+
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint(eager=True)
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.where(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        ranks = base.join(contribs, "node", "left").select(
+            "node",
+            "out_deg",
+            "w",
+            (
+                F.lit(1.0 - damping) * F.col("w")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling) * F.col("w")
+                )
+            ).alias("rank"),
+        )
+    return ranks.select("node", "rank")
