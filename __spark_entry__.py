@@ -2936,6 +2936,25 @@ def q_web_shortest_paths(spark, sf_dir):
     )
 
 
+def q_web_betweenness(spark, sf_dir):
+    """Sampled-source betweenness centrality (graph.betweenness:
+    level-synchronous Brandes, forward σ BFS + backward δ accumulation)
+    over the href-extracted host graph from the four lexicographically
+    first source hosts — the broker-host score degree/eigenvector
+    families miss.  max_depth 10 (≥ this graph's diameter).  Oracle:
+    the depth-capped pure-Python Brandes mirror
+    (pyoracle.betweenness_rows) over the shared web_edges_py derivation;
+    both sides round 5 (δ float-sum order)."""
+    from dug_spark.operators import graph, weblinks
+
+    e = weblinks.host_edges(
+        weblinks.extract_links(_web_linked_docs(spark, sf_dir))
+    ).select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    seeds = e.select(F.col("src").alias("seed")).distinct().orderBy("seed").limit(4)
+    bc = graph.betweenness(e, seeds, max_depth=10)
+    return bc.select("node", F.round("betweenness", 5).alias("betweenness"))
+
+
 def q_web_walks(spark, sf_dir):
     """Deterministic random-walk corpus over the href-extracted host
     graph (graph.random_walks: hash-argmin neighbor draws, DeepWalk's
@@ -3435,6 +3454,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "web_shortest_paths": q_web_shortest_paths,
         "kg_ppr": q_kg_ppr,
+        "web_betweenness": q_web_betweenness,
     }
 
 
@@ -3878,6 +3898,16 @@ def extra_oracle_sql() -> dict[str, str]:
             po.anf_rows(po.web_edges_py([d for d, _t in docs]), hops=3),
             "node, hop, sum_lzb, est",
             "VARCHAR, INTEGER, INTEGER, DOUBLE",
+        )
+        _web_e = po.web_edges_py([d for d, _t in docs])
+        out["web_betweenness"] = _values_or_empty(
+            po.betweenness_rows(
+                _web_e,
+                seeds=sorted({s for s, _ in _web_e})[:4],
+                max_depth=10,
+            ),
+            "node, betweenness",
+            "VARCHAR, DOUBLE",
         )
         out["web_walks"] = _values_or_empty(
             po.random_walk_rows(

@@ -1278,3 +1278,57 @@ def skipgram_rows(
                 key = (c, toks[j])
                 counts[key] = counts.get(key, 0) + 1
     return sorted((a, b, n) for (a, b), n in counts.items())
+
+
+def betweenness_rows(
+    pairs: list[tuple[str, str]],
+    seeds: list[str],
+    max_depth: int = 15,
+    ndigits: int = 5,
+) -> list[tuple[str, float]]:
+    """Mirror of operators/graph.betweenness: level-synchronous Brandes
+    from the sampled sources over the directed simple graph (self-loops
+    and duplicate edges dropped), depth-capped exactly like the Spark
+    loop.  Returns (node, Σ_s δ_s(node)) for every node reached from
+    some seed s ≠ node, δ rounded to ``ndigits``."""
+    from collections import defaultdict
+
+    adj: dict[str, set[str]] = {}
+    for s, d in set(pairs):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    bc: dict[str, float] = defaultdict(float)
+    reached: set[str] = set()
+    for s0 in seeds:
+        dist = {s0: 0}
+        sigma: dict[str, float] = defaultdict(float)
+        sigma[s0] = 1.0
+        levels: dict[int, list[str]] = {0: [s0]}
+        frontier, d = [s0], 0
+        while frontier and d < max_depth:
+            nxt: dict[str, float] = defaultdict(float)
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        nxt[v] += sigma[u]
+            d += 1
+            for v, sg in nxt.items():
+                dist[v] = d
+                sigma[v] = sg
+            frontier = sorted(nxt)
+            if frontier:
+                levels[d] = frontier
+        delta: dict[str, float] = defaultdict(float)
+        for dd in range(max(levels), 0, -1):
+            for w in levels[dd]:
+                for v in [
+                    v
+                    for v in adj
+                    if w in adj[v] and dist.get(v, -2) == dd - 1
+                ]:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v in dist:
+            if v != s0:
+                bc[v] += delta[v]
+                reached.add(v)
+    return sorted((v, round(bc[v], ndigits)) for v in reached)

@@ -1296,3 +1296,126 @@ def personalized_pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", "rank")
+
+
+def betweenness(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 15,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Approximate betweenness centrality (Brandes 2001 with source
+    sampling, unweighted, directed): sum over the ``seeds`` sources of
+    each node's path-dependency δ_s(v) — the standard estimator
+    (Brandes & Pich 2007: pick s sources, scale by N/s if an absolute
+    value is wanted).  Betweenness finds the BROKER nodes shortest
+    paths route through — the connector concepts / gateway hosts that
+    degree- and eigenvector-family scores (PageRank, HITS) miss.
+
+    Two phases per the exact algorithm, both level-synchronous:
+
+    - forward: multi-seed BFS accumulating σ(v) = number of shortest
+      s→v paths; each round is ONE frontier⋈edges join (frontier-sized
+      left side) + a (seed, node) sum + an anti-join against the
+      visited set — same shape as bgp.bounded_reachability plus the
+      path-count aggregate.
+    - backward: dependencies flow one level at a time from the deepest
+      level up: δ(v) += Σ_{w∈succ(v), d(w)=d(v)+1} σ(v)/σ(w)·(1+δ(w)),
+      one level-slice⋈edges join per level (level-sized inputs — the
+      visited table is filtered by the dist column, which the forward
+      phase materialized).
+
+    Scale shape: state is (seeds × reached)-sized, never corpus-sized;
+    rounds = 2 × effective diameter, each eagerly checkpointed (lineage
+    cut).  The loop runs under the same AQE-off /
+    constraint-propagation-off guard as shortest_paths (Spark 4.1
+    checkpoint-constraint bug).  Deterministic up to float-sum order in
+    δ — hash oracles round."""
+    spark = edges.sparkSession
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_cp = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _betweenness_loop(edges, seeds, max_depth, src_col, dst_col, seed_col)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", old_cp)
+
+
+def _betweenness_loop(edges, seeds, max_depth, src_col, dst_col, seed_col):
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.select(
+        F.col(seed_col).alias("seed"),
+        F.col(seed_col).alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    levels = frontier
+    depth = 0
+    for d in range(1, max_depth + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"), "sigma")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            cand.join(levels.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(d).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        depth = d
+        levels = levels.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    # backward: δ flows from the deepest level up; δ at the deepest
+    # level is 0, so start one level below it.
+    delta = levels.select("seed", "node", F.lit(0.0).alias("delta"))
+    for d in range(depth, 0, -1):
+        w_lvl = levels.where(F.col("dist") == d).select(
+            "seed", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        w_del = w_lvl.join(
+            delta.select("seed", F.col("node").alias("w"), "delta"),
+            ["seed", "w"],
+        )
+        v_lvl = levels.where(F.col("dist") == d - 1).select(
+            "seed", F.col("node").alias("v"), F.col("sigma").alias("sigma_v")
+        )
+        contrib = (
+            w_del.join(e, w_del["w"] == e["dst"])
+            .select("seed", F.col("src").alias("v"), "sigma_w", "delta")
+            .join(v_lvl, ["seed", "v"])
+            .select(
+                "seed",
+                F.col("v").alias("node"),
+                (F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("delta"))).alias(
+                    "c"
+                ),
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("c").alias("c"))
+        )
+        delta = (
+            delta.join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                (F.col("delta") + F.coalesce(F.col("c"), F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        delta.where(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
