@@ -2936,6 +2936,40 @@ def q_web_shortest_paths(spark, sf_dir):
     )
 
 
+_UNIGRAM_KW = dict(
+    vocab_size=80, seed_size=300, max_piece_len=6, em_iters=1,
+    shrink=0.6, min_count=5, max_words=2000,
+)
+
+
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM subword vocabulary (operators/unigram.train_unigram:
+    Kudo 2018 hard-EM variant — substring seed vocab, Viterbi expected
+    counts over the word table, count-ranked pruning with the
+    single-char coverage floor) trained on the documents text.  Every
+    trainer sum is integer-exact or sorted, so the logp column is
+    bit-identical to the pure-Python mirror (pyoracle.unigram_train) —
+    the VALUES oracle."""
+    from dug_spark.operators import unigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram.train_unigram(docs, **_UNIGRAM_KW).select("piece", "logp")
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Map-only unigram encoding (operators/unigram.unigram_encode):
+    Viterbi piece counts per document under the trained vocabulary,
+    projected to (doc_id, n_pieces); oracle = the mirror's per-doc
+    recompute with the identical DP and tie-break."""
+    from dug_spark.operators import unigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram.train_unigram(docs, **_UNIGRAM_KW)
+    return unigram.unigram_encode(
+        docs, vocab, max_piece_len=_UNIGRAM_KW["max_piece_len"]
+    ).select("doc_id", "n_pieces")
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3455,6 +3489,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_shortest_paths": q_web_shortest_paths,
         "kg_ppr": q_kg_ppr,
         "web_betweenness": q_web_betweenness,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_encode": q_unigram_encode,
     }
 
 
@@ -3898,6 +3934,19 @@ def extra_oracle_sql() -> dict[str, str]:
             po.anf_rows(po.web_edges_py([d for d, _t in docs]), hops=3),
             "node, hop, sum_lzb, est",
             "VARCHAR, INTEGER, INTEGER, DOUBLE",
+        )
+        _uni_vocab = po.unigram_train(docs, **_UNIGRAM_KW)
+        out["unigram_vocab"] = _values_or_empty(
+            _uni_vocab,
+            "piece, logp",
+            "VARCHAR, DOUBLE",
+        )
+        out["unigram_encode"] = _values_or_empty(
+            po.unigram_doc_rows(
+                docs, _uni_vocab, max_piece_len=_UNIGRAM_KW["max_piece_len"]
+            ),
+            "doc_id, n_pieces",
+            "BIGINT, BIGINT",
         )
         _web_e = po.web_edges_py([d for d, _t in docs])
         out["web_betweenness"] = _values_or_empty(

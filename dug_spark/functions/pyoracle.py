@@ -1332,3 +1332,131 @@ def betweenness_rows(
                 bc[v] += delta[v]
                 reached.add(v)
     return sorted((v, round(bc[v], ndigits)) for v in reached)
+
+
+def _uni_viterbi(word: str, logp: dict, max_len: int) -> list:
+    """Mirror of operators/unigram.viterbi_segment (identical DP
+    arithmetic and longer-final-piece tie-break)."""
+    import math as _m
+
+    n = len(word)
+    best = [0.0] + [-_m.inf] * n
+    back = [0] * (n + 1)
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_len), end):
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start == 1:
+                    lp = -100.0
+                else:
+                    continue
+            score = best[start] + lp
+            if score > best[end] or (score == best[end] and start < back[end]):
+                best[end] = score
+                back[end] = start
+    out = []
+    end = n
+    while end > 0:
+        start = back[end]
+        out.append(word[start:end])
+        end = start
+    return out[::-1]
+
+
+def unigram_train(
+    docs: list[tuple[int, str]],
+    vocab_size: int = 400,
+    seed_size: int = 2000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    min_count: int = 2,
+    max_words: int = 50_000,
+) -> list[tuple[str, float]]:
+    """Mirror of operators/unigram.train_unigram: whitespace word
+    counts (deterministic cap), substring seed vocab, hard-EM rounds,
+    count-ranked pruning with the single-char coverage floor.  Every
+    distributed sum in the trainer is integer-exact (piece counts are
+    sums of word counts), so the mirror's logp values equal the Spark
+    path's bit-for-bit; the one irrational sum (prune renorm) is sorted
+    on both sides."""
+    import math as _m
+
+    wc: dict[str, int] = {}
+    for _id, text in docs:
+        for w in (text or "").split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    words = sorted(
+        ((w, n) for w, n in wc.items() if n >= min_count),
+        key=lambda t: (-t[1], t[0]),
+    )[:max_words]
+
+    counts: dict[str, float] = {}
+    for w, n in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                p = w[i:j]
+                counts[p] = counts.get(p, 0.0) + float(n)
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[: max(0, seed_size - len(chars))]
+    keep = dict(chars)
+    keep.update(dict(multi))
+    total = sum(keep.values())
+    logp = {p: _m.log(c / total) for p, c in keep.items()}
+
+    def em(model: dict) -> dict:
+        cnt: dict[str, float] = {}
+        for w, n in words:
+            for piece in _uni_viterbi(w, model, max_piece_len):
+                cnt[piece] = cnt.get(piece, 0.0) + float(n)
+        tot = sum(cnt.values())
+        out: dict[str, float] = {}
+        for p in model:
+            c = cnt.get(p, 0.0)
+            if c > 0:
+                out[p] = _m.log(c / tot)
+            elif len(p) == 1:
+                out[p] = _m.log(0.5 / tot)
+        return out
+
+    while True:
+        for _ in range(em_iters):
+            logp = em(logp)
+        if len(logp) <= vocab_size:
+            break
+        n_next = max(vocab_size, int(len(logp) * shrink))
+        if n_next >= len(logp):
+            break
+        singles = [(p, lp) for p, lp in logp.items() if len(p) == 1]
+        multis = sorted(
+            ((p, lp) for p, lp in logp.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[: max(0, n_next - len(singles))]
+        kept = dict(singles)
+        kept.update(dict(multis))
+        z = sum(_m.exp(lp) for _, lp in sorted(kept.items()))
+        logp = {p: lp - _m.log(z) for p, lp in kept.items()}
+
+    return sorted(logp.items(), key=lambda t: (-t[1], t[0]))
+
+
+def unigram_doc_rows(
+    docs: list[tuple[int, str]],
+    vocab: list[tuple[str, float]],
+    max_piece_len: int = 8,
+) -> list[tuple[int, int]]:
+    """Mirror of operators/unigram.unigram_encode projected to
+    (doc_id, n_pieces)."""
+    model = dict(vocab)
+    rows = []
+    for doc_id, text in docs:
+        n = 0
+        for w in (text or "").split():
+            n += len(_uni_viterbi(w, model, max_piece_len))
+        rows.append((doc_id, n))
+    return sorted(rows)
