@@ -270,6 +270,10 @@ HEADLINE_NAMES = [
     # pagination shape stays via rel_top_events_per_user's window)
     "kg_closure",
     "relation_extract",
+    # round 5 (cont. 4): the SHACL-lite publish gate + host-graph link
+    # prediction (both driver rows this round)
+    "kg_validate",
+    "web_link_pred",
 ]
 
 
