@@ -2970,6 +2970,60 @@ def q_unigram_encode(spark, sf_dir):
     ).select("doc_id", "n_pieces")
 
 
+def _doc_tokens(spark, sf_dir):
+    """(source, tok) — whitespace tokens per document source, the shared
+    input of the two sketch rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def q_sketch_distinct_tokens(spark, sf_dir):
+    """Mergeable KMV distinct sketch (operators/sketch.py): per-source
+    token-vocabulary cardinality estimate from 64 bucketed xxhash64
+    minima, next to the exact countDistinct for calibration.  The
+    estimator keeps the bucket-minima sum EXACT in Decimal(38,0) so the
+    only float steps are one cast and one division — bit-reproducible
+    across partition orders and mirrored digit-for-digit by the
+    pure-Python recompute (pyoracle.kmv_rows, spec-derived XXH64), the
+    VALUES oracle."""
+    from dug_spark.operators import sketch as sk
+
+    toks = _doc_tokens(spark, sf_dir)
+    est = sk.kmv_estimate(
+        sk.kmv_sketch(toks, ["source"], "tok", buckets=64), ["source"], 64
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source", "buckets_hit", "est_distinct", "exact_distinct"
+    )
+
+
+def q_sketch_snapshot_overlap(spark, sf_dir):
+    """Sketch mergeability + inclusion-exclusion (sketch.kmv_overlap):
+    token-vocabulary overlap between two doc_id slices of each source
+    (doc_id%3==0 vs the rest — 3 is coprime with the generator's
+    source = doc_id%20 assignment, so both slices hit every source) —
+    the 'how much does crawl B add over crawl A' question answered from
+    two constant-size sketches, no raw-data rejoin.
+    Oracle: pyoracle.kmv_overlap_rows (same minima, same rounding)."""
+    from dug_spark.operators import sketch as sk
+
+    toks = _doc_tokens(spark, sf_dir)
+    sa = sk.kmv_sketch(
+        toks.filter(F.col("doc_id") % 3 == 0), ["source"], "tok", 64
+    )
+    sb = sk.kmv_sketch(
+        toks.filter(F.col("doc_id") % 3 != 0), ["source"], "tok", 64
+    )
+    return sk.kmv_overlap(sa, sb, ["source"], 64)
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3491,6 +3545,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_betweenness": q_web_betweenness,
         "unigram_vocab": q_unigram_vocab,
         "unigram_encode": q_unigram_encode,
+        # round 5 (cont. 5): mergeable KMV distinct sketches
+        "sketch_distinct_tokens": q_sketch_distinct_tokens,
+        "sketch_snapshot_overlap": q_sketch_snapshot_overlap,
     }
 
 
@@ -3994,11 +4051,27 @@ def extra_oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, source FROM '{sf}/documents.parquet'"
             ).fetchall()
         ]
+        docs_src = [
+            (int(d), t, s)
+            for d, t, s in con2.execute(
+                f"SELECT doc_id, text, source FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
         con2.close()
         out["sample_mix"] = _values_or_empty(
             po.sample_mix_rows(id_src, _MIX_FRACTIONS, default_fraction=0.05),
             "doc_id, bucket, keep",
             "BIGINT, BIGINT, BOOLEAN",
+        )
+        out["sketch_distinct_tokens"] = _values_or_empty(
+            po.kmv_rows(docs_src, buckets=64),
+            "source, buckets_hit, est_distinct, exact_distinct",
+            "VARCHAR, BIGINT, DOUBLE, BIGINT",
+        )
+        out["sketch_snapshot_overlap"] = _values_or_empty(
+            po.kmv_overlap_rows(docs_src, buckets=64),
+            "source, est_a, est_b, est_union, est_intersect, jaccard_est",
+            "VARCHAR, DOUBLE, DOUBLE, DOUBLE, DOUBLE, DOUBLE",
         )
     except _degrade_errs as e:
         print(f"extra pyoracle VALUES degraded: {e!r}", file=_sys.stderr)

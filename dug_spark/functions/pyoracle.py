@@ -1460,3 +1460,85 @@ def unigram_doc_rows(
             n += len(_uni_viterbi(w, model, max_piece_len))
         rows.append((doc_id, n))
     return sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (mirror of operators/sketch.py)
+
+
+def _kmv_mins(values, buckets: int) -> dict:
+    """bucket -> min xxh64, exactly as kmv_sketch computes them: value
+    hash = xxh64(utf8), bucket = xxh64(value, lit(1)) pmod buckets."""
+    mins: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h = xxh64(v.encode("utf-8"))
+        b = xxh64_chain_int(1, h) % buckets
+        if b not in mins or h < mins[b]:
+            mins[b] = h
+    return mins
+
+
+def _kmv_est(mins: dict, buckets: int) -> float:
+    """ROUND(B^2 * 2^64 / S - B, 4) with S exact in integers — the same
+    two floating-point steps (int->double, one division) as the Spark
+    plan, so every digit matches."""
+    s = sum(mins.values()) + (1 << 63) * (2 * buckets - len(mins))
+    est = float(buckets * buckets) * 2.0**64 / float(s) - buckets
+    return round_half_up(est, 4)
+
+
+def kmv_rows(
+    docs: list[tuple[int, str, str]], buckets: int = 64
+) -> list[tuple[str, int, float, int]]:
+    """Mirror of the sketch_distinct_tokens registry query:
+    (source, buckets_hit, est_distinct, exact_distinct) per document
+    source, over whitespace tokens."""
+    toks: dict[str, list[str]] = {}
+    for _d, text, src in docs:
+        toks.setdefault(src, []).extend(
+            t for t in (text or "").split(" ") if t != ""
+        )
+    rows = []
+    for src in sorted(toks):
+        mins = _kmv_mins(toks[src], buckets)
+        rows.append(
+            (src, len(mins), _kmv_est(mins, buckets), len(set(toks[src])))
+        )
+    return rows
+
+
+def kmv_overlap_rows(
+    docs: list[tuple[int, str, str]], buckets: int = 64
+) -> list[tuple[str, float, float, float, float, float]]:
+    """Mirror of sketch_snapshot_overlap: token-vocabulary overlap between
+    the doc_id%3==0 slice and the rest of each source (3 is coprime with
+    the generator's source = doc_id%20), via sketch merge +
+    inclusion-exclusion.  (source, est_a, est_b, est_union,
+    est_intersect, jaccard_est)."""
+    halves: dict[tuple[str, int], list[str]] = {}
+    for d, text, src in docs:
+        halves.setdefault((src, 0 if d % 3 == 0 else 1), []).extend(
+            t for t in (text or "").split(" ") if t != ""
+        )
+    rows = []
+    for src in sorted({s for s, _ in halves}):
+        ma = _kmv_mins(halves.get((src, 0), []), buckets)
+        mb = _kmv_mins(halves.get((src, 1), []), buckets)
+        if not ma or not mb:
+            continue  # inner join: both sides must observe the group
+        mu = dict(ma)
+        for b, h in mb.items():
+            if b not in mu or h < mu[b]:
+                mu[b] = h
+        ea, eb, eu = (
+            _kmv_est(ma, buckets),
+            _kmv_est(mb, buckets),
+            _kmv_est(mu, buckets),
+        )
+        inter = max(round_half_up(ea + eb - eu, 4), 0.0)
+        rows.append(
+            (src, ea, eb, eu, inter, round_half_up(inter / eu, 4))
+        )
+    return rows

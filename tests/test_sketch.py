@@ -1,0 +1,113 @@
+"""KMV distinct sketch (operators/sketch.py) vs the pure-Python mirror."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_spark.functions import pyoracle as po
+from dug_spark.operators import sketch
+
+B = 64
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "grp string, v string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two groups with very different cardinalities; deterministic values
+    rows = [("a", f"tok{i % 500}") for i in range(2000)]
+    rows += [("b", f"tok{i}") for i in range(5000)]
+    return _vals(spark, rows)
+
+
+def test_sketch_matches_python_mirror(spark, corpus):
+    got = {
+        (r["grp"], r["bucket"]): r["minh"]
+        for r in sketch.kmv_sketch(corpus, ["grp"], "v", B).collect()
+    }
+    vals = {"a": [f"tok{i % 500}" for i in range(2000)],
+            "b": [f"tok{i}" for i in range(5000)]}
+    want = {}
+    for g, vs in vals.items():
+        for b, h in po._kmv_mins(vs, B).items():
+            want[(g, b)] = h
+    assert got == want
+
+
+def test_estimate_matches_mirror_digit_for_digit(spark, corpus):
+    est = {
+        r["grp"]: (r["buckets_hit"], r["est_distinct"])
+        for r in sketch.kmv_estimate(
+            sketch.kmv_sketch(corpus, ["grp"], "v", B), ["grp"], B
+        ).collect()
+    }
+    for g, vs in (
+        ("a", [f"tok{i % 500}" for i in range(2000)]),
+        ("b", [f"tok{i}" for i in range(5000)]),
+    ):
+        mins = po._kmv_mins(vs, B)
+        assert est[g] == (len(mins), po._kmv_est(mins, B))
+
+
+def test_estimate_accuracy_in_the_sketch_regime(spark, corpus):
+    # relative error ~ 1/sqrt(B) = 12.5%; assert a loose 3-sigma bound
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in sketch.kmv_estimate(
+            sketch.kmv_sketch(corpus, ["grp"], "v", B), ["grp"], B
+        ).collect()
+    }
+    assert abs(est["a"] - 500) / 500 < 0.4
+    assert abs(est["b"] - 5000) / 5000 < 0.4
+
+
+def test_merge_equals_sketch_of_union_exactly(spark):
+    rng = random.Random(7)
+    rows_a = [("g", f"u{rng.randrange(3000)}") for _ in range(4000)]
+    rows_b = [("g", f"u{rng.randrange(3000, 5000)}") for _ in range(2000)]
+    sa = sketch.kmv_sketch(_vals(spark, rows_a), ["grp"], "v", B)
+    sb = sketch.kmv_sketch(_vals(spark, rows_b), ["grp"], "v", B)
+    merged = {
+        (r["grp"], r["bucket"]): r["minh"]
+        for r in sketch.kmv_merge(sa, sb, ["grp"]).collect()
+    }
+    direct = {
+        (r["grp"], r["bucket"]): r["minh"]
+        for r in sketch.kmv_sketch(
+            _vals(spark, rows_a + rows_b), ["grp"], "v", B
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_overlap_inclusion_exclusion(spark):
+    # A = 0..2999, B = 2000..4999 -> |A∩B| = 1000, jaccard = 0.2
+    rows_a = [("g", f"u{i}") for i in range(3000)]
+    rows_b = [("g", f"u{i}") for i in range(2000, 5000)]
+    sa = sketch.kmv_sketch(_vals(spark, rows_a), ["grp"], "v", B)
+    sb = sketch.kmv_sketch(_vals(spark, rows_b), ["grp"], "v", B)
+    row = sketch.kmv_overlap(sa, sb, ["grp"], B).collect()[0]
+    assert abs(row["est_union"] - 5000) / 5000 < 0.4
+    # intersection inherits both sides' error; very loose band
+    assert 0 <= row["est_intersect"] < 3000
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+
+
+def test_nulls_excluded_like_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None), ("g", "y")], "grp string, v string"
+    )
+    est = sketch.kmv_estimate(
+        sketch.kmv_sketch(df, ["grp"], "v", B), ["grp"], B
+    ).collect()[0]
+    assert est["buckets_hit"] == 2  # x and y only
+
+
+def test_sketch_plan_is_one_partial_aggregate(spark, corpus):
+    plan = sketch.kmv_sketch(corpus, ["grp"], "v", B)._jdf.queryExecution().executedPlan().toString()
+    # map-side combine: a partial_min before the single exchange
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan
