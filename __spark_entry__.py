@@ -3024,6 +3024,23 @@ def q_sketch_snapshot_overlap(spark, sf_dir):
     return sk.kmv_overlap(sa, sb, ["source"], 64)
 
 
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (sketch.heavy_hitters): tokens covering
+    >= 0.2% of the whitespace-token stream, found via bounded per-partition
+    MG summaries ((k+1) x partitions shuffle rows, k=1024) and then
+    verified EXACTLY on the broadcast candidate set — so despite the
+    sketch underneath, the contract is plain GROUP BY/HAVING and the
+    oracle is ordinary SQL.  This is the scale path behind
+    plans/skew.hot_keys_sketched (BASELINE north_star's salted
+    repartitioning on skewed high-frequency keys)."""
+    from dug_spark.operators.sketch import heavy_hitters
+
+    toks = _doc_tokens(spark, sf_dir).select("tok")
+    n = toks.count()
+    # k=1024 > 500 ⇒ n/(k+1) < n/500 < min_count at every sf
+    return heavy_hitters(toks, "tok", n // 500 + 1, k=1024)
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3548,6 +3565,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (cont. 5): mergeable KMV distinct sketches
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_snapshot_overlap": q_sketch_snapshot_overlap,
+        # round 5 (cont. 6): Misra-Gries exact-verified heavy hitters
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
     }
 
 
@@ -3654,6 +3673,16 @@ def extra_oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "web_triangles": tri_sql,
+        # MG heavy hitters verify exactly, so the oracle is plain SQL:
+        # the same tokenization as _doc_tokens, GROUP BY ... HAVING with
+        # the 0.2%-of-stream threshold (integer arithmetic both sides)
+        "sketch_heavy_hitters": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), tk AS (SELECT tok FROM t WHERE tok <> ''), "
+            "n AS (SELECT COUNT(*) AS total FROM tk) "
+            "SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok "
+            "HAVING COUNT(*) >= (SELECT total // 500 + 1 FROM n)"
+        ),
         "web_hits": _hits_iters(web_edges, iters=5),
         "inverted_index": (
             "WITH tok AS (SELECT doc_id AS id, "

@@ -158,3 +158,113 @@ def kmv_overlap(
             F.round(inter / F.col("est_union"), 4).alias("jaccard_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters → exact-verified hot keys
+# ---------------------------------------------------------------------------
+#
+# Web-scale motivation: salting (plans/skew.salted_repartition) and every
+# skew guard in this engine need the set of hot keys, and the naive answer
+# (groupBy(key).count()) shuffles one row PER DISTINCT KEY — at 10^12 docs
+# the URL-host / concept-CURIE key space is itself billions of rows.  The
+# Misra-Gries summary (Misra & Gries 1982; mergeability per Agarwal,
+# Cormode et al., "Mergeable Summaries", PODS 2012) bounds the state to k
+# counters per partition, so the first-pass shuffle carries at most
+# (k+1) x |partitions| rows regardless of the key-space size.  MG
+# guarantees NO FALSE NEGATIVES above n/(k+1): every key with true count
+# > n/(k+1) survives in some partition summary with merged lower bound
+# >= true - n/(k+1).  A second pass verifies the (tiny, broadcast)
+# candidate set EXACTLY, so the operator's output contract is exact —
+# identical to GROUP BY ... HAVING count(*) >= min_count — which makes it
+# fully DuckDB-oracle-able despite being a sketch underneath.
+#
+# Reference parity: the reference has no sketching layer (its hot-term
+# skew lives inside Elasticsearch); this is the engine-native scale path
+# for SURVEY §2's salted-repartition requirement (BASELINE north_star:
+# "salted repartitioning on skewed high-frequency concepts").
+
+
+def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: (key, lb) with <= k real keys
+    per partition plus ONE sentinel row (key NULL, lb = partition row
+    count) so the caller can recover exact n without a second scan.
+
+    Each Arrow batch is counted vectorized (pandas value_counts), then
+    merged into the running summary with the PODS-2012 MERGE: sum counts,
+    and if more than k keys remain, subtract the (k+1)-th largest count
+    from all and drop the non-positive ones.  Total undercount per
+    partition is <= n_p/(k+1).  NULL keys are excluded (matching the
+    NULL-excluding contract of kmv_sketch / countDistinct).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_type = df.schema[key_col].dataType
+    out_schema = StructType(
+        [StructField(key_col, key_type, True), StructField("lb", LongType(), False)]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            col = pdf[key_col].dropna()
+            n_p += len(col)
+            vc = col.value_counts()  # vectorized per-batch exact counts
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                # MERGE step: subtract the (k+1)-th largest, drop <= 0
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {c: v - kth for c, v in counters.items() if v > kth}
+        rows = {key_col: list(counters.keys()) + [None],
+                "lb": list(counters.values()) + [n_p]}
+        yield pd.DataFrame(rows)
+
+    return df.select(key_col).mapInPandas(run, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, min_count: int, k: int = 1024
+) -> DataFrame:
+    """EXACT (key, cnt) for every key with count >= min_count, via an MG
+    candidate pass + exact verification of the candidates only.
+
+    Plan shape at scale: pass 1 shuffles <= (k+1) x partitions summary
+    rows (localCheckpointed — it is dimension-sized by construction);
+    pass 2 is a broadcast LEFT SEMI filter of the corpus on the candidate
+    keys followed by one hash aggregate whose map-side combine emits at
+    most |candidates| rows per task.  The raw key space never shuffles.
+
+    Raises ValueError if the MG guarantee does not cover min_count
+    (needs min_count > n/(k+1)); pick k >= n/min_count + 1.
+
+    Oracle: SELECT key, count(*) AS cnt FROM t WHERE key IS NOT NULL
+    GROUP BY key HAVING count(*) >= min_count.
+    """
+    summaries = mg_partition_summaries(df, key_col, k).localCheckpoint()
+    key = F.col(key_col)
+    n = summaries.where(key.isNull()).agg(F.sum("lb")).collect()[0][0] or 0
+    eps_n = n // (k + 1)
+    if min_count <= eps_n:
+        raise ValueError(
+            f"min_count={min_count} <= n/(k+1)={eps_n}: MG guarantee does not "
+            f"hold; use k >= {n // min_count + 1}"
+        )
+    # merged lower bound: true count is within [merged_lb, merged_lb+eps_n]
+    candidates = (
+        summaries.where(key.isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("lb").alias("merged_lb"))
+        .where(F.col("merged_lb") >= F.lit(min_count - eps_n))
+        .select(key_col)
+    )
+    return (
+        df.where(key.isNotNull())
+        .join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_count))
+    )

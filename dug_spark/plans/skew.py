@@ -35,6 +35,19 @@ def hot_keys(df: DataFrame, key: str, hot_threshold: int) -> DataFrame:
     )
 
 
+def hot_keys_sketched(
+    df: DataFrame, key: str, hot_threshold: int, k: int = 1024
+) -> DataFrame:
+    """The 10^12-row scale path for :func:`hot_keys`: identical output
+    (exact — Misra-Gries candidates, exactly verified), but the shuffle
+    carries <= (k+1) x partitions summary rows instead of one row per
+    distinct key.  See operators/sketch.heavy_hitters for the guarantee
+    and the k-sizing rule (k >= n/hot_threshold + 1)."""
+    from dug_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(df, key, hot_threshold + 1, k=k).select(key)
+
+
 def salted_repartition(
     df: DataFrame,
     key: str,
@@ -42,14 +55,20 @@ def salted_repartition(
     num_partitions: int,
     hot_threshold: int = 1_000_000,
     factor: int = 16,
+    sketched: bool = False,
 ) -> DataFrame:
     """Repartition on (key, salt) where salt spreads only the hot keys.
 
     ``salt_source`` is any per-row (near-)unique column (e.g. url) so the
     salt is deterministic — re-runs land rows in the same partitions,
     which keeps the checkpoint manifest stable for exact resume.
+
+    ``sketched=True`` swaps the hot-key pass to the Misra-Gries scale
+    path (same keys, bounded shuffle) — the right setting whenever the
+    distinct-key space is itself web-scale (URL hosts, CURIEs).
     """
-    hot = hot_keys(df, key, hot_threshold).withColumn("_is_hot", F.lit(True))
+    finder = hot_keys_sketched if sketched else hot_keys
+    hot = finder(df, key, hot_threshold).withColumn("_is_hot", F.lit(True))
     out = df.join(F.broadcast(hot), key, "left").withColumn(
         "_salt",
         F.when(

@@ -111,3 +111,73 @@ def test_sketch_plan_is_one_partial_aggregate(spark, corpus):
     # map-side combine: a partial_min before the single exchange
     assert plan.count("Exchange") == 1
     assert "partial_min" in plan
+
+
+# --- Misra-Gries heavy hitters -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # zipf-ish: key_0 x 3000, key_1 x 900, key_2 x 300, tail of 2000 singletons
+    rows = [("key_0",)] * 3000 + [("key_1",)] * 900 + [("key_2",)] * 300
+    rows += [(f"tail_{i}",) for i in range(2000)]
+    rows += [(None,)] * 50  # NULL keys must be excluded
+    random.Random(7).shuffle(rows)
+    return spark.createDataFrame(rows, "k string").repartition(8)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, skewed):
+    got = {
+        r["k"]: r["cnt"]
+        for r in sketch.heavy_hitters(skewed, "k", min_count=250, k=64).collect()
+    }
+    want = {
+        r["k"]: r["cnt"]
+        for r in skewed.where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 250)
+        .collect()
+    }
+    assert got == want == {"key_0": 3000, "key_1": 900, "key_2": 300}
+
+
+def test_heavy_hitters_guarantee_violation_raises(spark, skewed):
+    # n ~ 6200, k=8 -> n/(k+1) ~ 688 >= min_count=250: must refuse
+    with pytest.raises(ValueError, match="MG guarantee"):
+        sketch.heavy_hitters(skewed, "k", min_count=250, k=8)
+
+
+def test_mg_summary_bounded_and_no_false_negatives(spark, skewed):
+    k = 64
+    s = sketch.mg_partition_summaries(skewed, "k", k)
+    rows = s.collect()
+    import collections
+
+    per_part = collections.Counter()
+    # sentinel rows carry partition totals; real rows are bounded by k.
+    n = sum(r["lb"] for r in rows if r["k"] is None)
+    assert n == 6200
+    merged = collections.Counter()
+    for r in rows:
+        if r["k"] is not None:
+            merged[r["k"]] += r["lb"]
+    # MG bound: merged lower bound within n/(k+1) of truth for the hitters
+    eps = n // (k + 1)
+    for key, true in (("key_0", 3000), ("key_1", 900), ("key_2", 300)):
+        assert merged[key] >= true - eps
+
+
+def test_hot_keys_sketched_matches_exact(spark, skewed):
+    from dug_spark.plans import skew
+
+    exact = {r["k"] for r in skew.hot_keys(skewed, "k", 299).collect()}
+    sk = {r["k"] for r in skew.hot_keys_sketched(skewed, "k", 299, k=64).collect()}
+    assert sk == exact == {"key_0", "key_1", "key_2"}
+
+
+def test_heavy_hitters_verify_is_broadcast_semi_join(spark, skewed):
+    plan = sketch.heavy_hitters(
+        skewed, "k", min_count=250, k=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
