@@ -3041,6 +3041,27 @@ def q_sketch_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "tok", n // 500 + 1, k=1024)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Per-group weighted reservoir (importance.weighted_sample_per_group):
+    5 docs per language sampled ∝ n_chars via the hash-seeded Gumbel-top-k
+    form of Efraimidis-Spirakis — run through the SALTED two-phase path
+    (salt_factor=4) so the contract row exercises the hot-group plan.
+    VALUES oracle: pyoracle.weighted_sample_rows (same xxh64 noise,
+    same tie-break)."""
+    from dug_spark.operators.importance import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample_per_group(
+        docs.select("lang", "doc_id", "n_chars"),
+        "lang",
+        "doc_id",
+        k=5,
+        weight_col="n_chars",
+        seed=11,
+        salt_factor=4,
+    )
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3565,8 +3586,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 (cont. 5): mergeable KMV distinct sketches
         "sketch_distinct_tokens": q_sketch_distinct_tokens,
         "sketch_snapshot_overlap": q_sketch_snapshot_overlap,
-        # round 5 (cont. 6): Misra-Gries exact-verified heavy hitters
+        # round 5 (cont. 6): Misra-Gries exact-verified heavy hitters,
+        # per-group weighted reservoir sampling
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4086,6 +4109,12 @@ def extra_oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, text, source FROM '{sf}/documents.parquet'"
             ).fetchall()
         ]
+        lang_chars = [
+            (lang, int(d), int(nc))
+            for d, lang, nc in con2.execute(
+                f"SELECT doc_id, lang, n_chars FROM '{sf}/documents.parquet'"
+            ).fetchall()
+        ]
         con2.close()
         out["sample_mix"] = _values_or_empty(
             po.sample_mix_rows(id_src, _MIX_FRACTIONS, default_fraction=0.05),
@@ -4101,6 +4130,11 @@ def extra_oracle_sql() -> dict[str, str]:
             po.kmv_overlap_rows(docs_src, buckets=64),
             "source, est_a, est_b, est_union, est_intersect, jaccard_est",
             "VARCHAR, DOUBLE, DOUBLE, DOUBLE, DOUBLE, DOUBLE",
+        )
+        out["weighted_sample"] = _values_or_empty(
+            po.weighted_sample_rows(lang_chars, k=5, seed=11),
+            "lang, doc_id, rank",
+            "VARCHAR, BIGINT, INTEGER",
         )
     except _degrade_errs as e:
         print(f"extra pyoracle VALUES degraded: {e!r}", file=_sys.stderr)

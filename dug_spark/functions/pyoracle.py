@@ -1542,3 +1542,25 @@ def kmv_overlap_rows(
             (src, ea, eb, eu, inter, round_half_up(inter / eu, 4))
         )
     return rows
+
+
+def weighted_sample_rows(
+    rows: list[tuple], k: int, seed: int = 11
+) -> list[tuple]:
+    """Recompute of operators/importance.weighted_sample_per_group:
+    rows = (group, id, weight); key = log(w) + Gumbel from
+    xxh64(f"{id}#{seed}") exactly like the Spark _gumbel_key; returns the
+    kept (group, id, rank) sorted by (group, rank)."""
+    cells = 1 << 20
+    per_group: dict = {}
+    for g, i, w in rows:
+        if w is None or float(w) <= 0:
+            continue
+        u = (xxh64(f"{i}#{seed}".encode("utf-8")) % cells + 0.5) / float(cells)
+        key = math.log(float(w)) - math.log(-math.log(u))
+        per_group.setdefault(g, []).append((key, i))
+    out = []
+    for g in sorted(per_group):
+        ranked = sorted(per_group[g], key=lambda t: (-t[0], t[1]))[:k]
+        out.extend((g, i, r + 1) for r, (_key, i) in enumerate(ranked))
+    return out

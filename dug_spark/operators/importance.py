@@ -190,3 +190,65 @@ def dsir_resample(
         "logw",
         (F.col("_key") >= F.lit(cutoff)).alias("keep"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    weight_col: str | None = None,
+    seed: int = 11,
+    salt_factor: int | None = None,
+) -> DataFrame:
+    """Per-group weighted reservoir sample: k rows per group without
+    replacement with probability ∝ weight (Efraimidis & Spirakis 2006,
+    via the equivalent Gumbel-top-k form: key = log w + Gumbel(0,1)).
+    The Gumbel noise is hash-seeded from the id (same construction as
+    dsir_resample), so the sample is a pure function of (rows, seed) —
+    reproducible across partitionings, engines, and cluster sizes, which
+    is what makes a deterministic train/eval split auditable.
+
+    Returns ONLY the kept rows: (group_col, id_col, rank) with rank 1..k
+    by descending perturbed key (ties broken by id asc).  Rows with NULL
+    or non-positive weight are excluded (log w undefined — matching the
+    E-S contract that weights are strictly positive).
+
+    Scale path: top-k per group is a monoid, so ``salt_factor=s`` runs
+    TWO bounded window passes — top-k within (group, salt-of-id) then
+    top-k of the s*k survivors per group — and no single task ever sorts
+    a whole hot group.  EXACTLY the same output as the one-pass window
+    (every global top-k row is in its salt's top-k); tested both ways.
+    ``salt_factor=None`` keeps the single window for small groups.
+
+    Uniform sampling is weight_col=None (w=1: key reduces to pure
+    Gumbel — a deterministic uniform k-reservoir per group).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    keyed = (
+        df.select(group_col, id_col, w.alias("_w"))
+        .where(F.col("_w") > 0)
+        .withColumn("_key", F.log("_w") + _gumbel_key(id_col, seed))
+    )
+    order = [F.desc("_key"), F.asc(id_col)]
+    if salt_factor is not None:
+        salt = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+            F.lit(int(salt_factor)),
+        )
+        w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+        keyed = keyed.withColumn("_rn", F.row_number().over(w1)).where(
+            F.col("_rn") <= k
+        ).drop("_rn")
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        keyed.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(group_col, id_col, "rank")
+    )

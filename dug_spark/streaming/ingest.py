@@ -223,3 +223,77 @@ def stream_warc_to_corpus(
         .start()
     )
     q.awaitTermination()
+
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("content_hash", LongType()),
+        StructField("url", StringType()),
+        StructField("dups_so_far", LongType()),
+    ]
+)
+
+_DEDUP_STATE = StructType(
+    [StructField("seen", LongType()), StructField("keeper_url", StringType())]
+)
+
+
+def _dedup_fn(
+    key, rows: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per content-hash state: emit the group's FIRST document ever seen
+    across all micro-batches (within a batch, the lexicographically
+    smallest url — deterministic under shuffle order), count the rest."""
+    (content_hash,) = key
+    n_new = 0
+    min_url = None
+    for pdf in rows:
+        n_new += len(pdf)
+        chunk_min = pdf["url"].min()
+        min_url = chunk_min if min_url is None else min(min_url, chunk_min)
+    if state.exists:
+        seen, keeper = state.get
+        state.update((seen + n_new, keeper))
+        yield pd.DataFrame(columns=_DEDUP_OUT.names).astype(
+            {"content_hash": "int64", "dups_so_far": "int64"}
+        )
+        return
+    state.update((n_new, min_url))
+    yield pd.DataFrame(
+        [[content_hash, min_url, n_new]], columns=_DEDUP_OUT.names
+    )
+
+
+def stream_exact_dedup(
+    corpus_stream: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """Cross-micro-batch EXACT deduplication of a streaming corpus: the
+    incremental analog of operators/dedup.exact (and the streaming twin
+    of dedup.incremental_exact_dedup, which needs a static 'seen' table
+    rejoin per increment — here the seen-set lives in the Spark state
+    store, checkpointed with the stream, so re-runs resume exactly).
+
+    One row out per NEVER-SEEN-BEFORE content hash, carrying the keeper
+    url (first batch wins; lexicographic min within a batch).  Emitted
+    exactly once per hash → outputMode('append').
+
+    Scale notes: state is one (long, url) pair per distinct hash, hash-
+    partitioned across executors by the groupBy — the same key-space
+    sharding the batch dedup's shuffle uses, but amortized over the
+    stream's lifetime.  A production deployment bounds state with an
+    idle TTL (state.setTimeoutDuration) accepting re-admission of docs
+    whose hash went quiet — kept exact here, matching the reference's
+    crawlspace semantics (never re-annotate a seen element,
+    concept_expander.py:29-32).
+    """
+    hashed = corpus_stream.select(
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+        F.col(url_col).alias("url"),
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -80,3 +80,68 @@ def test_k_and_frac_are_exclusive(spark):
         importance.dsir_resample(df, df)
     with pytest.raises(ValueError):
         importance.dsir_resample(df, df, k=1, frac=0.5)
+
+
+# --- weighted per-group reservoir (weighted_sample_per_group) -------------
+
+
+def _weighted_df(spark):
+    rows = [("g1", i, float(1 + i % 7)) for i in range(200)]
+    rows += [("g2", 1000 + i, 50.0 if i == 0 else 0.5) for i in range(100)]
+    rows += [("g3", 2000, 3.0), ("g3", 2001, None), ("g3", 2002, -1.0)]
+    return spark.createDataFrame(rows, "grp string, id long, w double")
+
+
+def test_weighted_sample_matches_mirror(spark):
+    df = _weighted_df(spark)
+    got = [
+        (r["grp"], r["id"], r["rank"])
+        for r in importance.weighted_sample_per_group(
+            df, "grp", "id", k=5, weight_col="w", seed=11
+        ).orderBy("grp", "rank").collect()
+    ]
+    rows = [(g, i, w) for g, i, w in df.collect()]
+    assert got == po.weighted_sample_rows(rows, k=5, seed=11)
+
+
+def test_weighted_salted_two_phase_identical(spark):
+    df = _weighted_df(spark)
+    one = importance.weighted_sample_per_group(
+        df, "grp", "id", k=5, weight_col="w", seed=11
+    ).orderBy("grp", "rank").collect()
+    two = importance.weighted_sample_per_group(
+        df, "grp", "id", k=5, weight_col="w", seed=11, salt_factor=4
+    ).orderBy("grp", "rank").collect()
+    assert one == two
+
+
+def test_weighted_excludes_nonpositive_and_small_groups(spark):
+    got = importance.weighted_sample_per_group(
+        _weighted_df(spark), "grp", "id", k=5, weight_col="w"
+    )
+    g3 = got.where(F.col("grp") == "g3").collect()
+    # NULL and negative weights dropped; the one valid row survives rank 1
+    assert [(r["id"], r["rank"]) for r in g3] == [(2000, 1)]
+
+
+def test_weighted_bias_toward_heavy_rows(spark):
+    # g2's id=1000 has weight 100x its siblings: across 40 seeds it must
+    # be selected far more often than any single light row
+    df = _weighted_df(spark)
+    hits = 0
+    rows = [(g, i, w) for g, i, w in df.collect()]
+    for seed in range(40):
+        kept = {i for g, i, _r in po.weighted_sample_rows(rows, 5, seed) if g == "g2"}
+        hits += 1000 in kept
+    assert hits >= 35
+
+
+def test_uniform_mode_weightless(spark):
+    df = _weighted_df(spark).drop("w")
+    got = importance.weighted_sample_per_group(df, "grp", "id", k=3)
+    rows = [(g, i, 1.0) for g, i in df.collect()]
+    want = [r for r in po.weighted_sample_rows(rows, k=3)]
+    assert [
+        (r["grp"], r["id"], r["rank"])
+        for r in got.orderBy("grp", "rank").collect()
+    ] == want

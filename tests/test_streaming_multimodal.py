@@ -610,3 +610,45 @@ def test_y4m_gray_maps_luma_to_gray_rgb():
         r, g, b = flat[px * 3 : px * 3 + 3]
         assert r == g == b
     assert flat[0] == 0 and flat[6:9] == b"\xff\xff\xff"
+
+
+def test_stream_exact_dedup_cross_batch(spark, tmp_path):
+    """Cross-micro-batch stateful dedup: a hash seen in batch 1 must not
+    re-emit in batch 2; within a batch the min-url doc wins; dups_so_far
+    counts the first batch's copies."""
+    from dug_spark.streaming.ingest import stream_exact_dedup
+
+    in_dir = str(tmp_path / "dedup_in")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    b1 = spark.createDataFrame(
+        [("u03", "alpha"), ("u01", "alpha"), ("u02", "beta")], "url string, text string"
+    )
+    b2 = spark.createDataFrame(
+        [("u00", "alpha"), ("u04", "gamma"), ("u05", "beta")], "url string, text string"
+    )
+    b1.coalesce(1).write.parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("streamdedup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["url"]: r["dups_so_far"] for r in spark.sql(
+        "SELECT * FROM streamdedup").collect()}
+    # file order within a dir stream is not guaranteed; accept either
+    # batch order but require exactly one keeper per distinct text with
+    # the min url OF ITS FIRST batch and no re-emission of a seen hash
+    assert len(out) == 3
+    assert set(out) in ({"u01", "u02", "u04"}, {"u00", "u05", "u04"})
+    if "u01" in out:
+        assert out["u01"] == 2 and out["u02"] == 1 and out["u04"] == 1
