@@ -3062,6 +3062,33 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_search_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (search.rrf_fuse, Cormack SIGIR 2009 / the ES hybrid default):
+    BM25 top-50 for 'spark window stream' fused with the exact cosine
+    top-50 for the vec_id=0 embedding (search.cosine_topk_single —
+    query folded in as literals, map-only corpus pass), score
+    Σ 1/(60+rank).  Both input lists are already driver-window-verified
+    primitives (search_bm25, knn_cosine); this row gates the fusion
+    semantics end-to-end in SQL."""
+    from pyspark.sql.window import Window
+
+    from dug_spark.operators import search
+
+    docs = _pq(spark, sf_dir, "documents")
+    emb = _pq(spark, sf_dir, "embeddings")
+    bm = search.bm25_topk(docs, "spark window stream", k=50)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    bm_r = bm.withColumn("rank", F.row_number().over(w)).select("id", "rank")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    vec_r = search.cosine_topk_single(emb, qv, k=50, exclude_id=0).select(
+        "id", "rank"
+    )
+    return search.rrf_fuse([bm_r, vec_r], k=10).select(
+        F.col("id").alias("doc_id"), "rrf_score", "n_lists", "rank"
+    )
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3590,6 +3617,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group weighted reservoir sampling
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "weighted_sample": q_weighted_sample,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
     }
 
 
@@ -3696,6 +3724,40 @@ def extra_oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "web_triangles": tri_sql,
+        # hybrid retrieval: the BM25 CTE mirrors the search_bm25 oracle
+        # (same analyzer, same similarity) at LIMIT 50, the cosine CTE
+        # mirrors knn_cosine for the single query vec_id=0, and the
+        # fusion is the SIGIR-2009 RRF sum 1/(60+rank)
+        "search_hybrid_rrf": (
+            "WITH toks AS (SELECT doc_id, "
+            f"  {_analyzer_sql('text')} AS tk FROM documents), "
+            "lens AS (SELECT doc_id, tk, len(tk) AS dl FROM toks), "
+            "stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens), "
+            "qq(tok) AS (VALUES ('spark'), ('stream'), ('window')), "
+            "tf AS (SELECT l.doc_id, l.dl, qq.tok, "
+            "  len(list_filter(l.tk, x -> x = qq.tok)) AS tf FROM lens l CROSS JOIN qq), "
+            "dfq AS (SELECT tok, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM tf GROUP BY tok), "
+            "scored AS (SELECT t.doc_id, "
+            "  SUM(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) "
+            "      * t.tf * 2.2 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))) AS score "
+            "  FROM tf t JOIN dfq d ON t.tok = d.tok CROSS JOIN stats s GROUP BY t.doc_id), "
+            "bmr AS (SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk "
+            "  FROM scored WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 50), "
+            "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "sums AS (SELECT c.vec_id AS id, "
+            "  SUM(CAST(q.qe[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS dot, "
+            "  SUM(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS qn, "
+            "  SUM(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS cn "
+            "  FROM qv q, embeddings c, range(1, 65) t(i) WHERE c.vec_id != 0 "
+            "  GROUP BY c.vec_id), "
+            "vecr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY dot/(SQRT(qn)*SQRT(cn)) DESC, id ASC) AS rk "
+            "  FROM sums ORDER BY dot/(SQRT(qn)*SQRT(cn)) DESC, id ASC LIMIT 50), "
+            "lists AS (SELECT id, rk FROM bmr UNION ALL SELECT id, rk FROM vecr), "
+            "fused AS (SELECT id, SUM(1.0/(60.0+rk)) AS rrf, COUNT(*) AS n_lists FROM lists GROUP BY id) "
+            "SELECT id AS doc_id, ROUND(rrf, 6) AS rrf_score, n_lists, "
+            "  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER) AS rank "
+            "FROM fused ORDER BY rrf DESC, id ASC LIMIT 10"
+        ),
         # MG heavy hitters verify exactly, so the oracle is plain SQL:
         # the same tokenization as _doc_tokens, GROUP BY ... HAVING with
         # the 0.2%-of-stream threshold (integer arithmetic both sides)

@@ -1174,3 +1174,95 @@ def build_inverted_index(
         ).alias("postings_fp"),
         F.col("plist").alias("postings"),
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse any number of ranked retrieval lists into one ranking by
+    rrf_score(d) = Σ_lists 1/(k0 + rank_d), the standard way hybrid
+    (lexical + vector) search engines combine BM25 and ANN results —
+    rank-based, so the two lists' incomparable score scales never meet.
+
+    Inputs are (id, rank) frames — top-N slices, so the fusion aggregate
+    touches at most N x |lists| rows regardless of corpus size: union →
+    one tiny hash agg → TakeOrderedAndProject.  Output: (id, rrf_score,
+    n_lists, rank) for the fused top-k, ties broken by id asc.  k0=60 is
+    the paper's (and Elasticsearch's) default.
+    """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    slim = [
+        df.select(
+            F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("r")
+        )
+        for df in ranked_lists
+    ]
+    from pyspark.sql.window import Window
+
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), slim)
+        .groupBy("id")
+        .agg(
+            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("r"))).alias("_rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    w = Window.orderBy(F.desc("_rrf"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", F.round("_rrf", 6).alias("rrf_score"), "n_lists", "rank")
+    )
+
+
+def cosine_topk_single(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k of ONE query vector against the embedding table:
+    the query is folded in as literals (no join, no crossJoin), the dot
+    product and norms are JVM-side F.aggregate folds, and the top-k is a
+    TakeOrderedAndProject — one map-only pass over the corpus, the right
+    single-query plan at any scale (the multi-query batch case is
+    similarity.ann_lsh / ann_ivf).  Returns (id, rank, cos_sim[round 4])."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col)
+    dot = F.aggregate(
+        F.zip_with(qarr, v, lambda a, b: a * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    base = embeddings
+    if exclude_id is not None:
+        base = base.where(F.col(id_col) != exclude_id)
+    scored = base.select(
+        F.col(id_col).alias("id"), (dot / (F.lit(qnorm) * nrm)).alias("_cos")
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        scored.orderBy(F.desc("_cos"), F.asc("id"))
+        .limit(int(k))
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("_cos"), F.asc("id")))
+        )
+    )
+    return top.select("id", "rank", F.round("_cos", 4).alias("cos_sim"))

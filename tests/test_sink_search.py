@@ -788,3 +788,60 @@ def test_simple_negated_phrase_null_field(spark):
     ).withColumn("data_type", F.lit("d"))
     hits = search.search_variables(df, '-"heart attack" text').collect()
     assert [h["element_id"] for h in hits] == ["v1"]
+
+
+# --- hybrid RRF fusion -----------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from dug_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank long")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "id long, rank long")
+    got = {
+        r["id"]: (r["rrf_score"], r["n_lists"], r["rank"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    # 20: 1/62 + 1/61; 10: 1/61; 40: 1/62; 30: 1/63
+    assert got[20] == (round(1 / 62 + 1 / 61, 6), 2, 1)
+    assert got[10] == (round(1 / 61, 6), 1, 2)
+    assert got[40] == (round(1 / 62, 6), 1, 3)
+    assert got[30] == (round(1 / 63, 6), 1, 4)
+
+
+def test_rrf_fuse_empty_and_k_cap(spark):
+    from dug_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(i, i + 1) for i in range(20)], "id long, rank long")
+    assert rrf_fuse([a], k=5).count() == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_cosine_topk_single_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from dug_spark.operators.search import cosine_topk_single
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = {r["vec_id"]: list(map(float, r["embedding"])) for r in emb.collect()}
+    qv = rows[0]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(v):
+        return sum(a * b for a, b in zip(qv, v)) / (
+            qn * math.sqrt(sum(x * x for x in v))
+        )
+
+    want = sorted(
+        ((cos(v), i) for i, v in rows.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = cosine_topk_single(emb, qv, k=5, exclude_id=0).collect()
+    assert [(r["id"], r["rank"]) for r in got] == [
+        (i, r + 1) for r, (_c, i) in enumerate(want)
+    ]
+    for r, (c, _i) in zip(got, want):
+        assert abs(r["cos_sim"] - round(c, 4)) <= 1e-4
