@@ -3089,6 +3089,45 @@ def q_search_hybrid_rrf(spark, sf_dir):
     )
 
 
+_ROBOTS_RULES = [
+    (f"h{k}.example.org", ag, d, p)
+    for k in range(20)
+    for ag, d, p in (
+        [("*", "disallow", "/p1"), ("*", "allow", "/p1/d*1$"),
+         ("*", "disallow", "/p3"), ("*", "allow", "/p3")]
+        + ([("dugbot", "disallow", "/p2")] if k % 2 == 0 else [])
+    )
+]
+
+
+def _robots_url(doc_id: int) -> str:
+    return f"https://h{doc_id % 20}.example.org/p{doc_id % 7}/d{doc_id}"
+
+
+def q_crawl_robots(spark, sf_dir):
+    """RFC 9309 robots.txt compliance (crawl.robots_filter) over a
+    doc_id-derived URL frontier and a 100-line parsed-rules dimension
+    table: even hosts carry a dugbot-specific group (which SHADOWS their
+    '*' group per §2.2.2 — only /p2 is off), odd hosts exercise
+    longest-match (/p1 vs /p1/d*1$ with wildcard+anchor) and the
+    allow-wins length tie (/p3).  VALUES oracle:
+    pyoracle.robots_allowed — an independent pure-regex recompute."""
+    from dug_spark.operators.crawl import robots_filter
+
+    did = F.col("doc_id")
+    urls = _pq(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (did % 20).cast("string"),
+            F.lit(".example.org/p"), (did % 7).cast("string"),
+            F.lit("/d"), did.cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, agent string, directive string, pattern string"
+    )
+    return robots_filter(urls, rules, "dugbot")
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3618,6 +3657,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "search_hybrid_rrf": q_search_hybrid_rrf,
+        "crawl_robots": q_crawl_robots,
     }
 
 
@@ -4197,6 +4237,13 @@ def extra_oracle_sql() -> dict[str, str]:
             po.weighted_sample_rows(lang_chars, k=5, seed=11),
             "lang, doc_id, rank",
             "VARCHAR, BIGINT, INTEGER",
+        )
+        out["crawl_robots"] = _values_or_empty(
+            po.robots_allowed(
+                [_robots_url(d) for d, _s in id_src], _ROBOTS_RULES, "dugbot"
+            ),
+            "url, allowed",
+            "VARCHAR, BOOLEAN",
         )
     except _degrade_errs as e:
         print(f"extra pyoracle VALUES degraded: {e!r}", file=_sys.stderr)

@@ -1564,3 +1564,47 @@ def weighted_sample_rows(
         ranked = sorted(per_group[g], key=lambda t: (-t[0], t[1]))[:k]
         out.extend((g, i, r + 1) for r, (_key, i) in enumerate(ranked))
     return out
+
+
+def robots_allowed(
+    urls: list[str],
+    rules: list[tuple],
+    agent: str,
+) -> list[tuple]:
+    """Recompute of operators/crawl.robots_filter: rules =
+    (host, agent, directive, pattern); RFC 9309 group selection
+    (agent-specific group shadows '*'), longest-match precedence, allow
+    wins length ties, no match / no rules ⇒ allowed.  Same pattern
+    translation: escape regex specials except '*' (→ '.*') and a
+    trailing '$' (→ end anchor).  Returns (url, allowed) sorted by url."""
+    import re as _re
+
+    def rx(pattern: str):
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        esc = _re.sub(r"([.^$+?(){}\[\]|\\])", r"\\\1", body)
+        return _re.compile("^" + esc.replace("*", ".*") + ("$" if anchored else ""))
+
+    by_host: dict = {}
+    for host, ag, directive, pattern in rules:
+        by_host.setdefault(host, []).append((ag, directive, pattern))
+    out = []
+    for url in urls:
+        m = _re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)([^#]*)", url)
+        host, path = m.group(1), m.group(2) or "/"
+        host_rules = by_host.get(host, [])
+        group = (
+            agent
+            if any(ag == agent for ag, _d, _p in host_rules)
+            else "*"
+        )
+        best = None  # (len, is_allow)
+        for ag, directive, pattern in host_rules:
+            if ag != group:
+                continue
+            if rx(pattern).match(path):
+                cand = (len(pattern), 1 if directive == "allow" else 0)
+                if best is None or cand > best:
+                    best = cand
+        out.append((url, True if best is None else best[1] == 1))
+    return sorted(out)

@@ -174,3 +174,85 @@ def test_triple_validity_single_snapshot(spark):
     r = rows[0]
     assert r["n_snapshots"] == 1 and r["is_current"] is True
     assert r["valid_from"] == r["valid_to"]
+
+
+# --- robots.txt compliance (crawl.robots_filter) ---------------------------
+
+
+RULES = [
+    # host a: '*' group exercising longest-match, tie→allow, '$', '*'
+    ("a.org", "*", "disallow", "/p1"),
+    ("a.org", "*", "allow", "/p1/ok"),
+    ("a.org", "*", "disallow", "/x9$"),
+    ("a.org", "*", "allow", "/tie"),
+    ("a.org", "*", "disallow", "/tie"),
+    ("a.org", "*", "disallow", "/w*z"),
+    # host b: dugbot-specific group SHADOWS '*' entirely (RFC 2.2.2)
+    ("b.org", "*", "disallow", "/"),
+    ("b.org", "dugbot", "disallow", "/p4"),
+]
+
+URLS = [
+    "https://a.org/p1/doc",      # disallow /p1
+    "https://a.org/p1/ok/doc",   # allow /p1/ok (longer)
+    "https://a.org/x9",          # $ anchor hits
+    "https://a.org/x9/more",     # $ anchor misses -> allowed
+    "https://a.org/tie",         # equal length -> allow wins
+    "https://a.org/wxyz",        # wildcard hits
+    "https://a.org/free",        # no match -> allowed
+    "https://b.org/anything",    # '*' group shadowed -> allowed
+    "https://b.org/p4/doc",      # dugbot rule -> disallowed
+    "https://c.org/no/robots",   # host without rules -> allowed
+]
+
+WANT = {
+    "https://a.org/p1/doc": False,
+    "https://a.org/p1/ok/doc": True,
+    "https://a.org/x9": False,
+    "https://a.org/x9/more": True,
+    "https://a.org/tie": True,
+    "https://a.org/wxyz": False,
+    "https://a.org/free": True,
+    "https://b.org/anything": True,
+    "https://b.org/p4/doc": False,
+    "https://c.org/no/robots": True,
+}
+
+
+def test_robots_filter_rfc_semantics(spark):
+    from dug_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame([(u,) for u in URLS], "url string")
+    rules = spark.createDataFrame(
+        RULES, "host string, agent string, directive string, pattern string"
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, rules, "dugbot").collect()
+    }
+    assert got == WANT
+
+
+def test_robots_filter_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+    from dug_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame([(u,) for u in URLS], "url string")
+    rules = spark.createDataFrame(
+        RULES, "host string, agent string, directive string, pattern string"
+    )
+    got = sorted(
+        (r["url"], r["allowed"])
+        for r in robots_filter(urls, rules, "dugbot").collect()
+    )
+    assert got == po.robots_allowed(URLS, RULES, "dugbot")
+
+
+def test_robots_mirror_is_rfc_truth(spark):
+    from dug_spark.functions import pyoracle as po
+
+    assert dict(po.robots_allowed(URLS, RULES, "dugbot")) == WANT
+    # unknown agent on b.org falls back to the '*' group: everything off
+    assert dict(po.robots_allowed(["https://b.org/x"], RULES, "otherbot")) == {
+        "https://b.org/x": False
+    }
