@@ -3128,6 +3128,77 @@ def q_crawl_robots(spark, sf_dir):
     return robots_filter(urls, rules, "dugbot")
 
 
+def q_temporal_asof(spark, sf_dir):
+    """Backward as-of join (temporal.asof_join, union-window plan — ONE
+    shuffle, zero Join nodes, plan-asserted in tests): every click event
+    gains the user's latest prior-or-simultaneous purchase value.  The
+    oracle is DuckDB's native ASOF LEFT JOIN over the same (key, ts)
+    max_by-deduped right side — a fully independent implementation of
+    the same point-in-time semantics."""
+    from dug_spark.operators.temporal import asof_join
+
+    ev = _pq(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, "user_id", "ts", "ts", ["value"]).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round("value", 6).alias("purchase_value"),
+        F.unix_micros(F.col("matched_ts").cast("timestamp")).alias("matched_ts_us"),
+    )
+
+
+def q_temporal_range_join(spark, sf_dir):
+    """Bucketed range join (temporal.range_join_bucketed, 3600 s
+    buckets): click/view events land in deterministic per-user-bucket
+    maintenance windows (10 user buckets × 30 daily windows of 1.5-4.5 h,
+    generated identically in both engines from range()).  The bucketed
+    equi-join rewrite must return EXACTLY the naive interval-predicate
+    join the oracle states."""
+    from dug_spark.operators.temporal import range_join_bucketed
+
+    base = 1704067200  # 2024-01-01 UTC
+    w = (
+        spark.range(10)
+        .select(F.col("id").alias("ub"))
+        .crossJoin(spark.range(30).select(F.col("id").alias("j")))
+        .select(
+            "ub",
+            (F.col("ub") * 100 + F.col("j")).alias("win_id"),
+            (
+                (F.lit(base) + F.col("j") * 86400 + F.col("ub") * 3600)
+                * F.lit(1000000)
+            ).alias("s_us"),
+            (
+                (
+                    F.lit(base)
+                    + F.col("j") * 86400
+                    + F.col("ub") * 3600
+                    + (F.lit(1) + (F.col("ub") + F.col("j")) % 3) * 5400
+                )
+                * F.lit(1000000)
+            ).alias("e_us"),
+        )
+    )
+    pts = (
+        _pq(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            (F.col("user_id") % 10).alias("ub"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("pt_us"),
+        )
+    )
+    return range_join_bucketed(
+        pts, w, "ub", "pt_us", "s_us", "e_us", 3600.0 * 1e6
+    ).select("event_id", "ub", "win_id", "pt_us")
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3658,6 +3729,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "crawl_robots": q_crawl_robots,
+        "temporal_asof": q_temporal_asof,
+        "temporal_range_join": q_temporal_range_join,
     }
 
 
@@ -3797,6 +3870,28 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT id AS doc_id, ROUND(rrf, 6) AS rrf_score, n_lists, "
             "  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER) AS rank "
             "FROM fused ORDER BY rrf DESC, id ASC LIMIT 10"
+        ),
+        # as-of: DuckDB's native ASOF LEFT JOIN is the independent oracle;
+        # right side deduped per (user, ts) with max_by like the operator
+        "temporal_asof": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+            "r AS (SELECT user_id, ts, MAX(value) AS value FROM events "
+            "      WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+            "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+            "  ROUND(r.value, 6) AS purchase_value, epoch_us(r.ts) AS matched_ts_us "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        # range join: the naive interval predicate IS the oracle; the
+        # Spark side must reproduce it exactly through the bucket rewrite
+        "temporal_range_join": (
+            "WITH w AS (SELECT t1.ub, t1.ub * 100 + t2.j AS win_id, "
+            "  (1704067200 + t2.j * 86400 + t1.ub * 3600) * 1000000 AS s_us, "
+            "  (1704067200 + t2.j * 86400 + t1.ub * 3600 + (1 + (t1.ub + t2.j) % 3) * 5400) * 1000000 AS e_us "
+            "  FROM range(10) t1(ub), range(30) t2(j)), "
+            "p AS (SELECT event_id, user_id % 10 AS ub, epoch_us(ts) AS pt_us FROM events "
+            "  WHERE event_type IN ('click', 'view')) "
+            "SELECT p.event_id, p.ub, w.win_id, p.pt_us FROM p JOIN w "
+            "ON p.ub = w.ub AND w.s_us <= p.pt_us AND p.pt_us < w.e_us"
         ),
         # MG heavy hitters verify exactly, so the oracle is plain SQL:
         # the same tokenization as _doc_tokens, GROUP BY ... HAVING with
