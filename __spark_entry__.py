@@ -3199,6 +3199,23 @@ def q_temporal_range_join(spark, sf_dir):
     ).select("event_id", "ub", "win_id", "pt_us")
 
 
+def q_temporal_sessionize(spark, sf_dir):
+    """Batch gap-rule sessionization (temporal.sessionize, single
+    Exchange plan-asserted): 1-hour-gap sessions over each user's event
+    stream.  Oracle: the identical lag/cumsum SQL windows in DuckDB —
+    equal-timestamp ties provably get the same session_seq under any
+    tie order, so the values are engine-order-independent."""
+    from dug_spark.operators.temporal import sessionize
+
+    ev = _pq(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_seconds=3600.0).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "session_seq",
+    )
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3731,6 +3748,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": q_crawl_robots,
         "temporal_asof": q_temporal_asof,
         "temporal_range_join": q_temporal_range_join,
+        "temporal_sessionize": q_temporal_sessionize,
     }
 
 
@@ -3892,6 +3910,16 @@ def extra_oracle_sql() -> dict[str, str]:
             "  WHERE event_type IN ('click', 'view')) "
             "SELECT p.event_id, p.ub, w.win_id, p.pt_us FROM p JOIN w "
             "ON p.ub = w.ub AND w.s_us <= p.pt_us AND p.pt_us < w.e_us"
+        ),
+        "temporal_sessionize": (
+            "WITH o AS (SELECT event_id, user_id, ts, "
+            "  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev "
+            "  FROM events) "
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "  SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 3600000000 "
+            "      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+            "FROM o"
         ),
         # MG heavy hitters verify exactly, so the oracle is plain SQL:
         # the same tokenization as _doc_tokens, GROUP BY ... HAVING with

@@ -31,6 +31,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _epoch(df: DataFrame, col: str):
+    """Column as epoch seconds (double) whatever its type: numeric passes
+    through; TIMESTAMP casts directly; TIMESTAMP_NTZ (what parquet reads
+    as) goes via TIMESTAMP first — identity under the session's UTC
+    timezone (session.py pins spark.sql.session.timeZone=UTC)."""
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, TimestampNTZType):
+        c = c.cast(TimestampType())
+    return c.cast("double")
 
 
 def asof_join(
@@ -94,7 +107,15 @@ def asof_join(
     )
     matched = F.col("_last_r")
     if tolerance_seconds is not None:
-        age = F.col("_ts").cast("double") - F.col("_last_r._mts").cast("double")
+        def _ep(c):
+            from pyspark.sql.types import TimestampNTZType as _NTZ
+            dt = left.schema[left_ts].dataType
+            col = F.col(c)
+            if isinstance(dt, _NTZ):
+                col = col.cast("timestamp")
+            return col.cast("double")
+
+        age = _ep("_ts") - _ep("_last_r._mts")
         matched = F.when(age <= F.lit(float(tolerance_seconds)), matched)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in lcols]
     out_cols += [matched[f"_pv"][c].alias(c) for c in payload_cols]
@@ -140,3 +161,35 @@ def range_join_bucketed(
     )
     cond = (s <= p) & (p < e)
     return lb.join(rb, [key, "_b"]).where(cond).drop("_b")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Batch gap-based sessionization (the batch twin of
+    streaming/ingest.sessionize_events): rows of the same key whose
+    timestamps are within ``gap_seconds`` of the previous row belong to
+    one session.  session_seq is the classic cumulative sum over the
+    new-session indicator (lag window), numbered 1..n per key in time
+    order.
+
+    Scale shape: ONE shuffle keyed by ``key`` + an in-partition sort by
+    ts; both windows (lag, running sum) share the same partitioning, so
+    Catalyst plans a single Exchange.  Keys are users/hosts — near-unique
+    at web scale, skew-free.  Output: input columns + session_seq.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    ep = _epoch(df, ts_col)
+    prev = F.lag(ep).over(w)
+    new_sess = F.when(
+        prev.isNull() | (ep - prev > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

@@ -104,3 +104,30 @@ def test_range_join_bucketed_matches_naive(spark):
             .collect()
         }
         assert got == want, width
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [
+        (1, 0.0), (1, 10.0), (1, 100.0), (1, 105.0), (1, 300.0),
+        (2, 5.0), (2, 5.0),  # equal-ts tie: same session, same seq
+    ]
+    df = spark.createDataFrame(rows, "k long, t double")
+    got = {
+        (r["k"], r["t"], r["session_seq"])
+        for r in temporal.sessionize(df, "k", "t", gap_seconds=50.0).collect()
+    }
+    assert got == {
+        (1, 0.0, 1), (1, 10.0, 1), (1, 100.0, 2), (1, 105.0, 2), (1, 300.0, 3),
+        (2, 5.0, 1), (2, 5.0, 1),
+    }
+
+
+def test_sessionize_single_exchange(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, t double")
+    plan = (
+        temporal.sessionize(df, "k", "t", 10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
