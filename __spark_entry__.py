@@ -3216,6 +3216,36 @@ def q_temporal_sessionize(spark, sf_dir):
     )
 
 
+def q_sketch_bloom(spark, sf_dir):
+    """Mergeable Bloom membership filter (sketch.bloom_build/bloom_probe
+    — the sketch trio's membership leg next to KMV cardinality and MG
+    frequency): build over the whitespace tokens of sources src0-src4,
+    probe every distinct corpus token, report might_contain next to
+    exact membership.  num_bits=4096 keeps the FP set non-empty on
+    purpose — the filter is seeded-hash-deterministic, so even the false
+    positives ARE the contract.  VALUES oracle: pyoracle.bloom_rows
+    (spec-derived XXH64, same signed-word bit math)."""
+    from dug_spark.operators import sketch as sk
+
+    toks = _doc_tokens(spark, sf_dir)
+    build = toks.where(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ).select("tok")
+    words = sk.bloom_words(sk.bloom_build(build, "tok", 4096, 4), 4096)
+    probe = toks.select("tok").distinct()
+    built = build.distinct().withColumn("present", F.lit(True))
+    return (
+        sk.bloom_probe(probe, "tok", words, 4096, 4)
+        .join(built.withColumnRenamed("tok", "btok"),
+              F.col("tok") == F.col("btok"), "left")
+        .select(
+            "tok",
+            "might_contain",
+            F.coalesce("present", F.lit(False)).alias("present"),
+        )
+    )
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3749,6 +3779,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof": q_temporal_asof,
         "temporal_range_join": q_temporal_range_join,
         "temporal_sessionize": q_temporal_sessionize,
+        "sketch_bloom": q_sketch_bloom,
     }
 
 
@@ -4355,6 +4386,19 @@ def extra_oracle_sql() -> dict[str, str]:
             po.kmv_overlap_rows(docs_src, buckets=64),
             "source, est_a, est_b, est_union, est_intersect, jaccard_est",
             "VARCHAR, DOUBLE, DOUBLE, DOUBLE, DOUBLE, DOUBLE",
+        )
+        btoks = [
+            t
+            for d, text, src in docs_src
+            if src in ("src0", "src1", "src2", "src3", "src4")
+            for t in text.split(" ")
+            if t
+        ]
+        ptoks = [t for _d, text, _s in docs_src for t in text.split(" ") if t]
+        out["sketch_bloom"] = _values_or_empty(
+            po.bloom_rows(btoks, ptoks, 4096, 4),
+            "tok, might_contain, present",
+            "VARCHAR, BOOLEAN, BOOLEAN",
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

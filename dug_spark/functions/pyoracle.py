@@ -1608,3 +1608,40 @@ def robots_allowed(
                     best = cand
         out.append((url, True if best is None else best[1] == 1))
     return sorted(out)
+
+
+def bloom_words_py(values: list[str], num_bits: int, k: int) -> list[int]:
+    """Mirror of operators/sketch.bloom_build + bloom_words: k chained
+    xxh64 bit positions per value, OR-folded into num_bits//64 signed
+    words (Spark's shiftleft(1, 63) wraps to the sign bit)."""
+    words = [0] * (num_bits // 64)
+    for val in values:
+        h0 = xxh64(val.encode("utf-8"))
+        for i in range(k):
+            pos = xxh64_chain_int(i, h0) % num_bits
+            words[pos >> 6] |= 1 << (pos & 63)
+    return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+
+def bloom_rows(
+    build_values: list[str],
+    probe_values: list[str],
+    num_bits: int,
+    k: int,
+) -> list[tuple]:
+    """(value, might_contain, present) per distinct probe value, sorted —
+    the full Bloom contract: present ⇒ might_contain (no false
+    negatives), and the (deterministic) false positives reproduce."""
+    words = bloom_words_py(sorted(set(build_values)), num_bits, k)
+    built = set(build_values)
+    out = []
+    for val in sorted(set(probe_values)):
+        h0 = xxh64(val.encode("utf-8"))
+        might = True
+        for i in range(k):
+            pos = xxh64_chain_int(i, h0) % num_bits
+            if not (words[pos >> 6] >> (pos & 63)) & 1:
+                might = False
+                break
+        out.append((val, might, val in built))
+    return out

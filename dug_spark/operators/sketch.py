@@ -268,3 +268,133 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= F.lit(min_count))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom filter (membership) — completing the sketch trio:
+# KMV = cardinality, Misra-Gries = frequency, Bloom = membership.
+# ---------------------------------------------------------------------------
+#
+# Web-scale use: "is this URL already crawled", "is this 13-gram in the
+# benchmark set", "does this key exist on the dimension side" — the
+# semi-join-pruning questions where shipping the full key set is the
+# cost.  A Bloom filter over 10^8 keys at 10 bits/key is ~125 MB —
+# broadcastable where the raw keys are not.  Classic guarantees: NO
+# false negatives; false-positive rate ~ (1 - e^(-kn/m))^k.
+#
+# Construction is pure column ops: k chained-xxhash64 bit positions per
+# value, explode → (word_idx, 1<<bit) → bit_or aggregate — map-side
+# partial bit_or absorbs the data volume, the shuffle carries at most
+# m/64 words per partition.  Filters MERGE by per-word bit_or (exact:
+# merge(bloom(A), bloom(B)) == bloom(A ∪ B), tested), so per-day /
+# per-snapshot filters roll up without re-reading data.  Everything is
+# deterministic (seeded hashes), so even the false positives are
+# reproducible — mirrored bit-for-bit by pyoracle.bloom_rows, which is
+# what makes a membership SKETCH fully oracle-able.
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, num_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """(word_idx, word) sparse bitmap relation of the Bloom filter over
+    the column's non-NULL values.  Bit positions: pmod(xxhash64(v,
+    lit(i)), num_bits) for i in 0..k-1 (Spark's chained-seed semantics).
+    num_bits must be a multiple of 64."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    v = F.col(value_col)
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(v, F.lit(i)), F.lit(num_bits)) for i in range(k)])
+    ).alias("pos")
+    return (
+        df.filter(v.isNotNull())
+        .select(pos)
+        .select(
+            F.expr("shiftright(pos, 6)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two filters built with the SAME (num_bits, k): per-word
+    bit_or — exact (tested equal to building over the unioned data)."""
+    return a.unionByName(b).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_words(bloom: DataFrame, num_bits: int) -> list:
+    """Densify the sparse bitmap to the full word list (len = num_bits/64)
+    on the driver — dimension-bounded by construction (16 KiB per 2^20
+    bits), the object you broadcast or fold into probe literals."""
+    words = [0] * (num_bits // 64)
+    for r in bloom.collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    words: list,
+    num_bits: int = 1 << 20,
+    k: int = 5,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """df + ``might_contain`` (boolean; NULL value ⇒ false).  Two probe
+    paths, identical results (tested):
+
+    - JVM (default): the word list folds in as ONE array literal and the
+      k bit tests are shiftright/AND column expressions — whole-stage
+      codegen, right up to a few MB of filter.
+    - ``use_pandas=True``: positions still computed JVM-side, the bitmap
+      lives as a numpy array in the UDF closure and the k tests are
+      vectorized numpy indexing — the path for 100 MB-class filters
+      where an expression literal would bloat the plan (swap the closure
+      for sc.broadcast at that size)."""
+    v = F.col(value_col)
+    pos_cols = [
+        F.pmod(F.xxhash64(v, F.lit(i)), F.lit(num_bits)) for i in range(k)
+    ]
+    if not use_pandas:
+        arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+        tmp = df
+        names = []
+        for i, p in enumerate(pos_cols):
+            names.append(f"_bp{i}")
+            tmp = tmp.withColumn(f"_bp{i}", p)
+        might = None
+        for n in names:
+            word = F.element_at(arr, F.expr(f"CAST(shiftright({n}, 6) + 1 AS INT)"))
+            chk = word.bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({n} & 63 AS INT))")
+            ) != 0
+            might = chk if might is None else (might & chk)
+        return tmp.withColumn(
+            "might_contain", F.coalesce(might, F.lit(False))
+        ).drop(*names)
+    import numpy as np
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import BooleanType
+
+    warr = np.array([int(w) for w in words], dtype=np.int64)
+
+    @_F.pandas_udf(BooleanType())
+    def _probe(*pos_series):
+        import pandas as pd
+
+        out = None
+        for ps in pos_series:
+            p = ps.to_numpy()
+            valid = p >= 0
+            bit = np.zeros(len(p), dtype=bool)
+            pv = np.where(valid, p, 0)
+            bit[valid] = (
+                (warr[(pv >> 6)[valid]] >> (pv & 63)[valid]) & 1
+            ).astype(bool)
+            out = bit if out is None else (out & bit)
+        return pd.Series(out)
+
+    safe = [F.coalesce(p, F.lit(-1)) for p in pos_cols]
+    return df.withColumn("might_contain", _probe(*safe))

@@ -181,3 +181,73 @@ def test_heavy_hitters_verify_is_broadcast_semi_join(spark, skewed):
         skewed, "k", min_count=250, k=64
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# --- Bloom filter ----------------------------------------------------------
+
+NB, K = 1 << 12, 4
+
+
+@pytest.fixture(scope="module")
+def bloomsets(spark):
+    build = [f"val{i}" for i in range(300)]
+    probe = [f"val{i}" for i in range(150, 600)] + ["zzz", "yyy"]
+    bdf = spark.createDataFrame([(v,) for v in build] + [(None,)], "v string")
+    pdf = spark.createDataFrame([(v,) for v in probe], "v string")
+    return build, probe, bdf, pdf
+
+
+def test_bloom_matches_python_mirror(spark, bloomsets):
+    build, probe, bdf, pdf = bloomsets
+    words = sketch.bloom_words(sketch.bloom_build(bdf, "v", NB, K), NB)
+    assert words == po.bloom_words_py(sorted(set(build)), NB, K)
+    got = {
+        r["v"]: r["might_contain"]
+        for r in sketch.bloom_probe(pdf, "v", words, NB, K).collect()
+    }
+    want = {v: m for v, m, _p in po.bloom_rows(build, probe, NB, K)}
+    assert got == want
+
+
+def test_bloom_no_false_negatives_and_some_fps_reproduce(spark, bloomsets):
+    build, probe, bdf, pdf = bloomsets
+    rows = po.bloom_rows(build, probe, NB, K)
+    assert all(m for _v, m, p in rows if p)  # present => might_contain
+    # with 300 keys in 4096 bits the FP rate is real; the exact FP set is
+    # deterministic — it IS the oracle surface, not noise
+    fps = [v for v, m, p in rows if m and not p]
+    assert fps == sorted(fps)
+
+
+def test_bloom_merge_equals_union_build(spark, bloomsets):
+    _b, _p, bdf, pdf = bloomsets
+    a = sketch.bloom_build(bdf.limit(100), "v", NB, K)
+    b = sketch.bloom_build(bdf.subtract(bdf.limit(100)), "v", NB, K)
+    merged = {
+        (r["word_idx"], r["word"])
+        for r in sketch.bloom_merge(a, b).collect()
+    }
+    direct = {
+        (r["word_idx"], r["word"])
+        for r in sketch.bloom_build(bdf, "v", NB, K).collect()
+    }
+    assert merged == direct
+
+
+def test_bloom_pandas_probe_equals_jvm(spark, bloomsets):
+    build, _p, bdf, pdf = bloomsets
+    words = sketch.bloom_words(sketch.bloom_build(bdf, "v", NB, K), NB)
+    jvm = sketch.bloom_probe(pdf, "v", words, NB, K).collect()
+    pnd = sketch.bloom_probe(pdf, "v", words, NB, K, use_pandas=True).collect()
+    assert sorted(map(tuple, jvm)) == sorted(map(tuple, pnd))
+
+
+def test_bloom_build_single_exchange(spark, bloomsets):
+    _b, _p, bdf, _pdf = bloomsets
+    plan = (
+        sketch.bloom_build(bdf, "v", NB, K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1 and "bit_or" in plan
