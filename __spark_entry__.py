@@ -3246,6 +3246,24 @@ def q_sketch_bloom(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_incr(spark, sf_dir):
+    """Incremental near-dup (dedup.minhash_incremental): the doc_id%4==0
+    quarter of the corpus arrives as a NEW batch against a signature
+    store built from the other three quarters — matches verified with
+    the MinHash Jaccard estimator (equal-component fraction; the store
+    has no text to re-shingle), at least one side new, never old-old.
+    VALUES oracle: pyoracle.minhash_incremental_rows (its own sigs,
+    buckets, and estimator over the same split)."""
+    from dug_spark.operators import dedup as dd
+
+    docs = _pq(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    store = dd.minhash_signatures(old)
+    matches, _new_store = dd.minhash_incremental(new, store, threshold=0.5)
+    return matches
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3780,6 +3798,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_range_join": q_temporal_range_join,
         "temporal_sessionize": q_temporal_sessionize,
         "sketch_bloom": q_sketch_bloom,
+        "dedup_minhash_incr": q_dedup_minhash_incr,
     }
 
 
@@ -4395,6 +4414,15 @@ def extra_oracle_sql() -> dict[str, str]:
             if t
         ]
         ptoks = [t for _d, text, _s in docs_src for t in text.split(" ") if t]
+        out["dedup_minhash_incr"] = _values_or_empty(
+            po.minhash_incremental_rows(
+                [(d, t) for d, t, _s in docs_src if d % 4 != 0],
+                [(d, t) for d, t, _s in docs_src if d % 4 == 0],
+                threshold=0.5,
+            ),
+            "id_a, id_b, sig_jaccard",
+            "BIGINT, BIGINT, DOUBLE",
+        )
         out["sketch_bloom"] = _values_or_empty(
             po.bloom_rows(btoks, ptoks, 4096, 4),
             "tok, might_contain, present",

@@ -1645,3 +1645,48 @@ def bloom_rows(
                 break
         out.append((val, might, val in built))
     return out
+
+
+def minhash_incremental_rows(
+    old_docs: list[tuple[int, str]],
+    new_docs: list[tuple[int, str]],
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> list[tuple[int, int, float]]:
+    """Recompute of operators/dedup.minhash_incremental: signatures for
+    store+batch, LSH buckets over the union, candidate pairs with ≥ one
+    NEW side, MinHash-estimator verify (equal components / num_hashes).
+    Returns (id_a, id_b, sig_jaccard≥threshold round 6) sorted."""
+    all_docs = list(old_docs) + list(new_docs)
+    new_ids = {d for d, _t in new_docs}
+    sh = {d: s for d, t in all_docs if (s := _shingle_set(t, shingle))}
+    distinct = {s for ss in sh.values() for s in ss}
+    hrow = {}
+    for s in distinct:
+        base = xxh64(s.encode("utf-8"), 42)
+        hrow[s] = [xxh64_chain_int(i, base) for i in range(num_hashes)]
+    sigs = {
+        d: [min(hrow[s][i] for s in ss) for i in range(num_hashes)]
+        for d, ss in sh.items()
+    }
+    rpb = num_hashes // bands
+    buckets: dict = defaultdict(set)
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = "_".join(str(sig[b * rpb + r]) for r in range(rpb))
+            buckets[(b, xxh64(key.encode(), 42))].add(d)
+    cands = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b and (a in new_ids or b in new_ids):
+                    cands.add((a, b))
+    out = []
+    for a, b in sorted(cands):
+        eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        j = round_half_up(eq / num_hashes, 6)
+        if j >= threshold:
+            out.append((a, b, j))
+    return out

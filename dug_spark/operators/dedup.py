@@ -828,3 +828,86 @@ def exact_dedup_incremental(
             ).alias("keep"),
         )
     )
+
+
+def signature_jaccard(num_hashes: int):
+    """Fraction of equal MinHash components between two ``sig`` arrays —
+    the unbiased estimator of Jaccard similarity (Broder 1997), the
+    verify step an INCREMENTAL pass must use because the store keeps
+    signatures, not text."""
+    return F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda b: b))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    sig_store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-duplicate detection: match a NEW batch against a
+    persisted signature store (and within itself) WITHOUT re-reading or
+    re-hashing the historical corpus — the recrawl shape: 10^9 new
+    captures against a 10^12-doc store whose text is long gone cold.
+
+    The store is the (doc, sig) relation from minhash_signatures —
+    num_hashes longs per historical doc (the only state the pass needs).
+    New signatures band-join against the UNION of new+store bands, pairs
+    keep at least one new side (old-old pairs were already reported by
+    the run that made them new), and candidates verify with the MinHash
+    Jaccard estimator (signature_jaccard — equal-component fraction,
+    Broder 1997) since the store has no text.  ``max_bucket`` applies
+    the same capped-bucket skew guard as the batch path
+    (cap_lsh_buckets), over the unioned bands.
+
+    Returns ``(matches, new_store)``: matches = (id_a, id_b,
+    sig_jaccard ≥ threshold) with id_a < id_b; new_store = store ∪ new
+    signatures, the input for the NEXT increment.  Shuffle inventory:
+    one shingle pass over the NEW batch only, one banded equi-join, one
+    signature join — the historical corpus contributes only its
+    store-sized signature relation.
+    """
+    rpb = num_hashes // bands
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle)
+    full_store = (
+        sig_store.unionByName(new_sigs) if sig_store is not None else new_sigs
+    )
+    banded_new = minhash_banded(new_sigs, bands, rpb).withColumn(
+        "is_new", F.lit(True)
+    )
+    if sig_store is not None:
+        banded = banded_new.unionByName(
+            minhash_banded(sig_store, bands, rpb).withColumn("is_new", F.lit(False))
+        )
+    else:
+        banded = banded_new
+    banded = cap_lsh_buckets(banded, max_bucket)
+    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket",
+                      F.col("is_new").alias("new_a"))
+    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket",
+                      F.col("is_new").alias("new_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("new_a") | F.col("new_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = full_store.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = full_store.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("sig_jaccard", signature_jaccard(num_hashes))
+        .where(F.col("sig_jaccard") >= threshold)
+        .select("id_a", "id_b", "sig_jaccard")
+    )
+    return matches, full_store

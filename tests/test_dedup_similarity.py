@@ -794,3 +794,79 @@ def test_flag_contaminated(spark):
     )
     got2 = textstats.flag_contaminated(df2, bench).collect()[0]
     assert got2["contaminated"]
+
+
+# --- incremental MinHash near-dup (dedup.minhash_incremental) --------------
+
+
+def _crawl_batches(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    old = [(i, base + f" tail{i}") for i in range(10)]
+    old += [(100, "completely different content about spark execution engines")]
+    new = [(200, base + " tail3"),              # near-dup of old id=3
+           (201, base + " tail3"),              # exact dup of 200 (new-new pair)
+           (202, "unrelated fresh text with nothing shared at all here")]
+    return old, new
+
+
+def test_minhash_incremental_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+    from dug_spark.operators import dedup
+
+    old, new = _crawl_batches(spark)
+    old_df = spark.createDataFrame(old, "doc_id long, text string")
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+    store = dedup.minhash_signatures(old_df)
+    matches, new_store = dedup.minhash_incremental(
+        new_df, store, threshold=0.4
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sig_jaccard"]) for r in matches.collect()
+    )
+    want = po.minhash_incremental_rows(old, new, threshold=0.4)
+    assert got == want
+    # the exact new-new dup must appear with estimator 1.0
+    assert (200, 201, 1.0) in got
+    # at least one new-old cross pair
+    assert any(a < 200 and b >= 200 for a, b, _j in got)
+    # no old-old pairs ever
+    assert not any(a < 200 and b < 200 for a, b, _j in got)
+    # the store grows by exactly the new batch
+    assert new_store.count() == store.count() + 3
+
+
+def test_minhash_incremental_no_store_bootstrap(spark):
+    from dug_spark.operators import dedup
+
+    _old, new = _crawl_batches(spark)
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+    matches, store = dedup.minhash_incremental(new_df, None, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in matches.collect()}
+    assert (200, 201) in got
+    assert store.count() == 3
+
+
+def test_minhash_incremental_two_steps_cover_batch_pairs(spark):
+    """Running increment(B1) then increment(B2) must surface every pair
+    the one-shot batch LSH finds on B1 ∪ B2 (same bands, same verify)."""
+    from dug_spark.operators import dedup
+
+    old, new = _crawl_batches(spark)
+    df1 = spark.createDataFrame(old, "doc_id long, text string")
+    df2 = spark.createDataFrame(new, "doc_id long, text string")
+    m1, store1 = dedup.minhash_incremental(df1, None, threshold=0.4)
+    m2, _store2 = dedup.minhash_incremental(df2, store1, threshold=0.4)
+    inc_pairs = {(r["id_a"], r["id_b"]) for r in m1.collect()}
+    inc_pairs |= {(r["id_a"], r["id_b"]) for r in m2.collect()}
+    both = dedup.minhash_signatures(df1.unionByName(df2))
+    cand = dedup.minhash_lsh_candidates(both)
+    sa = both.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = both.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("sj", dedup.signature_jaccard(32))
+        .where(F.col("sj") >= 0.4)
+        .collect()
+    }
+    assert batch_pairs == inc_pairs
