@@ -3264,6 +3264,43 @@ def q_dedup_minhash_incr(spark, sf_dir):
     return matches
 
 
+def q_classify_eval(spark, sf_dir):
+    """Classifier evaluation (classify.evaluate_classifier): per-source
+    confusion counts + precision/recall/F1/accuracy for the heuristic
+    "contains ' the '" predicting lang='en' over the documents table —
+    one conditional-sum aggregate, the audit surface every curation
+    threshold needs.  Plain-SQL oracle (NULL where denominators are
+    empty, matching the operator's refusal to fake 0/0)."""
+    from dug_spark.operators.classify import evaluate_classifier
+
+    docs = _pq(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("lang") == "en").alias("label"),
+        F.col("text").contains(" the ").alias("pred"),
+    )
+    return evaluate_classifier(docs, "label", "pred", "source")
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-aware frontier scheduling (crawl.frontier_schedule —
+    Mercator-style host round-robin): every host's round k precedes any
+    host's round k+1; within a round, priority desc then url asc.  URLs
+    and priorities derive from doc_id; the oracle states the same two
+    ROW_NUMBER windows in SQL."""
+    from dug_spark.operators.crawl import frontier_schedule
+
+    did = F.col("doc_id")
+    urls = _pq(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (did % 20).cast("string"),
+            F.lit(".example.org/p"), (did % 7).cast("string"),
+            F.lit("/d"), did.cast("string"),
+        ).alias("url"),
+        (did % 7).cast("double").alias("prio"),
+    )
+    return frontier_schedule(urls, priority_col="prio")
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3799,6 +3836,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_sessionize": q_temporal_sessionize,
         "sketch_bloom": q_sketch_bloom,
         "dedup_minhash_incr": q_dedup_minhash_incr,
+        "classify_eval": q_classify_eval,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -3970,6 +4009,38 @@ def extra_oracle_sql() -> dict[str, str]:
             "      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
             "FROM o"
+        ),
+        "classify_eval": (
+            "WITH v AS (SELECT source, (lang = 'en') AS label, "
+            "  (text LIKE '% the %') AS pred FROM documents "
+            "  WHERE lang IS NOT NULL AND text IS NOT NULL), "
+            "c AS (SELECT source, "
+            "  SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS tp, "
+            "  SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS fp, "
+            "  SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS fn, "
+            "  SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS tn "
+            "  FROM v GROUP BY source) "
+            "SELECT source, tp, fp, fn, tn, "
+            "  ROUND(tp / NULLIF(tp + fp, 0), 6) AS precision, "
+            "  ROUND(tp / NULLIF(tp + fn, 0), 6) AS recall, "
+            "  ROUND(2.0 * (tp / NULLIF(tp + fp, 0)) * (tp / NULLIF(tp + fn, 0)) "
+            "    / NULLIF((tp / NULLIF(tp + fp, 0)) + (tp / NULLIF(tp + fn, 0)), 0), 6) AS f1, "
+            "  ROUND((tp + tn) / NULLIF(tp + fp + fn + tn, 0), 6) AS accuracy "
+            "FROM c"
+        ),
+        "crawl_frontier": (
+            "WITH u AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || "
+            "  '.example.org/p' || CAST(doc_id % 7 AS VARCHAR) || '/d' || "
+            "  CAST(doc_id AS VARCHAR) AS url, "
+            "  CAST(doc_id % 7 AS DOUBLE) AS prio, "
+            "  'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host "
+            "  FROM documents), "
+            "r AS (SELECT url, host, prio, "
+            "  ROW_NUMBER() OVER (PARTITION BY host ORDER BY prio DESC, url ASC) AS host_seq "
+            "  FROM u) "
+            "SELECT url, host, CAST(host_seq AS INTEGER) AS host_seq, "
+            "  CAST(ROW_NUMBER() OVER (ORDER BY host_seq ASC, prio DESC, url ASC) AS INTEGER) AS crawl_order "
+            "FROM r"
         ),
         # MG heavy hitters verify exactly, so the oracle is plain SQL:
         # the same tokenization as _doc_tokens, GROUP BY ... HAVING with

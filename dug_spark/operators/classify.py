@@ -165,3 +165,49 @@ def quality_classifier(
         vocab_size=vocab_size, alpha=alpha,
     )
     return nb_score(corpus, weights, bias, text_col=text_col)
+
+
+def evaluate_classifier(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group evaluation of a boolean classifier: confusion counts +
+    precision / recall / F1 / accuracy — ONE conditional-sum aggregate
+    over the verdict table (map-side partials, |groups| rows out), the
+    audit every model-based curation gate (quality_classifier,
+    lm_perplexity buckets) needs before its threshold goes to production.
+
+    NULL labels/predictions are excluded.  Metrics are NULL (not 0/0)
+    when a denominator is empty — a group with no predicted positives
+    has undefined precision, and hiding that as 0 misreads the audit.
+    Ratios round 6 for cross-engine hash comparison.
+    """
+    lab = F.col(label_col).cast("boolean")
+    pred = F.col(pred_col).cast("boolean")
+    base = df.where(lab.isNotNull() & pred.isNotNull())
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    groups = [group_col] if group_col else []
+    agged = base.groupBy(*groups).agg(
+        cnt(lab & pred).alias("tp"),
+        cnt(~lab & pred).alias("fp"),
+        cnt(lab & ~pred).alias("fn"),
+        cnt(~lab & ~pred).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    prec = tp / F.nullif(tp + fp, F.lit(0))
+    rec = tp / F.nullif(tp + fn, F.lit(0))
+    f1 = 2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+    acc = (tp + tn) / F.nullif(tp + fp + fn + tn, F.lit(0))
+    return agged.select(
+        *groups,
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(acc, 6).alias("accuracy"),
+    )

@@ -278,3 +278,45 @@ def robots_filter(
         "url",
         F.coalesce(F.col("_win.a") == 1, F.lit(True)).alias("allowed"),
     )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier ordering: round-robin across
+    hosts so no host is hit twice before every other host with pending
+    URLs is hit once — the standard frontier discipline (Mercator-style
+    host queues, Heydon & Najork 1999) expressed as TWO windows:
+
+    1. ``host_seq`` = rank of the URL within its host (by priority desc,
+       then url asc — deterministic), i.e. which politeness round it
+       belongs to;
+    2. global crawl order = sort by (host_seq, priority desc, url) —
+       round 1 of every host precedes round 2 of any host.
+
+    Output: (url, host, host_seq, crawl_order).  Scale: one host-keyed
+    shuffle for the per-host window (hosts are near-unique keys at
+    web scale) and one global sort for the order — the sort is the
+    OUTPUT contract (a frontier is consumed in order), not an
+    intermediate.  priority_col=None means uniform priority (pure
+    round-robin by url order).
+    """
+    prio = (
+        F.col(priority_col).cast("double")
+        if priority_col is not None
+        else F.lit(0.0)
+    )
+    host = F.regexp_extract(url_col, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    w = Window.partitionBy("host").orderBy(F.desc("_prio"), F.asc(url_col))
+    ranked = (
+        urls.select(F.col(url_col).alias("url"), host.alias("host"), prio.alias("_prio"))
+        .withColumn("host_seq", F.row_number().over(w))
+    )
+    wg = Window.orderBy(
+        F.asc("host_seq"), F.desc("_prio"), F.asc("url")
+    )
+    return ranked.withColumn("crawl_order", F.row_number().over(wg)).select(
+        "url", "host", "host_seq", "crawl_order"
+    )

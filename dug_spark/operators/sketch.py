@@ -340,19 +340,25 @@ def bloom_probe(
     words: list,
     num_bits: int = 1 << 20,
     k: int = 5,
-    use_pandas: bool = False,
+    use_pandas: bool | None = None,
 ) -> DataFrame:
     """df + ``might_contain`` (boolean; NULL value ⇒ false).  Two probe
     paths, identical results (tested):
 
-    - JVM (default): the word list folds in as ONE array literal and the
-      k bit tests are shiftright/AND column expressions — whole-stage
-      codegen, right up to a few MB of filter.
-    - ``use_pandas=True``: positions still computed JVM-side, the bitmap
-      lives as a numpy array in the UDF closure and the k tests are
-      vectorized numpy indexing — the path for 100 MB-class filters
-      where an expression literal would bloat the plan (swap the closure
-      for sc.broadcast at that size)."""
+    - JVM: the word list folds in as ONE array literal and the k bit
+      tests are shiftright/AND column expressions — right for SMALL
+      filters only: element_at against a large array literal falls out
+      of codegen and was measured 27× slower than numpy at 32k words
+      (BASELINE.md cont. 6).
+    - pandas: positions still computed JVM-side, the bitmap lives as a
+      numpy array in the UDF closure and the k tests are vectorized
+      numpy indexing — the 100 MB-filter path (swap the closure for
+      sc.broadcast at that size).
+
+    ``use_pandas=None`` (default) picks automatically: pandas past 512
+    words (4 KiB), the measured crossover ballpark."""
+    if use_pandas is None:
+        use_pandas = len(words) > 512
     v = F.col(value_col)
     pos_cols = [
         F.pmod(F.xxhash64(v, F.lit(i)), F.lit(num_bits)) for i in range(k)

@@ -180,3 +180,38 @@ def test_semantic_dedup_scale_invariant_cosine(spark):
     got = {r["vec_id"]: r["keep"] for r in
            dedup.semantic_dedup(_vecs_df(spark, vecs), k=1, tau=0.999).collect()}
     assert got == {10: True, 20: False, 30: True}
+
+
+# --- evaluate_classifier ----------------------------------------------------
+
+
+def test_evaluate_classifier_hand_computed(spark):
+    from dug_spark.operators.classify import evaluate_classifier
+
+    rows = [
+        ("g1", True, True), ("g1", True, True), ("g1", True, False),
+        ("g1", False, True), ("g1", False, False),
+        ("g2", False, False), ("g2", False, False),  # no positives at all
+        ("g3", True, None),  # NULL pred excluded
+    ]
+    df = spark.createDataFrame(rows, "grp string, label boolean, pred boolean")
+    got = {
+        r["grp"]: (r["tp"], r["fp"], r["fn"], r["tn"],
+                   r["precision"], r["recall"], r["f1"], r["accuracy"])
+        for r in evaluate_classifier(df, "label", "pred", "grp").collect()
+    }
+    assert got["g1"] == (2, 1, 1, 1, round(2/3, 6), round(2/3, 6),
+                         round(2/3, 6), 0.6)
+    # no predicted positives and no actual positives: precision/recall NULL
+    assert got["g2"] == (0, 0, 0, 2, None, None, None, 1.0)
+    assert "g3" not in got  # its only row had NULL pred
+
+
+def test_evaluate_classifier_global_mode(spark):
+    from dug_spark.operators.classify import evaluate_classifier
+
+    df = spark.createDataFrame(
+        [(True, True), (False, True)], "label boolean, pred boolean"
+    )
+    row = evaluate_classifier(df, "label", "pred").collect()[0]
+    assert (row["tp"], row["fp"], row["precision"]) == (1, 1, 0.5)

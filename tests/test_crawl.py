@@ -256,3 +256,31 @@ def test_robots_mirror_is_rfc_truth(spark):
     assert dict(po.robots_allowed(["https://b.org/x"], RULES, "otherbot")) == {
         "https://b.org/x": False
     }
+
+
+# --- frontier_schedule -------------------------------------------------------
+
+
+def test_frontier_round_robin_politeness(spark):
+    from dug_spark.operators.crawl import frontier_schedule
+
+    urls = [
+        ("https://a.org/1", 5.0), ("https://a.org/2", 9.0),
+        ("https://a.org/3", 1.0),
+        ("https://b.org/1", 7.0),
+        ("https://c.org/1", 2.0), ("https://c.org/2", 2.0),
+    ]
+    df = spark.createDataFrame(urls, "url string, prio double")
+    rows = frontier_schedule(df, priority_col="prio").orderBy("crawl_order").collect()
+    order = [r["url"] for r in rows]
+    # round 1: each host's best URL, by priority desc: a/2 (9), b/1 (7), c/1
+    # (prio tie 2.0 with c/2 -> url asc); round 2: a/1 (5), c/2; round 3: a/3
+    assert order == [
+        "https://a.org/2", "https://b.org/1", "https://c.org/1",
+        "https://a.org/1", "https://c.org/2", "https://a.org/3",
+    ]
+    seqs = {r["url"]: r["host_seq"] for r in rows}
+    assert seqs["https://a.org/3"] == 3 and seqs["https://b.org/1"] == 1
+    # politeness invariant: within the global order, host_seq is
+    # non-decreasing (no host's round k before every round k-1 done)
+    assert [r["host_seq"] for r in rows] == sorted(r["host_seq"] for r in rows)
