@@ -3301,6 +3301,22 @@ def q_crawl_frontier(spark, sf_dir):
     return frontier_schedule(urls, priority_col="prio")
 
 
+def q_kg_ntriples(spark, sf_dir):
+    """RDF N-Triples serialization (triples.to_ntriples, W3C N-Triples
+    1.1): the pipeline's full triple output as interchange lines —
+    map-only concat/escape column ops, no shuffle added.  Oracle: the
+    kg_triples_all derivation wrapped in the same IRI mapping in SQL."""
+    from dug_spark.operators.triples import to_ntriples
+
+    from dug_spark import fixtures as _fx
+    from dug_spark.operators import triples as triples_op
+
+    t = triples_op.build_triples(
+        _nmentions(spark, sf_dir), _fx.vocab_kg_edges(spark)
+    ).select("subj", "pred", "obj")
+    return to_ntriples(t)
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3838,6 +3854,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incr": q_dedup_minhash_incr,
         "classify_eval": q_classify_eval,
         "crawl_frontier": q_crawl_frontier,
+        "kg_ntriples": q_kg_ntriples,
     }
 
 
@@ -4009,6 +4026,15 @@ def extra_oracle_sql() -> dict[str, str]:
             "      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
             "FROM o"
+        ),
+        "kg_ntriples": (
+            "WITH t AS (" + oracle_sql()["kg_triples_all"] + ") "
+            "SELECT '<' || CASE WHEN subj LIKE 'http://%' OR subj LIKE 'https://%' "
+            "  THEN subj ELSE 'https://example.org/id/' || subj END || '> ' || "
+            "  '<https://example.org/pred/' || pred || '> ' || "
+            "  '<' || CASE WHEN obj LIKE 'http://%' OR obj LIKE 'https://%' "
+            "  THEN obj ELSE 'https://example.org/id/' || obj END || '> .' AS line "
+            "FROM t"
         ),
         "classify_eval": (
             "WITH v AS (SELECT source, (lang = 'en') AS label, "

@@ -295,3 +295,50 @@ def write_triples(
     )
     salted.write.mode(mode).partitionBy("pred").parquet(path)
     return spark.read.parquet(path)
+
+
+def to_ntriples(
+    triples: DataFrame,
+    base_iri: str = "https://example.org/id/",
+    pred_iri: str = "https://example.org/pred/",
+) -> DataFrame:
+    """Serialize (subj, pred, obj) rows to N-Triples lines (RDF 1.1
+    N-Triples, W3C REC-n-triples-20140225) — the interchange format a
+    KG pipeline materializes for downstream triple stores.
+
+    Mapping: subj/obj that look like CURIEs or bare ids become IRIs
+    under ``base_iri`` (already-absolute http(s) IRIs pass through);
+    predicates under ``pred_iri`` (biolink: CURIEs keep their prefix as
+    a path segment).  IRI characters outside the N-Triples IRIREF set
+    (`<>"{}|^\\`` and controls) percent-encode; this corpus's ids are
+    URL-safe already, so the rule matters for the general case.
+    Map-only column ops (concat + regexp_replace chains) — serialization
+    adds NO shuffle; one line per input triple, ordered by caller.
+    Output: a single ``line`` column.
+    """
+
+    def iri(col, base):
+        absolute = col.rlike("^https?://")
+        # percent-encode the IRIREF-forbidden set (minimal, spec §2.2)
+        esc = col
+        for ch, enc in ((" ", "%20"), ("<", "%3C"), (">", "%3E"),
+                        ('"', "%22"), ("{", "%7B"), ("}", "%7D"),
+                        ("|", "%7C"), ("^", "%5E"), ("`", "%60"),
+                        ("\\", "%5C")):
+            esc = F.replace(esc, F.lit(ch), F.lit(enc))
+        return F.concat(
+            F.lit("<"),
+            F.when(absolute, esc).otherwise(F.concat(F.lit(base), esc)),
+            F.lit(">"),
+        )
+
+    return triples.select(
+        F.concat(
+            iri(F.col("subj"), base_iri),
+            F.lit(" "),
+            iri(F.col("pred"), pred_iri),
+            F.lit(" "),
+            iri(F.col("obj"), base_iri),
+            F.lit(" ."),
+        ).alias("line")
+    )

@@ -167,3 +167,40 @@ def test_co_mention_similarity_always_together_is_one(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["cosine"], r["jaccard"], r["dice"]) == (1.0, 1.0, 1.0)
+
+
+# --- N-Triples serialization -------------------------------------------------
+
+
+def test_to_ntriples_format(spark):
+    from dug_spark.operators.triples import to_ntriples
+
+    t = spark.createDataFrame(
+        [
+            ("https://example.org/doc/1", "HAS_CONCEPT", "OP:0001"),
+            ("MONDO:0005", "biolink:subclass_of", "MONDO:0001"),
+            ("a b<c>", "p", "o\\q"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = [r["line"] for r in to_ntriples(t).collect()]
+    assert lines[0] == (
+        "<https://example.org/doc/1> "
+        "<https://example.org/pred/HAS_CONCEPT> "
+        "<https://example.org/id/OP:0001> ."
+    )
+    assert lines[1] == (
+        "<https://example.org/id/MONDO:0005> "
+        "<https://example.org/pred/biolink:subclass_of> "
+        "<https://example.org/id/MONDO:0001> ."
+    )
+    # forbidden IRIREF chars percent-encode
+    assert lines[2] == (
+        "<https://example.org/id/a%20b%3Cc%3E> "
+        "<https://example.org/pred/p> "
+        "<https://example.org/id/o%5Cq> ."
+    )
+    # every line is well-formed N-Triples: three <IRI> tokens + ' .'
+    import re
+    for ln in lines:
+        assert re.fullmatch(r"<[^<>\s]+> <[^<>\s]+> <[^<>\s]+> \.", ln)
