@@ -3317,6 +3317,27 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(t)
 
 
+def q_kg_diff(spark, sf_dir):
+    """KG snapshot delta (triples.kg_diff): the pipeline's triples with
+    the doc_id%3==0 documents removed vs the full materialization —
+    'removed' rows are the dropped docs' triples, 'added' is empty; two
+    LEFT ANTI joins, change-sized output.  Plain-SQL EXCEPT oracle."""
+    from dug_spark import fixtures as _fx
+    from dug_spark.operators import triples as triples_op
+    from dug_spark.operators.triples import kg_diff
+
+    full = triples_op.build_triples(
+        _nmentions(spark, sf_dir), _fx.vocab_kg_edges(spark)
+    ).select("subj", "pred", "obj")
+    subset = full.where(
+        ~(
+            F.col("subj").rlike("/doc/\\d+$")
+            & (F.regexp_extract("subj", "/doc/(\\d+)$", 1).cast("long") % 3 == 0)
+        )
+    )
+    return kg_diff(full, subset)
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3855,6 +3876,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_eval": q_classify_eval,
         "crawl_frontier": q_crawl_frontier,
         "kg_ntriples": q_kg_ntriples,
+        "kg_diff": q_kg_diff,
     }
 
 
@@ -4026,6 +4048,15 @@ def extra_oracle_sql() -> dict[str, str]:
             "      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
             "FROM o"
+        ),
+        "kg_diff": (
+            "WITH t AS (" + oracle_sql()["kg_triples_all"] + "), "
+            "sub AS (SELECT * FROM t WHERE NOT (regexp_matches(subj, '/doc/[0-9]+$') "
+            "  AND COALESCE(TRY_CAST(regexp_extract(subj, '/doc/([0-9]+)$', 1) AS BIGINT) % 3 = 0, FALSE))), "
+            "added AS (SELECT DISTINCT subj, pred, obj FROM sub EXCEPT SELECT DISTINCT subj, pred, obj FROM t), "
+            "removed AS (SELECT DISTINCT subj, pred, obj FROM t EXCEPT SELECT DISTINCT subj, pred, obj FROM sub) "
+            "SELECT subj, pred, obj, 'added' AS change FROM added "
+            "UNION ALL SELECT subj, pred, obj, 'removed' AS change FROM removed"
         ),
         "kg_ntriples": (
             "WITH t AS (" + oracle_sql()["kg_triples_all"] + ") "

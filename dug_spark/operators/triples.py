@@ -342,3 +342,29 @@ def to_ntriples(
             F.lit(" ."),
         ).alias("line")
     )
+
+
+def kg_diff(
+    old_triples: DataFrame,
+    new_triples: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Triple-set delta between two KG materializations (e.g. two crawl
+    snapshots): one row per triple present in exactly one side, tagged
+    ``change`` ∈ {'added', 'removed'} — the maintenance feed a recrawl
+    pipeline publishes downstream instead of a full re-export.
+
+    Anti-join formulation (two LEFT ANTI joins on the triple key), so
+    Catalyst plans hash joins that AQE can broadcast/skew-split; both
+    sides dedup first (a triple's multiplicity is not part of KG set
+    semantics).  Output is |added| + |removed| rows — change-sized, not
+    corpus-sized.
+    """
+    kcols = list(keys)
+    o = old_triples.select(*kcols).distinct()
+    n = new_triples.select(*kcols).distinct()
+    added = n.join(o, kcols, "left_anti").withColumn("change", F.lit("added"))
+    removed = o.join(n, kcols, "left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)

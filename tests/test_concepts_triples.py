@@ -204,3 +204,25 @@ def test_to_ntriples_format(spark):
     import re
     for ln in lines:
         assert re.fullmatch(r"<[^<>\s]+> <[^<>\s]+> <[^<>\s]+> \.", ln)
+
+
+def test_kg_diff_added_removed(spark):
+    from dug_spark.operators.triples import kg_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "y"), ("b", "q", "z"), ("b", "q", "z")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x"), ("c", "p", "w")],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["change"])
+        for r in kg_diff(old, new).collect()
+    }
+    assert got == {
+        ("c", "p", "w", "added"),
+        ("a", "p", "y", "removed"),
+        ("b", "q", "z", "removed"),  # multiplicity collapses: ONE removed row
+    }
