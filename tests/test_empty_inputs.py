@@ -88,3 +88,109 @@ def test_search_empty_tables(spark):
         "subject string, predicate string, object string"
     )
     assert search.search_kg(kg, "X:1", "query").count() == 0
+
+
+# --- round-5 (cont. 6) operators ---------------------------------------------
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from dug_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([], "k string")
+    # n=0 -> eps 0 < min_count: guarantee trivially holds, empty result
+    assert heavy_hitters(df, "k", min_count=1, k=16).count() == 0
+
+
+def test_weighted_sample_empty_and_all_invalid(spark):
+    from dug_spark.operators.importance import weighted_sample_per_group
+
+    empty = spark.createDataFrame([], "g string, id long, w double")
+    assert weighted_sample_per_group(empty, "g", "id", 3, "w").count() == 0
+    bad = spark.createDataFrame([("g", 1, -1.0), ("g", 2, None)],
+                                "g string, id long, w double")
+    assert weighted_sample_per_group(bad, "g", "id", 3, "w").count() == 0
+
+
+def test_asof_empty_right_side(spark):
+    from dug_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 5.0, "a")], "k long, t double, tag string")
+    right = spark.createDataFrame([], "k long, rt double, v double")
+    rows = asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["v"] is None and rows[0]["matched_ts"] is None
+
+
+def test_range_join_empty_sides(spark):
+    from dug_spark.operators.temporal import range_join_bucketed
+
+    pts = spark.createDataFrame([(1, 2.0)], "k long, p double")
+    win = spark.createDataFrame([], "k long, s double, e double")
+    assert range_join_bucketed(pts, win, "k", "p", "s", "e", 1.0).count() == 0
+
+
+def test_sessionize_empty(spark):
+    from dug_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame([], "k long, t double")
+    assert sessionize(df, "k", "t", 10.0).count() == 0
+
+
+def test_robots_empty_rules_all_allowed(spark):
+    from dug_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame([("https://a.org/x",)], "url string")
+    rules = spark.createDataFrame(
+        [], "host string, agent string, directive string, pattern string"
+    )
+    rows = robots_filter(urls, rules, "bot").collect()
+    assert rows[0]["allowed"] is True
+
+
+def test_frontier_empty(spark):
+    from dug_spark.operators.crawl import frontier_schedule
+
+    urls = spark.createDataFrame([], "url string")
+    assert frontier_schedule(urls).count() == 0
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    from dug_spark.operators.sketch import bloom_build, bloom_probe, bloom_words
+
+    empty = spark.createDataFrame([], "v string")
+    words = bloom_words(bloom_build(empty, "v", 4096, 4), 4096)
+    assert all(w == 0 for w in words)
+    probe = spark.createDataFrame([("x",), (None,)], "v string")
+    got = [r["might_contain"] for r in bloom_probe(probe, "v", words, 4096, 4).collect()]
+    assert got == [False, False]
+
+
+def test_minhash_incremental_empty_new_batch(spark):
+    from dug_spark.operators import dedup as dd
+
+    old = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    store = dd.minhash_signatures(old)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    matches, new_store = dd.minhash_incremental(empty, store)
+    assert matches.count() == 0 and new_store.count() == 1
+
+
+def test_evaluate_classifier_empty(spark):
+    from dug_spark.operators.classify import evaluate_classifier
+
+    df = spark.createDataFrame([], "label boolean, pred boolean")
+    assert evaluate_classifier(df, "label", "pred").count() == 1  # global row of zeros
+
+
+def test_kg_diff_and_ntriples_empty(spark):
+    from dug_spark.operators.triples import kg_diff, to_ntriples
+
+    t = spark.createDataFrame([], "subj string, pred string, obj string")
+    assert kg_diff(t, t).count() == 0
+    assert to_ntriples(t).count() == 0
+
+
+def test_rrf_fuse_empty_lists(spark):
+    from dug_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([], "id long, rank long")
+    assert rrf_fuse([a], k=5).count() == 0
