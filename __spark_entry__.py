@@ -3338,6 +3338,21 @@ def q_kg_diff(spark, sf_dir):
     return kg_diff(full, subset)
 
 
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixture fractions
+    (textstats.temperature_fractions — the GPT-3/PaLM/mT5 domain
+    reweighting rule, p_g ∝ mass_g^(1/T)): per-source spec table at
+    T=2, budget 0.5, mass = n_chars (token-weight proxy); fractions cap
+    at 1 (visible oversampling limit, never silently renormalized).
+    Plain-SQL oracle (POWER + window-free aggregates)."""
+    from dug_spark.operators.textstats import temperature_fractions
+
+    docs = _pq(spark, sf_dir, "documents")
+    return temperature_fractions(
+        docs, "source", temperature=2.0, budget_frac=0.5, weight_col="n_chars"
+    )
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3877,6 +3892,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "kg_ntriples": q_kg_ntriples,
         "kg_diff": q_kg_diff,
+        "mix_temperature": q_mix_temperature,
     }
 
 
@@ -4048,6 +4064,15 @@ def extra_oracle_sql() -> dict[str, str]:
             "      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
             "FROM o"
+        ),
+        "mix_temperature": (
+            "WITH per AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS mass "
+            "  FROM documents GROUP BY source), "
+            "tot AS (SELECT SUM(mass) AS t, SUM(POWER(mass, 0.5)) AS pt FROM per) "
+            "SELECT source, mass, "
+            "  ROUND(POWER(mass, 0.5) / tot.pt, 6) AS p_target, "
+            "  ROUND(LEAST(1.0, POWER(mass, 0.5) / tot.pt * 0.5 * tot.t / mass), 6) AS fraction "
+            "FROM per CROSS JOIN tot"
         ),
         "kg_diff": (
             "WITH t AS (" + oracle_sql()["kg_triples_all"] + "), "

@@ -885,3 +885,54 @@ def canonical_url(
         F.concat(base, F.lit("?"), joined)
     )
     return df.withColumn(out_col, canon)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    group_col: str = "source",
+    temperature: float = 2.0,
+    budget_frac: float = 0.5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture fractions — the multilingual/domain
+    reweighting rule of the GPT-3 / PaLM / mT5 data recipes: sample
+    group g with probability ∝ mass_g^(1/T), so T=1 keeps natural
+    proportions and T→∞ approaches uniform over groups, up-weighting
+    the tail without flattening it.  ``mass`` is row count (or the sum
+    of ``weight_col`` — e.g. token counts — when given).
+
+    Returns the per-group spec table (group, mass, p_target,
+    fraction): p_target = mass^(1/T)/Σ mass^(1/T) is the share of the
+    SAMPLED corpus; fraction = min(1, p_target · budget · Σmass /
+    mass_g) is the per-row keep probability that realizes it under a
+    total budget of ``budget_frac``·Σmass rows — capped at 1 (a tail
+    group cannot be sampled above its own size; the classic
+    oversampling cap, left visible rather than silently renormalized).
+    Feed ``fraction`` into sample_corpus_mix for the deterministic
+    hash-sampling apply step.  ONE group-keyed aggregate; |groups| rows
+    out.  Ratios round 6 for cross-engine comparison.
+    """
+    mass = (
+        F.sum(F.col(weight_col).cast("double"))
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("double")
+    )
+    per = df.groupBy(group_col).agg(mass.alias("mass"))
+    tot = per.agg(
+        F.sum("mass").alias("_tot"),
+        F.sum(F.pow("mass", F.lit(1.0 / temperature))).alias("_ptot"),
+    )
+    p_target = F.pow("mass", F.lit(1.0 / temperature)) / F.col("_ptot")
+    fraction = F.least(
+        F.lit(1.0),
+        p_target * F.lit(float(budget_frac)) * F.col("_tot") / F.col("mass"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "mass",
+            F.round(p_target, 6).alias("p_target"),
+            F.round(fraction, 6).alias("fraction"),
+        )
+    )

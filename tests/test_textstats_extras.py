@@ -145,3 +145,42 @@ def test_incremental_dedup_null_text(spark):
     got = {r["doc_id"]: r["keep"] for r in
            dedup.exact_dedup_incremental(batch, seen).collect()}
     assert got == {1: True, 2: False}
+
+
+# --- temperature mixture fractions -------------------------------------------
+
+
+def test_temperature_fractions_hand_computed(spark):
+    from dug_spark.operators.textstats import temperature_fractions
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "source string")
+    got = {
+        r["source"]: (r["mass"], r["p_target"], r["fraction"])
+        for r in temperature_fractions(df, temperature=2.0, budget_frac=0.5).collect()
+    }
+    import math
+
+    ptot = math.sqrt(900) + math.sqrt(100)
+    p_big, p_small = math.sqrt(900) / ptot, math.sqrt(100) / ptot
+    assert got["big"] == (900.0, round(p_big, 6), round(p_big * 0.5 * 1000 / 900, 6))
+    # small's uncapped share would be 1.25 of its own size -> capped at 1
+    assert got["small"] == (100.0, round(p_small, 6), 1.0)
+    # T=2 upweights the tail: small's share rises from 10% to 25%
+    assert abs(p_small - 0.25) < 1e-9
+
+
+def test_temperature_limits(spark):
+    from dug_spark.operators.textstats import temperature_fractions
+
+    rows = [("a",)] * 800 + [("b",)] * 200
+    df = spark.createDataFrame(rows, "source string")
+    # T=1: natural proportions
+    t1 = {r["source"]: r["p_target"] for r in
+          temperature_fractions(df, temperature=1.0).collect()}
+    assert t1 == {"a": 0.8, "b": 0.2}
+    # huge T: near-uniform, and the tail group's fraction caps at 1
+    t9 = {r["source"]: (r["p_target"], r["fraction"]) for r in
+          temperature_fractions(df, temperature=1e9, budget_frac=1.0).collect()}
+    assert abs(t9["a"][0] - 0.5) < 1e-6 and abs(t9["b"][0] - 0.5) < 1e-6
+    assert t9["b"][1] == 1.0  # cap: can't sample 500 rows from a 200-row group
