@@ -3353,6 +3353,24 @@ def q_mix_temperature(spark, sf_dir):
     )
 
 
+def q_text_sentence_chunks(spark, sf_dir):
+    """Sentence-boundary chunking (text.sentence_chunks_col — the
+    retrieval-style segmentation the reference's character-window
+    chunker cuts through): greedy sentence packing at 120 chars over
+    the documents table, exploded to (doc_id, chunk_idx, chunk) rows.
+    Pure F.aggregate fold, codegen, no UDF.  VALUES oracle:
+    pyoracle.sentence_chunks per document."""
+    from dug_spark.functions.text import sentence_chunks_col
+
+    docs = _pq(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(sentence_chunks_col(F.col("text"), max_chars=120)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3893,6 +3911,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "kg_diff": q_kg_diff,
         "mix_temperature": q_mix_temperature,
+        "text_sentence_chunks": q_text_sentence_chunks,
     }
 
 
@@ -4575,6 +4594,15 @@ def extra_oracle_sql() -> dict[str, str]:
             ),
             "id_a, id_b, sig_jaccard",
             "BIGINT, BIGINT, DOUBLE",
+        )
+        out["text_sentence_chunks"] = _values_or_empty(
+            [
+                (d, i, c)
+                for d, t, _s in docs_src
+                for i, c in enumerate(po.sentence_chunks(t, 120) or [])
+            ],
+            "doc_id, chunk_idx, chunk",
+            "BIGINT, INTEGER, VARCHAR",
         )
         out["sketch_bloom"] = _values_or_empty(
             po.bloom_rows(btoks, ptoks, 4096, 4),

@@ -1690,3 +1690,26 @@ def minhash_incremental_rows(
         if j >= threshold:
             out.append((a, b, j))
     return out
+
+
+def sentence_chunks(text: str, max_chars: int = 500) -> list[str]:
+    """Mirror of functions/text.sentence_chunks_col: split on
+    (?<=[.!?])\\s+, trim, drop empties, greedy-pack <= max_chars (an
+    over-long single sentence stands alone)."""
+    import re as _re
+
+    if text is None:
+        return None
+    sents = [s.strip() for s in _re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+    chunks, cur = [], ""
+    for s in sents:
+        joined = s if cur == "" else f"{cur} {s}"
+        if len(joined) <= max_chars:
+            cur = joined
+        else:
+            if cur != "":
+                chunks.append(cur)
+            cur = s
+    if cur != "":
+        chunks.append(cur)
+    return chunks

@@ -149,3 +149,57 @@ def ngram_jaccard_udf(n: int = 3):
         )
 
     return _nj
+
+
+def sentence_chunks_col(
+    text_col,
+    max_chars: int = 500,
+):
+    """Sentence-boundary chunking as a pure Column expression: split on
+    sentence enders ([.!?] followed by whitespace — the deterministic
+    rule, no model), then greedily pack consecutive sentences into
+    chunks of at most ``max_chars`` characters (a single over-long
+    sentence becomes its own over-long chunk rather than being cut
+    mid-sentence — boundaries are the contract).  Returns
+    array<string>; one F.aggregate fold over the sentence array —
+    whole-stage codegen, no UDF, no shuffle.
+
+    This is the retrieval-style segmentation the reference's
+    character-window chunker (sliding_window, utils.py parity) can't
+    express: windows cut mid-sentence by construction.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(text_col, r"(?<=[.!?])\s+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    # fold: acc = struct(chunks: array<string>, cur: string)
+    start = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.lit("").alias("cur"),
+    )
+
+    def step(acc, s):
+        joined = F.when(
+            acc["cur"] == "", s
+        ).otherwise(F.concat(acc["cur"], F.lit(" "), s))
+        fits = F.length(joined) <= max_chars
+        return F.struct(
+            F.when(fits, acc["chunks"])
+            .otherwise(
+                F.when(acc["cur"] == "", acc["chunks"]).otherwise(
+                    F.array_append(acc["chunks"], acc["cur"])
+                )
+            )
+            .alias("chunks"),
+            F.when(fits, joined).otherwise(s).alias("cur"),
+        )
+
+    def finish(acc):
+        return F.when(acc["cur"] == "", acc["chunks"]).otherwise(
+            F.array_append(acc["chunks"], acc["cur"])
+        )
+
+    return F.aggregate(sents, start, step, finish)

@@ -38,3 +38,32 @@ def test_sliding_window_reference_shape():
 def test_ngram_jaccard_symmetry():
     assert ngram_jaccard("abc", "bcd") == ngram_jaccard("bcd", "abc")
     assert ngram_jaccard("", "") == 1.0
+
+
+def test_sentence_chunks_matches_mirror(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.functions import pyoracle as po
+    from dug_spark.functions.text import sentence_chunks_col
+
+    texts = [
+        "One two. Three four! Five six? Seven.",
+        "A" * 60 + ". Bb. Cc.",
+        "No enders here just words",
+        "",
+        None,
+        "Tail space.   Next!  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", sentence_chunks_col(F.col("text"), max_chars=20).alias("c")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == po.sentence_chunks(t, 20), (i, t)
+    # boundary semantics: chunks join back to the sentence stream
+    assert got[0] == ["One two. Three four!", "Five six? Seven."]
+    assert got[1][0].startswith("A" * 60)  # over-long sentence stands alone
