@@ -3371,6 +3371,21 @@ def q_text_sentence_chunks(spark, sf_dir):
     )
 
 
+def q_search_qlm(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (search.qlm_topk
+    — Zhai & Lafferty 2001 / Lucene LMDirichletSimilarity, the second
+    similarity family an ES index can declare besides BM25): one corpus
+    aggregation (total tokens + per-term collection frequency, folded to
+    literals), map-side scoring, TakeOrderedAndProject top-20.  Plain-SQL
+    DuckDB oracle re-derives cf/total and the clamped per-term score with
+    the same (mu*cf)/total op order."""
+    from dug_spark.operators import search
+
+    return search.qlm_topk(
+        _pq(spark, sf_dir, "documents"), "spark window stream", k=20
+    ).select(F.col("id").alias("doc_id"), "score")
+
+
 def q_web_betweenness(spark, sf_dir):
     """Sampled-source betweenness centrality (graph.betweenness:
     level-synchronous Brandes, forward σ BFS + backward δ accumulation)
@@ -3912,6 +3927,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "mix_temperature": q_mix_temperature,
         "text_sentence_chunks": q_text_sentence_chunks,
+        # round 5 (cont. 7): Dirichlet query-likelihood retrieval
+        "search_qlm": q_search_qlm,
     }
 
 
@@ -4421,6 +4438,29 @@ def extra_oracle_sql() -> dict[str, str]:
             "FROM seeds)",
             damping=0.85,
             iters=10,
+        ),
+        # Dirichlet query-likelihood (Zhai & Lafferty 2001 / Lucene
+        # LMDirichletSimilarity): per matching term max(0, ln(1 +
+        # tf/(mu*p(t|C))) + ln(mu/(dl+mu))), p(t|C) = cf/total — the
+        # (2000.0*cf)/total op order matches qlm_topk's folded literal
+        # bit-for-bit; filter on the RAW sum, round for display
+        "search_qlm": (
+            "WITH toks AS (SELECT doc_id, "
+            f"  {_analyzer_sql('text')} AS tk FROM documents), "
+            "lens AS (SELECT doc_id, tk, len(tk) AS dl FROM toks), "
+            "stats AS (SELECT SUM(dl) AS total FROM lens), "
+            "q(tok) AS (VALUES ('spark'), ('stream'), ('window')), "
+            "tf AS (SELECT l.doc_id, l.dl, q.tok, "
+            "  len(list_filter(l.tk, x -> x = q.tok)) AS tf FROM lens l CROSS JOIN q), "
+            "cf AS (SELECT tok, SUM(tf) AS cf FROM tf GROUP BY tok), "
+            "scored AS (SELECT t.doc_id, "
+            "  SUM(CASE WHEN t.tf > 0 AND c.cf > 0 THEN GREATEST(0.0, "
+            "    ln(1.0 + t.tf / ((2000.0 * c.cf) / s.total)) "
+            "    + ln(2000.0 / (t.dl + 2000.0))) ELSE 0.0 END) AS score "
+            "  FROM tf t JOIN cf c ON t.tok = c.tok CROSS JOIN stats s "
+            "  GROUP BY t.doc_id) "
+            "SELECT doc_id, ROUND(score, 6) AS score FROM scored WHERE score > 0 "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
     }
     # pyoracle-backed VALUES oracles (same degradation contract as

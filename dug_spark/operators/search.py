@@ -401,6 +401,102 @@ def bm25_topk(
     )
 
 
+def _eq_lit(t: str):
+    """Single-arg equality closure over a literal for array HOFs (see the
+    _group_tf note on why a default-arg lambda is wrong here)."""
+    lit = F.lit(t)
+
+    def _eq(x):
+        return x == lit
+
+    return _eq
+
+
+def qlm_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    mu: float = 2000.0,
+    stopwords: bool = True,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001, SIGIR; Lucene's public ``LMDirichletSimilarity`` — the
+    other similarity the reference's ES backend can be configured with
+    besides BM25, async_search.py:113's match clauses score through
+    whatever similarity the index declares).  Per matching query term t
+    (tf > 0):
+
+        score_t = max(0, ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu)))
+
+    with p(t|C) = cf_t / total_tokens (collection frequency), the Lucene
+    rank-equivalent form of the Dirichlet-smoothed query likelihood
+    restricted to matching terms, clamped at 0 per term exactly as
+    LMDirichletSimilarity does.  Query and documents tokenize through the
+    shared ``std_with_stopwords`` analyzer.
+
+    Scale shape (same two-pass plan as ``bm25_topk``, safe at 10^12
+    docs): ONE corpus aggregation collects total token count and
+    per-query-term collection frequency (|query|-sized result, folded
+    into literals); scoring is map-side column expressions; the top-k is
+    TakeOrderedAndProject — the scored corpus never shuffles.
+    """
+    import math
+
+    toks = sorted(set(analyzer.analyze(query, stopwords)))
+    toks_col = analyzer.analyze_col(F.col(text_col), stopwords)
+    base = df.select(
+        F.col(id_col).alias("id"), toks_col.alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    if not toks:
+        return base.select("id", F.lit(0.0).alias("score")).where(F.lit(False))
+    stats = base.agg(
+        F.sum("dl").alias("total"),
+        # _group_tf-style single-arg closures — a default-arg lambda would
+        # read as the TWO-arg (element, index) HOF form and silently
+        # compare against the array position
+        *[
+            F.sum(F.size(F.filter("toks", _eq_lit(t)))).alias(f"cf_{i}")
+            for i, t in enumerate(toks)
+        ],
+    ).collect()[0]
+    total = int(stats["total"] or 0)
+    if total == 0:
+        return base.select("id", F.lit(0.0).alias("score")).where(F.lit(False))
+    dl_term = F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu)))
+    score = None
+    for i, t in enumerate(toks):
+        cf = int(stats[f"cf_{i}"] or 0)
+        if cf == 0:
+            continue  # absent from the collection ⇒ tf = 0 everywhere
+        # mu * p(t|C), evaluated in this exact op order on both sides of
+        # the oracle gate ((mu * cf) / total) so the folded literal is
+        # bit-identical to the SQL recompute
+        mu_p = (mu * cf) / total
+        tf = F.size(F.filter("toks", _eq_lit(t))).cast("double")
+        term = F.when(
+            tf > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.log(F.lit(1.0) + tf / F.lit(mu_p)) + dl_term,
+            ),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    if score is None:
+        return base.select("id", F.lit(0.0).alias("score")).where(F.lit(False))
+    # filter on the RAW score, round for display (same latent-gate note
+    # as bm25_topk: rounding before the > 0 filter would disagree with a
+    # SQL oracle bound to the unrounded column)
+    return (
+        base.select("id", score.alias("_raw"))
+        .where(F.col("_raw") > 0)
+        .select("id", F.round("_raw", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 # Per-field clause structure of the reference's boosted bool queries.
 # Each entry: (field key, [(gate, boost), ...]) where gate is how the ES
 # clause matches — "phrase" (match_phrase), "and" (match operator=and),

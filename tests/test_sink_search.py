@@ -458,6 +458,45 @@ def test_bm25_empty_query_and_corpus(spark):
     assert search.bm25_topk(empty, "x", k=5).collect() == []
 
 
+def test_qlm_topk_hand_check(spark):
+    """Dirichlet query-likelihood against a hand mirror of the Lucene
+    LMDirichletSimilarity form: per matching term max(0, ln(1 +
+    tf/(mu*cf/total)) + ln(mu/(dl+mu))); plan stays TakeOrdered."""
+    import math
+
+    rows = [(1, "x y x"), (2, "x"), (3, "z z z z"), (4, "y y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mu = 2000.0
+    out = search.qlm_topk(df, "x", k=10, mu=mu).collect()
+    total, cf_x = 10, 3
+
+    def score(tf, dl):
+        mu_p = (mu * cf_x) / total
+        return round(
+            max(0.0, math.log(1.0 + tf / mu_p) + math.log(mu / (dl + mu))), 6
+        )
+
+    got = {r["id"]: r["score"] for r in out}
+    assert set(got) == {1, 2}, "only docs containing a query token score"
+    assert abs(got[1] - score(2, 3)) < 1e-9
+    assert abs(got[2] - score(1, 1)) < 1e-9
+    assert [r["id"] for r in out] == sorted(got, key=lambda d: (-got[d], d))
+    plan = (
+        search.qlm_topk(df, "x y", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan
+    # a term absent from the collection contributes nothing (no log(0));
+    # stopword-only queries and empty corpora return empty
+    out2 = {r["id"] for r in search.qlm_topk(df, "x q99", k=10).collect()}
+    assert out2 == {1, 2}
+    assert search.qlm_topk(df, "the and", k=5).collect() == []
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert search.qlm_topk(empty, "x", k=5).collect() == []
+
+
 # ---------------------------------------------------------------------------
 # std_with_stopwords analyzer + multi-field boosted BM25 (round 4)
 
