@@ -3246,6 +3246,25 @@ def q_sketch_bloom(spark, sf_dir):
     )
 
 
+def q_sketch_cms(spark, sf_dir):
+    """Count-min frequency sketch (sketch.cms_build/cms_estimate —
+    Cormode & Muthukrishnan 2005, the sketch family's frequency leg next
+    to KMV/MG/Bloom): 4x512 exact-integer counters over ALL corpus
+    whitespace tokens, then the min-over-rows estimate for every
+    distinct token next to its exact count.  width=512 keeps collisions
+    non-empty on purpose — est >= true everywhere and the deterministic
+    overshoots ARE the contract.  VALUES oracle: pyoracle.cms_rows
+    (spec-derived XXH64, same chained-seed positions)."""
+    from dug_spark.operators import sketch as sk
+
+    toks = _doc_tokens(spark, sf_dir)
+    cms = sk.cms_build(toks, "tok", width=512, depth=4)
+    probe = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    return sk.cms_estimate(cms, probe, "tok", width=512, depth=4).select(
+        "tok", "est", "true_n"
+    )
+
+
 def q_dedup_minhash_incr(spark, sf_dir):
     """Incremental near-dup (dedup.minhash_incremental): the doc_id%4==0
     quarter of the corpus arrives as a NEW batch against a signature
@@ -3927,8 +3946,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "mix_temperature": q_mix_temperature,
         "text_sentence_chunks": q_text_sentence_chunks,
-        # round 5 (cont. 7): Dirichlet query-likelihood retrieval
+        # round 5 (cont. 7): Dirichlet query-likelihood retrieval,
+        # count-min frequency sketch
         "search_qlm": q_search_qlm,
+        "sketch_cms": q_sketch_cms,
     }
 
 
@@ -4648,6 +4669,11 @@ def extra_oracle_sql() -> dict[str, str]:
             po.bloom_rows(btoks, ptoks, 4096, 4),
             "tok, might_contain, present",
             "VARCHAR, BOOLEAN, BOOLEAN",
+        )
+        out["sketch_cms"] = _values_or_empty(
+            po.cms_rows(ptoks, width=512, depth=4),
+            "tok, est, true_n",
+            "VARCHAR, BIGINT, BIGINT",
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

@@ -1713,3 +1713,28 @@ def sentence_chunks(text: str, max_chars: int = 500) -> list[str]:
     if cur != "":
         chunks.append(cur)
     return chunks
+
+
+def cms_rows(
+    values: list[str], width: int = 512, depth: int = 4
+) -> list[tuple[str, int, int]]:
+    """Mirror of operators/sketch.cms_build + cms_estimate: count-min
+    counters over the values (cell d of v: xxh64-chained position, same
+    convention as bloom_rows), then (tok, est, true_n) per distinct
+    value, sorted.  est >= true_n always (one-sided CMS guarantee); the
+    overshoots are collision-deterministic, so they ARE the contract."""
+    from collections import Counter
+
+    true = Counter(values)
+    cells = [[0] * width for _ in range(depth)]
+    pos: dict[str, list[int]] = {}
+    for tok, n in true.items():
+        h0 = xxh64(tok.encode("utf-8"))
+        ps = [xxh64_chain_int(d, h0) % width for d in range(depth)]
+        pos[tok] = ps
+        for d, p in enumerate(ps):
+            cells[d][p] += n
+    return [
+        (tok, min(cells[d][p] for d, p in enumerate(pos[tok])), true[tok])
+        for tok in sorted(true)
+    ]

@@ -404,3 +404,109 @@ def bloom_probe(
 
     safe = [F.coalesce(p, F.lit(-1)) for p in pos_cols]
     return df.withColumn("might_contain", _probe(*safe))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable frequency
+# estimation.  Complements the existing trio: KMV answers "how many
+# distinct", Misra-Gries answers "which keys are hot", Bloom answers "is
+# this a member" — CMS answers "about how often does THIS key occur"
+# with a one-sided guarantee (est >= true; est <= true + eps*N w.p.
+# 1-delta, eps = e/width, delta = e^-depth), for any key, after the
+# fact, from depth*width integers.  That is the sketch a crawl scheduler
+# or hot-term monitor keeps per host/day and merges across snapshots.
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(d, w, n) sparse counter relation of a count-min sketch over the
+    column's non-NULL values (optionally weighted — e.g. token counts).
+
+    Row d's bucket for value v is pmod(xxhash64(v, lit(d)), width) —
+    Spark's chained-seed semantics, same convention as ``bloom_build``,
+    mirrored by pyoracle.cms_estimates.  Scale shape: posexplode is
+    narrow (depth rows per input row, map-side); ONE aggregate with
+    map-side combine follows, so the shuffle carries at most
+    depth x width rows per map partition regardless of input size.
+    Counters are exact integer sums — merge and estimate reproduce
+    bit-identically across partition orders."""
+    v = F.col(value_col)
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            wt.alias("_n"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(v, F.lit(d)), F.lit(width))
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("d", "w"),
+        )
+        .groupBy("d", "w")
+        .agg(F.sum("_n").alias("n"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two sketches built with the SAME (width, depth): cell-wise
+    sum — exact (tested equal to building over the unioned data), so
+    per-day / per-snapshot sketches roll up without re-reading raw
+    data."""
+    return a.unionByName(b).groupBy("d", "w").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """keys + ``est`` (BIGINT): the count-min estimate min_d counter[d,
+    h_d(key)] for each probe key; an absent cell reads 0 (the key was
+    never observed).  NULL keys estimate 0.
+
+    Scale shape: probe positions are map-side column expressions; the
+    sketch side is at most depth x width rows, hinted broadcast, so the
+    lookup is a broadcast left join (depth rows per probe key collapse
+    back with ONE min aggregate keyed by the probe key — the only
+    shuffle, sized by the probe set, never the corpus)."""
+    v = F.col(value_col)
+    probes = keys.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(v, F.lit(d)), F.lit(width))
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "w"),
+    )
+    key_cols = keys.columns
+    est = (
+        probes.join(F.broadcast(cms), ["d", "w"], "left")
+        .groupBy(*key_cols)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
+    )
+    # xxhash64(NULL, lit(d)) hashes just the seed literal (Spark skips
+    # NULL inputs), which would give every NULL key the same spurious
+    # cell — a NULL was never counted by cms_build, so it estimates 0
+    return est.withColumn(
+        "est",
+        F.when(F.col(value_col).isNull(), F.lit(0).cast("long")).otherwise(
+            F.col("est")
+        ),
+    )

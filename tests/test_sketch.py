@@ -251,3 +251,72 @@ def test_bloom_build_single_exchange(spark, bloomsets):
         .toString()
     )
     assert plan.count("Exchange") == 1 and "bit_or" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+
+@pytest.fixture(scope="module")
+def cms_corpus(spark):
+    # zipf-ish token stream: tok0 hot, long tail; deterministic
+    rows = [("a", f"tok{i % 7}") for i in range(700)]
+    rows += [("b", f"tail{i}") for i in range(300)]
+    return _vals(spark, rows)
+
+
+def test_cms_matches_python_mirror(spark, cms_corpus):
+    vals = [r["v"] for r in cms_corpus.collect()]
+    want = {t: (e, n) for t, e, n in po.cms_rows(vals, width=64, depth=4)}
+    cms = sketch.cms_build(cms_corpus, "v", width=64, depth=4)
+    probe = cms_corpus.groupBy(F.col("v")).agg(F.count(F.lit(1)).alias("true_n"))
+    got = {
+        r["v"]: (r["est"], r["true_n"])
+        for r in sketch.cms_estimate(cms, probe, "v", width=64, depth=4).collect()
+    }
+    assert got == want
+
+
+def test_cms_one_sided_and_exact_when_wide(spark, cms_corpus):
+    # est >= true always; with width >> vocab the estimate is exact
+    probe = cms_corpus.groupBy(F.col("v")).agg(F.count(F.lit(1)).alias("true_n"))
+    narrow = sketch.cms_estimate(
+        sketch.cms_build(cms_corpus, "v", width=64, depth=4),
+        probe, "v", width=64, depth=4,
+    ).collect()
+    assert all(r["est"] >= r["true_n"] for r in narrow)
+    wide = sketch.cms_estimate(
+        sketch.cms_build(cms_corpus, "v", width=1 << 14, depth=4),
+        probe, "v", width=1 << 14, depth=4,
+    ).collect()
+    assert all(r["est"] == r["true_n"] for r in wide)
+
+
+def test_cms_merge_equals_union_build(spark, cms_corpus):
+    a = cms_corpus.where(F.col("grp") == "a")
+    b = cms_corpus.where(F.col("grp") == "b")
+    merged = sketch.cms_merge(
+        sketch.cms_build(a, "v", width=64, depth=4),
+        sketch.cms_build(b, "v", width=64, depth=4),
+    )
+    union = sketch.cms_build(cms_corpus, "v", width=64, depth=4)
+    asdict = lambda df: {(r["d"], r["w"]): r["n"] for r in df.collect()}
+    assert asdict(merged) == asdict(union)
+
+
+def test_cms_weighted_and_unseen_and_null(spark):
+    df = spark.createDataFrame(
+        [("x", 10), ("y", 5), ("x", 1)], "v string, wt long"
+    )
+    cms = sketch.cms_build(df, "v", width=32, depth=3, weight_col="wt")
+    probe = spark.createDataFrame(
+        [("x",), ("y",), ("zz_unseen",), (None,)], "v string"
+    )
+    got = {
+        r["v"]: r["est"]
+        for r in sketch.cms_estimate(cms, probe, "v", width=32, depth=3).collect()
+    }
+    assert got["x"] >= 11 and got["y"] >= 5
+    # an unseen key can only overshoot via collisions, never undershoot 0
+    assert got["zz_unseen"] >= 0
+    assert got[None] == 0
