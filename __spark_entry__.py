@@ -3246,6 +3246,155 @@ def q_sketch_bloom(spark, sf_dir):
     )
 
 
+def _sitemap_page(d: int, s: str) -> tuple[str, str]:
+    """Deterministic sitemap XML for doc (d, source s) — q_crawl_sitemap's
+    Spark side synthesizes the SAME bytes with column ops.  d%25==0 docs
+    become sitemapindex pages (2 child entries); the rest urlset pages
+    with 3 <url> entries exercising every optional field, the entity
+    escape in <loc>, and whitespace around values."""
+    head = '<?xml version="1.0" encoding="UTF-8"?>\n'
+    if d % 25 == 0:
+        ents = []
+        for j in (1, 2):
+            ents.append(
+                f"<sitemap>\n  <loc>https://{s}.example.org/sitemap-{d + j}.xml</loc>"
+                f"\n  <lastmod>2024-01-{(d + j) % 9 + 1:02d}</lastmod>\n</sitemap>"
+            )
+        xml = (
+            head
+            + '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(ents)
+            + "</sitemapindex>"
+        )
+    else:
+        ents = []
+        for k in range(3):
+            e = d * 3 + k
+            loc = f"https://{s}.example.org/p/{e}" + (
+                "?a=1&amp;b=2" if e % 5 == 0 else ""
+            )
+            lastmod = (
+                f"\n  <lastmod>2024-{e % 12 + 1:02d}-{e % 28 + 1:02d}</lastmod>"
+                if e % 3 != 0
+                else ""
+            )
+            cf = (
+                "\n  <changefreq>"
+                + ["daily", "weekly", "monthly"][e % 5]
+                + "</changefreq>"
+                if e % 5 < 3
+                else ""
+            )
+            pr = f"\n  <priority>0.{e % 10}</priority>" if e % 4 != 0 else ""
+            ents.append(f"<url>\n  <loc> {loc} </loc>{lastmod}{cf}{pr}\n</url>")
+        xml = (
+            head
+            + '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(ents)
+            + "</urlset>"
+        )
+    return (f"https://{s}.example.org/sitemap-{d}.xml", xml)
+
+
+def q_crawl_sitemap(spark, sf_dir):
+    """Sitemap protocol parser (crawl.parse_sitemaps — sitemaps.org 0.9,
+    the frontier-seeding companion to crawl_robots): doc_id-derived
+    urlset AND sitemapindex pages synthesized as column ops, parsed
+    map-side (regexp blocks + posexplode, zero shuffle, zero UDF) to one
+    row per entry with loc entity-decoded and optional fields NULL when
+    absent.  VALUES oracle: pyoracle.sitemap_entry_rows over the same
+    _sitemap_page bytes."""
+    from dug_spark.operators import crawl
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    d, s = F.col("doc_id"), F.col("source")
+
+    def url_block(k: int):
+        e = d * 3 + F.lit(k)
+        loc = F.concat(
+            F.lit("https://"), s, F.lit(".example.org/p/"), e.cast("string"),
+            F.when(e % 5 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        )
+        lastmod = F.when(
+            e % 3 != 0,
+            F.concat(
+                F.lit("\n  <lastmod>2024-"),
+                F.lpad((e % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((e % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit(""))
+        cf = F.when(
+            e % 5 < 3,
+            F.concat(
+                F.lit("\n  <changefreq>"),
+                F.element_at(
+                    F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                    (e % 5).cast("int") + 1,
+                ),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit(""))
+        pr = F.when(
+            e % 4 != 0,
+            F.concat(
+                F.lit("\n  <priority>0."),
+                (e % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<url>\n  <loc> "), loc, F.lit(" </loc>"),
+            lastmod, cf, pr, F.lit("\n</url>"),
+        )
+
+    def idx_block(j: int):
+        dj = d + F.lit(j)
+        return F.concat(
+            F.lit("<sitemap>\n  <loc>https://"), s,
+            F.lit(".example.org/sitemap-"), dj.cast("string"),
+            F.lit(".xml</loc>\n  <lastmod>2024-01-"),
+            F.lpad((dj % 9 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>\n</sitemap>"),
+        )
+
+    head = F.lit('<?xml version="1.0" encoding="UTF-8"?>\n')
+    xml = F.when(
+        d % 25 == 0,
+        F.concat(
+            head,
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            idx_block(1), idx_block(2), F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            head,
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            url_block(0), url_block(1), url_block(2), F.lit("</urlset>"),
+        )
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), s, F.lit(".example.org/sitemap-"),
+            d.cast("string"), F.lit(".xml"),
+        ).alias("url"),
+        xml.alias("xml"),
+    )
+    # the operator's absent-field contract is NULL (pytest-checked); the
+    # gate row coalesces to sentinels so the hash compare never depends
+    # on engine NULL-ordering
+    return crawl.parse_sitemaps(pages).select(
+        "sitemap_url",
+        "kind",
+        "entry_idx",
+        "loc",
+        F.coalesce("lastmod", F.lit("")).alias("lastmod"),
+        F.coalesce("changefreq", F.lit("")).alias("changefreq"),
+        F.coalesce("priority", F.lit(-1.0)).alias("priority"),
+    )
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-min frequency sketch (sketch.cms_build/cms_estimate —
     Cormode & Muthukrishnan 2005, the sketch family's frequency leg next
@@ -3950,6 +4099,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-min frequency sketch
         "search_qlm": q_search_qlm,
         "sketch_cms": q_sketch_cms,
+        "crawl_sitemap": q_crawl_sitemap,
     }
 
 
@@ -4674,6 +4824,17 @@ def extra_oracle_sql() -> dict[str, str]:
             po.cms_rows(ptoks, width=512, depth=4),
             "tok, est, true_n",
             "VARCHAR, BIGINT, BIGINT",
+        )
+        out["crawl_sitemap"] = _values_or_empty(
+            [
+                (u, k, i, loc, lm or "", cf or "",
+                 pr if pr is not None else -1.0)
+                for (u, k, i, loc, lm, cf, pr) in po.sitemap_entry_rows(
+                    [_sitemap_page(d, s) for d, s in id_src]
+                )
+            ],
+            "sitemap_url, kind, entry_idx, loc, lastmod, changefreq, priority",
+            "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, DOUBLE",
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

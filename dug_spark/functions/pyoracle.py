@@ -1738,3 +1738,53 @@ def cms_rows(
         (tok, min(cells[d][p] for d, p in enumerate(pos[tok])), true[tok])
         for tok in sorted(true)
     ]
+
+
+def sitemap_entry_rows(pages: list[tuple[str, str]]) -> list[tuple]:
+    """Mirror of operators/crawl.parse_sitemaps over (url, xml) pages:
+    (sitemap_url, kind, entry_idx, loc, lastmod, changefreq, priority)
+    per <url>/<sitemap> block, same DOTALL regexes, same trim, same
+    entity order (&amp; last), priority float or None."""
+    import re as _re
+
+    out = []
+    for url, xml in pages:
+        xml = xml or ""
+        if _re.search(r"<sitemapindex[\s>]", xml, _re.S):
+            kind, pat = "sitemapindex", r"<sitemap>(.*?)</sitemap>"
+        elif _re.search(r"<urlset[\s>]", xml, _re.S):
+            kind, pat = "urlset", r"<url>(.*?)</url>"
+        else:
+            continue
+        for i, block in enumerate(_re.findall(pat, xml, _re.S)):
+
+            def _tag(t: str) -> str:
+                m = _re.search(rf"<{t}>\s*(.*?)\s*</{t}>", block, _re.S)
+                return m.group(1) if m else ""
+
+            loc = _tag("loc")
+            for ent, ch in (
+                ("&lt;", "<"),
+                ("&gt;", ">"),
+                ("&quot;", '"'),
+                ("&apos;", "'"),
+                ("&amp;", "&"),
+            ):
+                loc = loc.replace(ent, ch)
+            pr = _tag("priority")
+            try:
+                prv = float(pr) if pr else None
+            except ValueError:
+                prv = None
+            out.append(
+                (
+                    url,
+                    kind,
+                    i,
+                    loc or None,
+                    _tag("lastmod") or None,
+                    _tag("changefreq") or None,
+                    prv,
+                )
+            )
+    return out

@@ -320,3 +320,89 @@ def frontier_schedule(
     return ranked.withColumn("crawl_order", F.row_number().over(wg)).select(
         "url", "host", "host_seq", "crawl_order"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap protocol parsing (sitemaps.org/protocol.html, the public 0.9
+# spec) — the discovery-side companion to robots_filter: a crawl
+# frontier at 10^12 URLs is SEEDED from sitemaps, so parsing them is a
+# corpus-scale map, not a driver-side convenience.
+
+
+def _xml_unescape(col):
+    """The five predefined XML entities the sitemap spec REQUIRES escaped
+    in <loc> (protocol §'Sitemap file location'): named entities first,
+    &amp; LAST — the standard single-pass order (decoding &amp; first
+    would turn a literal '&amp;lt;' into '<')."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _tag(block, tag: str):
+    """Trimmed inner text of the first <tag>..</tag> in the block ('' when
+    absent); (?s) so values may wrap across lines."""
+    return F.regexp_extract(block, f"(?s)<{tag}>\\s*(.*?)\\s*</{tag}>", 1)
+
+
+def parse_sitemaps(
+    df: DataFrame, url_col: str = "url", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse sitemap XML pages — both kinds the spec defines: ``urlset``
+    (leaf sitemaps: <url> entries with loc / lastmod / changefreq /
+    priority) and ``sitemapindex`` (<sitemap> entries with loc /
+    lastmod, pointing at child sitemaps a crawler must fetch next).
+
+    Returns one row per entry:
+    (sitemap_url, kind, entry_idx, loc, lastmod, changefreq, priority)
+    — loc XML-entity-decoded per spec, absent optional fields NULL,
+    priority cast to DOUBLE (NULL when absent or malformed).  Pages that
+    are neither kind emit zero rows.
+
+    Scale shape (the 100 TB plan): entirely map-side — regexp block
+    extraction + posexplode + per-entry regexp projections, all
+    whole-stage codegen, no UDF, no shuffle; a corpus of sitemap
+    captures parses in the same pass that read it.  The regex parser is
+    deliberately namespace-lenient (matches <urlset ...> with any
+    attributes; tags are matched unqualified) — sitemaps in the wild are
+    machine-generated and flat, and the mirror oracle
+    (pyoracle.sitemap_entry_rows) applies the same leniency."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    is_index = xml.rlike("(?s)<sitemapindex[\\s>]")
+    is_urlset = xml.rlike("(?s)<urlset[\\s>]")
+    blocks = F.when(
+        is_index,
+        F.regexp_extract_all(xml, F.lit("(?s)<sitemap>(.*?)</sitemap>"), 1),
+    ).when(
+        is_urlset,
+        F.regexp_extract_all(xml, F.lit("(?s)<url>(.*?)</url>"), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    kind = F.when(is_index, F.lit("sitemapindex")).when(
+        is_urlset, F.lit("urlset")
+    )
+    b = F.col("_block")
+    return (
+        df.select(
+            F.col(url_col).alias("sitemap_url"),
+            kind.alias("kind"),
+            F.posexplode(blocks).alias("entry_idx", "_block"),
+        )
+        .select(
+            "sitemap_url",
+            "kind",
+            "entry_idx",
+            F.nullif(_xml_unescape(_tag(b, "loc")), F.lit("")).alias("loc"),
+            F.nullif(_tag(b, "lastmod"), F.lit("")).alias("lastmod"),
+            F.nullif(_tag(b, "changefreq"), F.lit("")).alias("changefreq"),
+            F.nullif(_tag(b, "priority"), F.lit(""))
+            .try_cast("double")
+            .alias("priority"),
+        )
+    )

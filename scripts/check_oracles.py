@@ -71,12 +71,13 @@ def main():
             print(f"{name}: ORACLE SQL ERROR {e}")
             continue
         ocols = sorted(ocols_raw)
+        nkey = lambda row: tuple((v is None, str(v)) for v in row)
         sset = sorted(
-            tuple(norm(r[c]) for c in scols) for r in srows
+            (tuple(norm(r[c]) for c in scols) for r in srows), key=nkey
         )
         oset = sorted(
-            tuple(norm(v) for _, v in sorted(zip(ocols_raw, r)))
-            for r in orows
+            (tuple(norm(v) for _, v in sorted(zip(ocols_raw, r))) for r in orows),
+            key=nkey,
         )
         ok = len(srows) == len(orows) and scols == ocols and sset == oset
         status = "OK" if ok else "MISMATCH"

@@ -284,3 +284,93 @@ def test_frontier_round_robin_politeness(spark):
     # politeness invariant: within the global order, host_seq is
     # non-decreasing (no host's round k before every round k-1 done)
     assert [r["host_seq"] for r in rows] == sorted(r["host_seq"] for r in rows)
+
+
+# --- parse_sitemaps ----------------------------------------------------------
+
+
+SITEMAP_URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url>
+  <loc> https://a.org/p/1?x=1&amp;y=2 </loc>
+  <lastmod>2024-03-01</lastmod>
+  <changefreq>daily</changefreq>
+  <priority>0.8</priority>
+</url>
+<url>
+  <loc>https://a.org/p/2</loc>
+</url>
+<url>
+  <loc>https://a.org/&lt;odd&gt;/&quot;q&quot;/&apos;s&apos;</loc>
+  <priority>not-a-number</priority>
+</url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<sitemap><loc>https://a.org/sm-1.xml</loc><lastmod>2024-01-02</lastmod></sitemap>
+<sitemap><loc>https://a.org/sm-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.org/sitemap.xml", SITEMAP_URLSET),
+            ("https://a.org/sitemap_index.xml", SITEMAP_INDEX),
+            ("https://a.org/not-a-sitemap.xml", "<html><body>404</body></html>"),
+            ("https://a.org/null.xml", None),
+        ],
+        "url string, xml string",
+    )
+    rows = (
+        crawl.parse_sitemaps(df)
+        .orderBy("sitemap_url", "entry_idx")
+        .collect()
+    )
+    # non-sitemap and NULL pages emit zero rows
+    assert len(rows) == 5
+    idx = [r for r in rows if r["kind"] == "sitemapindex"]
+    assert [r["loc"] for r in idx] == [
+        "https://a.org/sm-1.xml", "https://a.org/sm-2.xml"
+    ]
+    assert [r["lastmod"] for r in idx] == ["2024-01-02", None]
+    us = [r for r in rows if r["kind"] == "urlset"]
+    assert [r["entry_idx"] for r in us] == [0, 1, 2]
+    # loc is trimmed and entity-decoded (&amp; last)
+    assert us[0]["loc"] == "https://a.org/p/1?x=1&y=2"
+    assert (us[0]["lastmod"], us[0]["changefreq"], us[0]["priority"]) == (
+        "2024-03-01", "daily", 0.8,
+    )
+    # absent optional fields are NULL
+    assert (us[1]["lastmod"], us[1]["changefreq"], us[1]["priority"]) == (
+        None, None, None,
+    )
+    # all five predefined entities decode; malformed priority -> NULL
+    assert us[2]["loc"] == "https://a.org/<odd>/\"q\"/'s'"
+    assert us[2]["priority"] is None
+
+
+def test_parse_sitemaps_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+
+    pages = [
+        ("https://a.org/sitemap.xml", SITEMAP_URLSET),
+        ("https://a.org/sitemap_index.xml", SITEMAP_INDEX),
+        ("https://a.org/not-a-sitemap.xml", "<html/>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, xml string")
+    got = sorted(
+        tuple(r) for r in crawl.parse_sitemaps(df).collect()
+    )
+    want = sorted(po.sitemap_entry_rows(pages))
+    assert got == want
+
+
+def test_parse_sitemaps_plan_is_map_only(spark):
+    df = spark.createDataFrame(
+        [("https://a.org/s.xml", SITEMAP_URLSET)], "url string, xml string"
+    )
+    plan = crawl.parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
