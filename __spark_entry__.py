@@ -3395,6 +3395,33 @@ def q_crawl_sitemap(spark, sf_dir):
     )
 
 
+def _split_host(d, s):
+    """Synthetic leakage unit shared by q_corpus_split's Spark side and
+    its SQL oracle: ~97×|sources| distinct hosts from (doc_id, source)."""
+    return F.concat(
+        F.lit("h"), (d % 97).cast("string"), F.lit("."), s,
+        F.lit(".example.org"),
+    )
+
+
+def q_corpus_split(spark, sf_dir):
+    """Leakage-safe corpus split (curate.leakage_safe_split): every doc of
+    a host lands in the same train/val/test split via
+    substr(md5(salt||host),1,8) compared against cumulative-weight hex
+    literals — a narrow map (one codegen pass, zero shuffle) whose exact
+    assignment the DuckDB oracle reproduces from the same literals
+    (split_thresholds)."""
+    from dug_spark.operators import curate
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    units = docs.withColumn(
+        "host", _split_host(F.col("doc_id"), F.col("source"))
+    )
+    return curate.leakage_safe_split(units, unit_col="host", salt="r5").select(
+        "doc_id", "host", "split"
+    )
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-min frequency sketch (sketch.cms_build/cms_estimate —
     Cormode & Muthukrishnan 2005, the sketch family's frequency leg next
@@ -4100,6 +4127,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_qlm": q_search_qlm,
         "sketch_cms": q_sketch_cms,
         "crawl_sitemap": q_crawl_sitemap,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -4835,6 +4863,23 @@ def extra_oracle_sql() -> dict[str, str]:
             ],
             "sitemap_url, kind, entry_idx, loc, lastmod, changefreq, priority",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, DOUBLE",
+        )
+        # pure-SQL oracle: DuckDB recomputes the md5-bucket assignment
+        # from the SAME hex literals curate.split_thresholds emits
+        from dug_spark.operators.curate import split_thresholds as _sth
+
+        _ths = _sth((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        _host_sql = (
+            "'h' || CAST(doc_id % 97 AS VARCHAR) || '.' || source"
+            " || '.example.org'"
+        )
+        _h8 = f"substr(md5('r5' || {_host_sql}), 1, 8)"
+        _case = "CASE " + " ".join(
+            f"WHEN {_h8} < '{hx}' THEN '{nm}'" for nm, hx in _ths
+        ) + " ELSE 'test' END"
+        out["corpus_split"] = (
+            f"SELECT doc_id, {_host_sql} AS host, {_case} AS split "
+            "FROM documents"
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

@@ -104,3 +104,94 @@ def curation_report(curated: DataFrame) -> DataFrame:
         F.sum(F.col("is_canonical_copy").cast("long")).alias("n_canonical"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus splitting.  Not in the reference (Dug has no
+# train/eval notion); this is the standard guard a training-data
+# pipeline needs before any model sees the corpus: near-duplicate pages
+# from the SAME site (shared boilerplate, templated articles) must never
+# straddle a split boundary, so the split unit is the leakage unit
+# (host/domain), not the document.
+
+
+def split_thresholds(weights) -> list[tuple[str, str]]:
+    """Cumulative split boundaries as 8-char lowercase-hex literals.
+
+    A document's unit hashes to ``substr(md5(unit), 1, 8)`` — uniform
+    over [0, 16^8) — and lexicographic comparison of fixed-width
+    lowercase hex IS numeric comparison, so ``h8 < hex(cum * 16^8)``
+    selects exactly the cumulative fraction.  Returned for all but the
+    last split (which takes the remainder); exposed so an external
+    system (or the DuckDB oracle) can reproduce the assignment from the
+    same literals."""
+    total = float(sum(w for _, w in weights))
+    out, cum = [], 0.0
+    for name, w in list(weights)[:-1]:
+        cum += w / total
+        out.append((name, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
+    return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    unit_col: str = "host",
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row a deterministic split label such that all rows
+    sharing ``unit_col`` land in the SAME split (host-disjoint
+    train/val/test — the leakage guard).
+
+    ``weights`` is an ordered sequence of (name, weight); the assignment
+    is ``md5(salt || unit)`` bucketed by cumulative weight, so it is
+    stable across runs, machines, and engines, and changing ``salt``
+    re-deals the units.  NULL units hash as '' (one consistent split).
+
+    Scale shape: a narrow map — one md5 + substring + when-chain per
+    row, whole-stage codegen, zero shuffle, zero UDF; splitting 10^12
+    rows costs exactly one pass that can fuse with the scan.  No state,
+    so adding a new crawl increment later keeps every existing unit's
+    assignment unchanged — the property that makes the eval set stable
+    while the train set grows."""
+    names = [n for n, _ in weights]
+    ths = split_thresholds(weights)
+    h8 = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.coalesce(F.col(unit_col).cast("string"), F.lit("")),
+            )
+        ),
+        1,
+        8,
+    )
+    expr = None
+    for name, hx in ths:
+        cond = h8 < F.lit(hx)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(
+        F.lit(names[-1])
+    )
+    return df.withColumn(split_col, label)
+
+
+def split_report(
+    df: DataFrame, unit_col: str = "host", split_col: str = "split"
+) -> DataFrame:
+    """Per-split audit: row count, distinct leakage units, and the
+    realized row fraction — one aggregation action (the distinct-unit
+    count is exact; it shuffles on (split, unit) once)."""
+    total = df.count()
+    return (
+        df.groupBy(split_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(unit_col).alias("n_units"),
+        )
+        .withColumn("row_fraction", F.round(F.col("n_rows") / F.lit(total), 6))
+        .orderBy(split_col)
+    )
