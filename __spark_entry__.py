@@ -3422,6 +3422,141 @@ def q_corpus_split(spark, sf_dir):
     )
 
 
+def _meta_page(d: int, s: str, lang: str) -> tuple[str, str]:
+    """Deterministic HTML head for doc (d, source s, lang) — the Spark
+    side of q_page_metadata synthesizes the SAME bytes with column ops.
+    Mods exercise: absent lang (d%3==0), absent title (d%7==0), both
+    meta-attribute orders (d%2), absent description (d%5==0), absent
+    canonical (d%4==0), og:title (d%6<3), robots directives (d%8<3),
+    and the &amp; entity in title/description."""
+    lang_attr = f' lang="{lang}"' if d % 3 != 0 else ""
+    parts = [f"<!doctype html>\n<html{lang_attr}>\n<head>"]
+    if d % 7 != 0:
+        parts.append(f"<title> Page {d} &amp; {s} </title>")
+    if d % 5 != 0:
+        c = f"Summary {d} &amp; co"
+        parts.append(
+            f'<meta name="description" content="{c}">'
+            if d % 2 == 0
+            else f'<meta content="{c}" name="description">'
+        )
+    if d % 4 != 0:
+        href = f"https://{s}.example.org/c/{d}"
+        parts.append(
+            f'<link rel="canonical" href="{href}">'
+            if d % 2 == 0
+            else f'<link href="{href}" rel="canonical">'
+        )
+    if d % 6 < 3:
+        parts.append(f'<meta property="og:title" content="OG {d}">')
+    r = d % 8
+    if r < 3:
+        rv = ["noindex, nofollow", "noindex", "nofollow"][r]
+        parts.append(f'<meta name="robots" content="{rv}">')
+    parts.append(f'</head>\n<body><a href="/p/{d}">x</a></body></html>')
+    return (f"https://{s}.example.org/p/{d}", "\n".join(parts))
+
+
+def q_page_metadata(spark, sf_dir):
+    """HTML head metadata extraction (weblinks.page_metadata): title /
+    description / canonical / og:title / html lang / robots directives
+    from doc_id-derived pages synthesized as column ops — one narrow
+    codegen map (case-insensitive regexes, both meta attribute orders,
+    entity decode), zero shuffle, zero UDF.  VALUES oracle:
+    pyoracle.page_metadata_rows over the same _meta_page bytes."""
+    from dug_spark.operators import weblinks
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    d, s = F.col("doc_id"), F.col("source")
+    nl = F.lit("\n")
+    lang_attr = F.when(
+        d % 3 != 0, F.concat(F.lit(' lang="'), F.col("lang"), F.lit('"'))
+    ).otherwise(F.lit(""))
+    title = F.when(
+        d % 7 != 0,
+        F.concat(
+            nl, F.lit("<title> Page "), d.cast("string"),
+            F.lit(" &amp; "), s, F.lit(" </title>"),
+        ),
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        F.lit("Summary "), d.cast("string"), F.lit(" &amp; co")
+    )
+    desc = F.when(
+        d % 5 != 0,
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                nl, F.lit('<meta name="description" content="'),
+                content, F.lit('">'),
+            ),
+        ).otherwise(
+            F.concat(
+                nl, F.lit('<meta content="'), content,
+                F.lit('" name="description">'),
+            )
+        ),
+    ).otherwise(F.lit(""))
+    href = F.concat(
+        F.lit("https://"), s, F.lit(".example.org/c/"), d.cast("string")
+    )
+    canon = F.when(
+        d % 4 != 0,
+        F.when(
+            d % 2 == 0,
+            F.concat(nl, F.lit('<link rel="canonical" href="'), href, F.lit('">')),
+        ).otherwise(
+            F.concat(nl, F.lit('<link href="'), href, F.lit('" rel="canonical">'))
+        ),
+    ).otherwise(F.lit(""))
+    og = F.when(
+        d % 6 < 3,
+        F.concat(
+            nl, F.lit('<meta property="og:title" content="OG '),
+            d.cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    robots = F.when(
+        d % 8 < 3,
+        F.concat(
+            nl, F.lit('<meta name="robots" content="'),
+            F.element_at(
+                F.array(
+                    F.lit("noindex, nofollow"), F.lit("noindex"),
+                    F.lit("nofollow"),
+                ),
+                (d % 8).cast("int") + 1,
+            ),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<!doctype html>\n<html"), lang_attr, F.lit(">\n<head>"),
+        title, desc, canon, og, robots,
+        F.lit('\n</head>\n<body><a href="/p/'), d.cast("string"),
+        F.lit('">x</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), s, F.lit(".example.org/p/"), d.cast("string")
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = weblinks.page_metadata(pages)
+    # sentinel-coalesce the nullable strings so the hash compare never
+    # depends on engine NULL handling (same convention as crawl_sitemap)
+    return out.select(
+        "url",
+        F.coalesce("title", F.lit("")).alias("title"),
+        F.coalesce("meta_description", F.lit("")).alias("meta_description"),
+        F.coalesce("canonical", F.lit("")).alias("canonical"),
+        F.coalesce("og_title", F.lit("")).alias("og_title"),
+        F.coalesce("html_lang", F.lit("")).alias("html_lang"),
+        "noindex",
+        "nofollow",
+    )
+
+
 def q_sketch_cms(spark, sf_dir):
     """Count-min frequency sketch (sketch.cms_build/cms_estimate —
     Cormode & Muthukrishnan 2005, the sketch family's frequency leg next
@@ -4128,6 +4263,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "crawl_sitemap": q_crawl_sitemap,
         "corpus_split": q_corpus_split,
+        "page_metadata": q_page_metadata,
     }
 
 
@@ -4880,6 +5016,19 @@ def extra_oracle_sql() -> dict[str, str]:
         out["corpus_split"] = (
             f"SELECT doc_id, {_host_sql} AS host, {_case} AS split "
             "FROM documents"
+        )
+        _lang_of = {did: lg for lg, did, _nc in lang_chars}
+        out["page_metadata"] = _values_or_empty(
+            [
+                (u, t or "", de or "", c or "", og or "", lg or "", ni, nf)
+                for (u, t, de, c, og, lg, ni, nf) in po.page_metadata_rows(
+                    [_meta_page(d, s, _lang_of[d]) for d, s in id_src]
+                )
+            ],
+            "url, title, meta_description, canonical, og_title, html_lang,"
+            " noindex, nofollow",
+            "VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR,"
+            " BOOLEAN, BOOLEAN",
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

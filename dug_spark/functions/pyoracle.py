@@ -1788,3 +1788,69 @@ def sitemap_entry_rows(pages: list[tuple[str, str]]) -> list[tuple]:
                 )
             )
     return out
+
+
+def page_metadata_rows(pages: list[tuple[str, str]]) -> list[tuple]:
+    """Mirror of operators/weblinks.page_metadata over (url, html) pages:
+    (url, title, meta_description, canonical, og_title, html_lang,
+    noindex, nofollow) — same regexes (case-insensitive, DOTALL, both
+    attribute orders), same whitespace collapse, same five-entity decode
+    (&amp; last), '' treated as absent."""
+    import re as _re
+
+    def dec(s: str) -> str:
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"),
+        ):
+            s = s.replace(ent, ch)
+        return s
+
+    def meta(html: str, attr: str, value: str):
+        m = _re.search(
+            rf'<meta\s[^>]*{attr}="{value}"[^>]*content="([^"]*)"',
+            html, _re.I | _re.S,
+        )
+        v = m.group(1) if m else ""
+        if not v:
+            m = _re.search(
+                rf'<meta\s[^>]*content="([^"]*)"[^>]*{attr}="{value}"',
+                html, _re.I | _re.S,
+            )
+            v = m.group(1) if m else ""
+        return v or None
+
+    out = []
+    for url, html in pages:
+        html = html or ""
+        m = _re.search(r"<title[^>]*>(.*?)</title>", html, _re.I | _re.S)
+        title = _re.sub(r"\s+", " ", dec(m.group(1))).strip() if m else ""
+        m = _re.search(
+            r'<link\s[^>]*rel="canonical"[^>]*href="([^"]*)"',
+            html, _re.I | _re.S,
+        )
+        canon = m.group(1) if m else ""
+        if not canon:
+            m = _re.search(
+                r'<link\s[^>]*href="([^"]*)"[^>]*rel="canonical"',
+                html, _re.I | _re.S,
+            )
+            canon = m.group(1) if m else ""
+        desc = meta(html, "name", "description")
+        og = meta(html, "property", "og:title")
+        robots = (meta(html, "name", "robots") or "").lower()
+        m = _re.search(r'<html\s[^>]*lang="([^"]*)"', html, _re.I | _re.S)
+        lang = (m.group(1).lower() if m else "") or None
+        out.append(
+            (
+                url,
+                title or None,
+                dec(desc) if desc else None,
+                canon or None,
+                dec(og) if og else None,
+                lang,
+                bool(_re.search(r"\bnoindex\b", robots)),
+                bool(_re.search(r"\bnofollow\b", robots)),
+            )
+        )
+    return out

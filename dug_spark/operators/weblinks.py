@@ -175,3 +175,100 @@ def host_pagerank(
         dst_col="dst_host",
         broadcast_ranks=broadcast_ranks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Page head metadata.  The reference never reads HTML heads (its inputs
+# are study metadata); for a Common-Crawl-shaped corpus the head block
+# carries the canonical-URL / robots-directive / title signals that
+# drive URL canonicalization, index eligibility, and KG node naming.
+
+
+def _entity_decode(col):
+    """The five predefined HTML/XML entities (named first, &amp; LAST —
+    the single-pass order that keeps a literal '&amp;lt;' from becoming
+    '<'); numeric character references are out of scope (documented,
+    mirrored by the oracle)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _meta_content(decoded, attr: str, value: str):
+    """content="..." of a <meta|link> tag carrying attr="value" — both
+    attribute orders (name-first and content-first), first match wins,
+    '' treated as absent.  Case-insensitive on tag and attribute names
+    per the HTML spec; the VALUE comparison is exact (canonical rel
+    values and meta names are lowercase in the wild)."""
+    a = F.regexp_extract(
+        decoded, f'(?is)<meta\\s[^>]*{attr}="{value}"[^>]*content="([^"]*)"', 1
+    )
+    b = F.regexp_extract(
+        decoded, f'(?is)<meta\\s[^>]*content="([^"]*)"[^>]*{attr}="{value}"', 1
+    )
+    return F.nullif(F.coalesce(F.nullif(a, F.lit("")), b), F.lit(""))
+
+
+def page_metadata(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Head-block metadata per page:
+
+    ``(url, title, meta_description, canonical, og_title, html_lang,
+    noindex, nofollow)`` — title whitespace-collapsed and
+    entity-decoded; description from ``<meta name="description">`` and
+    og_title from ``<meta property="og:title">`` (either attribute
+    order); canonical from ``<link rel="canonical">``; html_lang
+    lowercased from the ``<html lang=…>`` attribute; noindex/nofollow
+    booleans from the ``<meta name="robots">`` directive list (absent
+    robots meta ⇒ both false — the web default is indexable).  Absent
+    string fields are NULL.
+
+    Scale shape: strict-UTF-8 decode + a fixed set of regexp_extract
+    projections — one narrow codegen map fused into the scan, zero
+    shuffle, zero UDF; the head parse of 10^12 pages rides the same pass
+    that reads them."""
+    decoded = F.decode(F.col(html_col), "UTF-8")
+    title = F.regexp_extract(decoded, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    title = F.nullif(
+        F.trim(F.regexp_replace(_entity_decode(title), r"\s+", " ")),
+        F.lit(""),
+    )
+    canon_a = F.regexp_extract(
+        decoded, r'(?is)<link\s[^>]*rel="canonical"[^>]*href="([^"]*)"', 1
+    )
+    canon_b = F.regexp_extract(
+        decoded, r'(?is)<link\s[^>]*href="([^"]*)"[^>]*rel="canonical"', 1
+    )
+    canonical = F.nullif(
+        F.coalesce(F.nullif(canon_a, F.lit("")), canon_b), F.lit("")
+    )
+    robots = F.lower(
+        F.coalesce(_meta_content(decoded, "name", "robots"), F.lit(""))
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        _entity_decode(_meta_content(decoded, "name", "description")).alias(
+            "meta_description"
+        ),
+        canonical.alias("canonical"),
+        _entity_decode(_meta_content(decoded, "property", "og:title")).alias(
+            "og_title"
+        ),
+        F.nullif(
+            F.lower(
+                F.regexp_extract(decoded, r'(?is)<html\s[^>]*lang="([^"]*)"', 1)
+            ),
+            F.lit(""),
+        ).alias("html_lang"),
+        robots.rlike(r"\bnoindex\b").alias("noindex"),
+        robots.rlike(r"\bnofollow\b").alias("nofollow"),
+    )

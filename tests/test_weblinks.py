@@ -117,3 +117,81 @@ def test_host_pagerank_end_to_end(spark):
     assert set(pr) == {"a.org", "b.org", "c.org"}
     assert pr["b.org"] > pr["a.org"] > pr["c.org"]
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+# --- page_metadata -----------------------------------------------------------
+
+
+PAGE_FULL = b"""<!doctype html>
+<html lang="EN-us">
+<head>
+<title>
+  Tom &amp; Jerry &lt;S1&gt;
+</title>
+<meta content="A &quot;great&quot; show" name="description">
+<link href="https://a.org/canon" rel="canonical">
+<meta property="og:title" content="Tom &apos;n Jerry">
+<META NAME="robots" CONTENT="NOINDEX, nofollow">
+</head><body></body></html>"""
+
+PAGE_BARE = b"<html><head></head><body>no head fields</body></html>"
+
+
+def test_page_metadata_fields(spark):
+    from dug_spark.operators.weblinks import page_metadata
+
+    df = spark.createDataFrame(
+        [("https://a.org/p/1", PAGE_FULL), ("https://a.org/p/2", PAGE_BARE)],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in page_metadata(df).collect()}
+    full = rows["https://a.org/p/1"]
+    # whitespace-collapsed, entity-decoded title
+    assert full["title"] == 'Tom & Jerry <S1>'
+    # content-first attribute order + entity decode
+    assert full["meta_description"] == 'A "great" show'
+    assert full["canonical"] == "https://a.org/canon"
+    assert full["og_title"] == "Tom 'n Jerry"
+    assert full["html_lang"] == "en-us"
+    # robots directives are case-insensitive
+    assert full["noindex"] is True and full["nofollow"] is True
+    bare = rows["https://a.org/p/2"]
+    assert all(
+        bare[c] is None
+        for c in ("title", "meta_description", "canonical", "og_title", "html_lang")
+    )
+    # absent robots meta => indexable (the web default)
+    assert bare["noindex"] is False and bare["nofollow"] is False
+
+
+def test_page_metadata_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+    from dug_spark.operators.weblinks import page_metadata
+
+    pages = [
+        ("https://a.org/p/1", PAGE_FULL.decode()),
+        ("https://a.org/p/2", PAGE_BARE.decode()),
+        # name-first description, noindex only, no nofollow token
+        (
+            "https://a.org/p/3",
+            '<html lang="fr"><head><meta name="description" content="d3">'
+            '<meta name="robots" content="noindex"></head></html>',
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    got = sorted(tuple(r) for r in page_metadata(df).collect())
+    want = sorted(po.page_metadata_rows(pages))
+    assert got == want
+
+
+def test_page_metadata_plan_is_map_only(spark):
+    from dug_spark.operators.weblinks import page_metadata
+
+    df = spark.createDataFrame(
+        [("https://a.org/p/1", PAGE_FULL)], "url string, html binary"
+    )
+    plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
