@@ -3422,6 +3422,156 @@ def q_corpus_split(spark, sf_dir):
     )
 
 
+def _feed_page(d: int, s: str) -> tuple[str, str]:
+    """Deterministic RSS (d even) / Atom (d odd) feed for doc (d, source
+    s), 2 entries each — q_crawl_feeds' Spark side synthesizes the SAME
+    bytes with column ops.  Mods exercise absent title (e%7==0), absent
+    link (e%5==0), absent date (e%3==0, Atom falling back to <updated>
+    when e%2==0), absent id (e%4==0), and the &amp; entity in titles."""
+    head = '<?xml version="1.0" encoding="UTF-8"?>\n'
+    ents = []
+    for k in (0, 1):
+        e = d * 2 + k
+        title = f"\n  <title>Post {e} &amp; co</title>" if e % 7 != 0 else ""
+        url = f"https://{s}.example.org/a/{e}"
+        day = f"{e % 28 + 1:02d}"
+        if d % 2 == 0:
+            link = f"\n  <link>{url}</link>" if e % 5 != 0 else ""
+            date = (
+                f"\n  <pubDate>Mon, {day} Jan 2024 00:00:00 GMT</pubDate>"
+                if e % 3 != 0
+                else ""
+            )
+            gid = f"\n  <guid>tag:{s},{e}</guid>" if e % 4 != 0 else ""
+            ents.append(f"<item>{title}{link}{date}{gid}\n</item>")
+        else:
+            link = (
+                f'\n  <link rel="alternate" href="{url}"/>'
+                if e % 5 != 0
+                else ""
+            )
+            if e % 3 != 0:
+                date = f"\n  <published>2024-01-{day}T00:00:00Z</published>"
+            elif e % 2 == 0:
+                date = f"\n  <updated>2024-02-{day}T00:00:00Z</updated>"
+            else:
+                date = ""
+            gid = f"\n  <id>urn:{s}:{e}</id>" if e % 4 != 0 else ""
+            ents.append(f"<entry>{title}{link}{date}{gid}\n</entry>")
+    if d % 2 == 0:
+        xml = (
+            head + '<rss version="2.0"><channel><title>F</title>'
+            + "".join(ents) + "</channel></rss>"
+        )
+    else:
+        xml = (
+            head + '<feed xmlns="http://www.w3.org/2005/Atom">'
+            + "".join(ents) + "</feed>"
+        )
+    return (f"https://{s}.example.org/feed-{d}.xml", xml)
+
+
+def q_crawl_feeds(spark, sf_dir):
+    """RSS 2.0 / Atom (RFC 4287) feed parser (crawl.parse_feeds — the
+    third discovery surface after crawl_robots and crawl_sitemap):
+    doc_id-derived feeds synthesized as column ops, parsed map-side
+    (regexp blocks + posexplode, zero shuffle, zero UDF) to one row per
+    entry with entity-decoded title/link, Atom published→updated
+    fallback, NULL absent fields.  VALUES oracle:
+    pyoracle.feed_entry_rows over the same _feed_page bytes."""
+    from dug_spark.operators import crawl
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    d, s = F.col("doc_id"), F.col("source")
+
+    def entry_block(k: int):
+        e = d * 2 + F.lit(k)
+        es = e.cast("string")
+        title = F.when(
+            e % 7 != 0,
+            F.concat(F.lit("\n  <title>Post "), es, F.lit(" &amp; co</title>")),
+        ).otherwise(F.lit(""))
+        url = F.concat(F.lit("https://"), s, F.lit(".example.org/a/"), es)
+        day = F.lpad((e % 28 + 1).cast("string"), 2, "0")
+        rss_link = F.when(
+            e % 5 != 0, F.concat(F.lit("\n  <link>"), url, F.lit("</link>"))
+        ).otherwise(F.lit(""))
+        rss_date = F.when(
+            e % 3 != 0,
+            F.concat(
+                F.lit("\n  <pubDate>Mon, "), day,
+                F.lit(" Jan 2024 00:00:00 GMT</pubDate>"),
+            ),
+        ).otherwise(F.lit(""))
+        rss_gid = F.when(
+            e % 4 != 0,
+            F.concat(F.lit("\n  <guid>tag:"), s, F.lit(","), es, F.lit("</guid>")),
+        ).otherwise(F.lit(""))
+        atom_link = F.when(
+            e % 5 != 0,
+            F.concat(F.lit('\n  <link rel="alternate" href="'), url, F.lit('"/>')),
+        ).otherwise(F.lit(""))
+        atom_date = F.when(
+            e % 3 != 0,
+            F.concat(
+                F.lit("\n  <published>2024-01-"), day,
+                F.lit("T00:00:00Z</published>"),
+            ),
+        ).when(
+            e % 2 == 0,
+            F.concat(
+                F.lit("\n  <updated>2024-02-"), day, F.lit("T00:00:00Z</updated>")
+            ),
+        ).otherwise(F.lit(""))
+        atom_gid = F.when(
+            e % 4 != 0,
+            F.concat(F.lit("\n  <id>urn:"), s, F.lit(":"), es, F.lit("</id>")),
+        ).otherwise(F.lit(""))
+        return F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("<item>"), title, rss_link, rss_date, rss_gid,
+                F.lit("\n</item>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<entry>"), title, atom_link, atom_date, atom_gid,
+                F.lit("\n</entry>"),
+            )
+        )
+
+    head = F.lit('<?xml version="1.0" encoding="UTF-8"?>\n')
+    body = F.concat(entry_block(0), entry_block(1))
+    xml = F.when(
+        d % 2 == 0,
+        F.concat(
+            head, F.lit('<rss version="2.0"><channel><title>F</title>'),
+            body, F.lit("</channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            head, F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+            body, F.lit("</feed>"),
+        )
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), s, F.lit(".example.org/feed-"),
+            d.cast("string"), F.lit(".xml"),
+        ).alias("url"),
+        xml.alias("xml"),
+    )
+    return crawl.parse_feeds(pages).select(
+        "feed_url",
+        "kind",
+        "entry_idx",
+        F.coalesce("title", F.lit("")).alias("title"),
+        F.coalesce("link", F.lit("")).alias("link"),
+        F.coalesce("published", F.lit("")).alias("published"),
+        F.coalesce("entry_id", F.lit("")).alias("entry_id"),
+    )
+
+
 def _meta_page(d: int, s: str, lang: str) -> tuple[str, str]:
     """Deterministic HTML head for doc (d, source s, lang) — the Spark
     side of q_page_metadata synthesizes the SAME bytes with column ops.
@@ -4264,6 +4414,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap": q_crawl_sitemap,
         "corpus_split": q_corpus_split,
         "page_metadata": q_page_metadata,
+        "crawl_feeds": q_crawl_feeds,
     }
 
 
@@ -5029,6 +5180,16 @@ def extra_oracle_sql() -> dict[str, str]:
             " noindex, nofollow",
             "VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR, VARCHAR,"
             " BOOLEAN, BOOLEAN",
+        )
+        out["crawl_feeds"] = _values_or_empty(
+            [
+                (u, k, i, t or "", ln or "", pb or "", eid or "")
+                for (u, k, i, t, ln, pb, eid) in po.feed_entry_rows(
+                    [_feed_page(d, s) for d, s in id_src]
+                )
+            ],
+            "feed_url, kind, entry_idx, title, link, published, entry_id",
+            "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

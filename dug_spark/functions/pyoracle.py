@@ -1854,3 +1854,56 @@ def page_metadata_rows(pages: list[tuple[str, str]]) -> list[tuple]:
             )
         )
     return out
+
+
+def feed_entry_rows(pages: list[tuple[str, str]]) -> list[tuple]:
+    """Mirror of operators/crawl.parse_feeds over (url, xml) pages:
+    (feed_url, kind, entry_idx, title, link, published, entry_id) per
+    <item>/<entry> block — same DOTALL regexes, same five-entity decode
+    on title/link, Atom published→updated fallback, None for absent."""
+    import re as _re
+
+    def dec(s: str) -> str:
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"),
+        ):
+            s = s.replace(ent, ch)
+        return s
+
+    out = []
+    for url, xml in pages:
+        xml = xml or ""
+        if _re.search(r"<feed[\s>]", xml, _re.S):
+            kind, pat = "atom", r"<entry[\s>](.*?)</entry>"
+        elif _re.search(r"<rss[\s>]", xml, _re.S):
+            kind, pat = "rss", r"<item[\s>](.*?)</item>"
+        else:
+            continue
+        for i, block in enumerate(_re.findall(pat, xml, _re.S)):
+
+            def _tag(t: str) -> str:
+                m = _re.search(rf"<{t}>\s*(.*?)\s*</{t}>", block, _re.S)
+                return m.group(1) if m else ""
+
+            if kind == "atom":
+                m = _re.search(r'<link[^>]*href="([^"]*)"', block, _re.S)
+                link = m.group(1) if m else ""
+                published = _tag("published") or _tag("updated")
+                eid = _tag("id")
+            else:
+                link = _tag("link")
+                published = _tag("pubDate")
+                eid = _tag("guid")
+            out.append(
+                (
+                    url,
+                    kind,
+                    i,
+                    dec(_tag("title")) or None,
+                    dec(link) or None,
+                    published or None,
+                    eid or None,
+                )
+            )
+    return out

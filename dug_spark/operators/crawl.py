@@ -406,3 +406,70 @@ def parse_sitemaps(
             .alias("priority"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feed parsing (RSS 2.0 per the public RSS spec; Atom per RFC 4287) —
+# the third discovery surface next to robots.txt and sitemaps: feeds
+# carry the freshest URLs plus editorial titles/timestamps, so a
+# recrawl scheduler mines them corpus-wide.
+
+
+def parse_feeds(
+    df: DataFrame, url_col: str = "url", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse RSS 2.0 and Atom feed documents to one row per entry:
+
+    ``(feed_url, kind, entry_idx, title, link, published, entry_id)`` —
+    ``kind`` ∈ {'rss', 'atom'}; RSS entries are ``<item>`` blocks
+    (title / <link> inner text / pubDate / guid), Atom entries are
+    ``<entry>`` blocks (title / first <link … href="…"> attribute /
+    published falling back to updated / id).  Titles and links are
+    decoded for the five predefined XML entities; absent fields are
+    NULL; non-feed pages emit zero rows.
+
+    Scale shape: identical to parse_sitemaps — regexp block extraction
+    + posexplode + per-entry regexp projections, whole-stage codegen,
+    zero shuffle, zero UDF.  Namespace-lenient by design (unqualified
+    tag matching), mirrored exactly by pyoracle.feed_entry_rows."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    is_atom = xml.rlike("(?s)<feed[\\s>]")
+    is_rss = xml.rlike("(?s)<rss[\\s>]")
+    blocks = F.when(
+        is_atom,
+        F.regexp_extract_all(xml, F.lit("(?s)<entry[\\s>](.*?)</entry>"), 1),
+    ).when(
+        is_rss,
+        F.regexp_extract_all(xml, F.lit("(?s)<item[\\s>](.*?)</item>"), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    kind = F.when(is_atom, F.lit("atom")).when(is_rss, F.lit("rss"))
+    b = F.col("_block")
+    atom_link = F.regexp_extract(b, '(?s)<link[^>]*href="([^"]*)"', 1)
+    rss_link = _tag(b, "link")
+    link = F.when(F.col("kind") == "atom", atom_link).otherwise(rss_link)
+    published = F.when(
+        F.col("kind") == "atom",
+        F.coalesce(
+            F.nullif(_tag(b, "published"), F.lit("")),
+            F.nullif(_tag(b, "updated"), F.lit("")),
+        ),
+    ).otherwise(F.nullif(_tag(b, "pubDate"), F.lit("")))
+    entry_id = F.when(F.col("kind") == "atom", _tag(b, "id")).otherwise(
+        _tag(b, "guid")
+    )
+    return (
+        df.select(
+            F.col(url_col).alias("feed_url"),
+            kind.alias("kind"),
+            F.posexplode(blocks).alias("entry_idx", "_block"),
+        )
+        .select(
+            "feed_url",
+            "kind",
+            "entry_idx",
+            F.nullif(_xml_unescape(_tag(b, "title")), F.lit("")).alias("title"),
+            F.nullif(_xml_unescape(link), F.lit("")).alias("link"),
+            published.alias("published"),
+            F.nullif(entry_id, F.lit("")).alias("entry_id"),
+        )
+    )

@@ -374,3 +374,87 @@ def test_parse_sitemaps_plan_is_map_only(spark):
     plan = crawl.parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- parse_feeds -------------------------------------------------------------
+
+
+FEED_RSS = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+<title>Channel title stays out of entries</title>
+<item>
+  <title>Hello &amp; welcome</title>
+  <link>https://a.org/post/1</link>
+  <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+  <guid>tag:a.org,1</guid>
+</item>
+<item>
+  <title>Bare item</title>
+</item>
+</channel></rss>"""
+
+FEED_ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+<entry>
+  <title>Atom one</title>
+  <link rel="alternate" href="https://b.org/e/1"/>
+  <published>2024-01-02T00:00:00Z</published>
+  <id>urn:b:1</id>
+</entry>
+<entry>
+  <title>Updated only</title>
+  <updated>2024-02-03T00:00:00Z</updated>
+</entry>
+</feed>"""
+
+
+def test_parse_feeds_rss_and_atom(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.org/rss.xml", FEED_RSS),
+            ("https://b.org/atom.xml", FEED_ATOM),
+            ("https://c.org/page.html", "<html>not a feed</html>"),
+        ],
+        "url string, xml string",
+    )
+    rows = crawl.parse_feeds(df).orderBy("feed_url", "entry_idx").collect()
+    assert len(rows) == 4
+    rss = [r for r in rows if r["kind"] == "rss"]
+    assert rss[0]["title"] == "Hello & welcome"  # entity-decoded
+    assert rss[0]["link"] == "https://a.org/post/1"
+    assert rss[0]["published"] == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert rss[0]["entry_id"] == "tag:a.org,1"
+    # absent fields are NULL; channel-level title never leaks into items
+    assert (rss[1]["link"], rss[1]["published"], rss[1]["entry_id"]) == (
+        None, None, None,
+    )
+    atom = [r for r in rows if r["kind"] == "atom"]
+    assert atom[0]["link"] == "https://b.org/e/1"  # href attribute form
+    assert atom[0]["published"] == "2024-01-02T00:00:00Z"
+    # published falls back to updated
+    assert atom[1]["published"] == "2024-02-03T00:00:00Z"
+    assert atom[1]["link"] is None and atom[1]["entry_id"] is None
+
+
+def test_parse_feeds_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+
+    pages = [
+        ("https://a.org/rss.xml", FEED_RSS),
+        ("https://b.org/atom.xml", FEED_ATOM),
+        ("https://c.org/x", "<html/>"),
+        ("https://d.org/null", None),
+    ]
+    df = spark.createDataFrame(pages, "url string, xml string")
+    got = sorted(tuple(r) for r in crawl.parse_feeds(df).collect())
+    want = sorted(po.feed_entry_rows(pages))
+    assert got == want
+
+
+def test_parse_feeds_plan_is_map_only(spark):
+    df = spark.createDataFrame(
+        [("https://a.org/rss.xml", FEED_RSS)], "url string, xml string"
+    )
+    plan = crawl.parse_feeds(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
