@@ -3422,6 +3422,39 @@ def q_corpus_split(spark, sf_dir):
     )
 
 
+_COMPACT_TARGET = 64 * 1024 * 1024
+
+
+def _file_size(d: int, nc: int) -> int:
+    """Deterministic synthetic data-file size for doc (d, n_chars nc) —
+    exact-integer arithmetic shared by q_compaction_plan's Spark side
+    (same expression in column ops) and the VALUES oracle."""
+    return (nc * 7919 + d * 104729) % (256 * 1024 * 1024) + 1024
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (plans/compact.compaction_plan):
+    per-table-partition first-fit-decreasing bin-packing of file
+    metadata into 64 MiB rewrite groups — ONE shuffle on the partition
+    key, then per-group Python over manifest-sized Arrow batches (the
+    input is file metadata, not corpus data).  VALUES oracle:
+    pyoracle.compaction_rows, an independent FFD recompute."""
+    from dug_spark.plans import compact
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d, nc = F.col("doc_id"), F.col("n_chars")
+    files = docs.select(
+        F.col("source").alias("partition"),
+        F.concat(F.lit("part-"), d.cast("string"), F.lit(".parquet")).alias(
+            "file"
+        ),
+        ((nc * 7919 + d * 104729) % (256 * 1024 * 1024) + 1024).alias(
+            "size_bytes"
+        ),
+    )
+    return compact.compaction_plan(files, target_bytes=_COMPACT_TARGET)
+
+
 def _feed_page(d: int, s: str) -> tuple[str, str]:
     """Deterministic RSS (d even) / Atom (d odd) feed for doc (d, source
     s), 2 entries each — q_crawl_feeds' Spark side synthesizes the SAME
@@ -4415,6 +4448,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "page_metadata": q_page_metadata,
         "crawl_feeds": q_crawl_feeds,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -5169,6 +5203,7 @@ def extra_oracle_sql() -> dict[str, str]:
             "FROM documents"
         )
         _lang_of = {did: lg for lg, did, _nc in lang_chars}
+        _nc_of = {did: nc for _lg, did, nc in lang_chars}
         out["page_metadata"] = _values_or_empty(
             [
                 (u, t or "", de or "", c or "", og or "", lg or "", ni, nf)
@@ -5190,6 +5225,18 @@ def extra_oracle_sql() -> dict[str, str]:
             ],
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
+        )
+        out["compaction_plan"] = _values_or_empty(
+            po.compaction_rows(
+                [
+                    (s, f"part-{d}.parquet", _file_size(d, _nc_of[d]))
+                    for d, s in id_src
+                ],
+                _COMPACT_TARGET,
+            ),
+            "partition, group_id, file, size_bytes, group_bytes,"
+            " n_files_in_group, rewrite",
+            "VARCHAR, INTEGER, VARCHAR, BIGINT, BIGINT, INTEGER, BOOLEAN",
         )
         out["weighted_sample"] = _values_or_empty(
             po.weighted_sample_rows(lang_chars, k=5, seed=11),

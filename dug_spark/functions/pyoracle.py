@@ -1907,3 +1907,36 @@ def feed_entry_rows(pages: list[tuple[str, str]]) -> list[tuple]:
                 )
             )
     return out
+
+
+def compaction_rows(
+    files: list[tuple[str, str, int]], target_bytes: int
+) -> list[tuple]:
+    """Independent recompute of plans/compact.compaction_plan over
+    (partition, file, size) rows: first-fit-decreasing per partition on
+    the (size DESC, file ASC) order, oversized files own a bin, dense
+    group ids, rewrite only for multi-file groups.  Written against the
+    CONTRACT (FFD definition), not by importing the operator's packer."""
+    by_part: dict[str, list[tuple[str, int]]] = {}
+    for part, f, sz in files:
+        by_part.setdefault(part, []).append((f, int(sz)))
+    out = []
+    for part in sorted(by_part):
+        items = sorted(by_part[part], key=lambda fs: (-fs[1], fs[0]))
+        groups: list[dict] = []
+        for f, sz in items:
+            placed = False
+            if sz < target_bytes:
+                for g in groups:
+                    if g["total"] + sz <= target_bytes:
+                        g["files"].append((f, sz))
+                        g["total"] += sz
+                        placed = True
+                        break
+            if not placed:
+                groups.append({"files": [(f, sz)], "total": sz})
+        for gid, g in enumerate(groups):
+            n = len(g["files"])
+            for f, sz in g["files"]:
+                out.append((part, gid, f, sz, g["total"], n, n > 1))
+    return out

@@ -1,0 +1,142 @@
+"""Small-file compaction planning.
+
+A 10^12-document corpus written incrementally (crawl increments, late
+partitions, streaming drains) accumulates small files; table formats pay
+for them in manifest size, open() latency, and scan parallelism lost to
+sub-split files.  The fix is periodic bin-packing of each table
+partition's files into target-sized rewrite groups — this module plans
+those groups; executing a group is a plain ``spark.read(files...)
+.repartition(1).write`` the caller drives.
+
+The planner input is FILE METADATA (one row per data file), which is
+manifest-scale — millions of rows for a 100 TB table, not corpus-scale —
+so a per-partition sequential algorithm under ``applyInPandas`` is the
+right distributed shape: partitions plan independently and in parallel,
+and each partition's file list fits comfortably in one Arrow batch.
+
+Packing is first-fit-decreasing (FFD, the classic bin-packing
+heuristic: sort items descending, place each into the first bin with
+room — ≤ 11/9·OPT + 1 bins), made deterministic by the (size DESC,
+file ASC) sort and first-fit order.  Files at or above the target size
+are already healthy and become single-file groups with
+``rewrite=false``; so do groups that end up with one file — rewriting a
+lone file buys nothing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_ffd(files: list[tuple[str, int]], target_bytes: int):
+    """First-fit-decreasing over (file, size) pairs → list of
+    (group_id, file, size, group_bytes, n_files) rows, group ids dense
+    in packing order.  Pure Python — shared by the executor path (via
+    applyInPandas) and the test/oracle mirror, so the plan is
+    recomputable anywhere."""
+    order = sorted(files, key=lambda fs: (-fs[1], fs[0]))
+    bins: list[list[tuple[str, int]]] = []
+    totals: list[int] = []
+    for f, sz in order:
+        if sz >= target_bytes:
+            bins.append([(f, sz)])
+            totals.append(sz)
+            continue
+        for i, tot in enumerate(totals):
+            # single oversized files own their bin; never top them up
+            if totals[i] + sz <= target_bytes:
+                bins[i].append((f, sz))
+                totals[i] += sz
+                break
+        else:
+            bins.append([(f, sz)])
+            totals.append(sz)
+    out = []
+    for gid, group in enumerate(bins):
+        gbytes = sum(sz for _, sz in group)
+        for f, sz in group:
+            out.append((gid, f, sz, gbytes, len(group)))
+    return out
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int = 512 * 1024 * 1024,
+    partition_col: str = "partition",
+    file_col: str = "file",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Plan compaction rewrite groups per table partition.
+
+    Returns one row per input file:
+    ``(partition, group_id, file, size_bytes, group_bytes,
+    n_files_in_group, rewrite)`` — every file appears exactly once;
+    ``rewrite`` is true only for multi-file groups (the ones worth
+    rewriting).  ``group_id`` is dense per partition and deterministic
+    (FFD over the (size DESC, file ASC) order).
+
+    Scale shape: ONE shuffle on the table-partition key, then pure
+    per-group Python over manifest-sized Arrow batches; no corpus data
+    is touched.  Skew note: a partition's file list is bounded by the
+    table's files-per-partition, orders of magnitude below Arrow batch
+    limits even for pathological 10^6-file partitions."""
+    schema = (
+        f"{partition_col} string, group_id int, {file_col} string, "
+        f"{size_col} long, group_bytes long, n_files_in_group int, "
+        "rewrite boolean"
+    )
+
+    def plan_one(key, pdf):
+        rows = pack_ffd(
+            list(zip(pdf[file_col], (int(s) for s in pdf[size_col]))),
+            target_bytes,
+        )
+        return pd.DataFrame(
+            {
+                partition_col: pd.Series([key[0]] * len(rows), dtype="object"),
+                "group_id": pd.Series([r[0] for r in rows], dtype="int32"),
+                file_col: pd.Series([r[1] for r in rows], dtype="object"),
+                size_col: pd.Series([r[2] for r in rows], dtype="int64"),
+                "group_bytes": pd.Series([r[3] for r in rows], dtype="int64"),
+                "n_files_in_group": pd.Series(
+                    [r[4] for r in rows], dtype="int32"
+                ),
+                "rewrite": pd.Series([r[4] > 1 for r in rows], dtype="bool"),
+            }
+        )
+
+    return (
+        files.select(partition_col, file_col, size_col)
+        .groupBy(partition_col)
+        .applyInPandas(plan_one, schema)
+    )
+
+
+def compaction_report(plan: DataFrame, partition_col: str = "partition") -> DataFrame:
+    """Per-partition audit of a compaction_plan frame — one aggregation:
+    files in vs. rewrite groups out, bytes to rewrite, and the
+    small-file reduction (files removed by executing the plan)."""
+    return (
+        plan.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct(F.when(F.col("rewrite"), F.col("group_id"))).alias(
+                "n_rewrite_groups"
+            ),
+            F.sum(
+                F.when(F.col("rewrite"), F.col("size_bytes")).otherwise(0)
+            ).alias("rewrite_bytes"),
+            F.sum(F.when(F.col("rewrite"), 1).otherwise(0)).alias(
+                "n_files_rewritten"
+            ),
+        )
+        .withColumn(
+            "n_files_after",
+            F.col("n_files") - F.col("n_files_rewritten")
+            + F.col("n_rewrite_groups"),
+        )
+        .orderBy(partition_col)
+    )
