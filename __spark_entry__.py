@@ -3455,6 +3455,34 @@ def q_compaction_plan(spark, sf_dir):
     return compact.compaction_plan(files, target_bytes=_COMPACT_TARGET)
 
 
+def q_kg_align(spark, sf_dir):
+    """Cross-snapshot entity alignment (canonicalize.align_entities):
+    token-set Jaccard over entity names via an inverted-index token join
+    (set-similarity blocking — never a cross join), reciprocal-best
+    acceptance with deterministic tie-breaks.  Snapshots derive from
+    `part`: left = keys %3≠0 named `p_name k<key%101>`, right = keys
+    %5≠0 (re-keyed +10^6) named the same plus a ` v2` release token —
+    true pairs share 3/4 tokens (sim 0.75) while same-name
+    different-key pairs top out at 2/5, so the mutual-top-1 gate does
+    real work.  Oracle: the same derivation in pure SQL (unnest +
+    joins + two windows)."""
+    from dug_spark.operators import canonicalize
+
+    part = _pq(spark, sf_dir, "part")
+    keyed = F.concat(
+        F.col("p_name"), F.lit(" k"),
+        (F.col("p_partkey") % 101).cast("string"),
+    )
+    left = part.where(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_partkey").alias("id"), keyed.alias("name")
+    )
+    right = part.where(F.col("p_partkey") % 5 != 0).select(
+        (F.col("p_partkey") + 1000000).alias("id"),
+        F.concat(keyed, F.lit(" v2")).alias("name"),
+    )
+    return canonicalize.align_entities(left, right, min_sim=0.34)
+
+
 def _feed_page(d: int, s: str) -> tuple[str, str]:
     """Deterministic RSS (d even) / Atom (d odd) feed for doc (d, source
     s), 2 entries each — q_crawl_feeds' Spark side synthesizes the SAME
@@ -4449,6 +4477,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "crawl_feeds": q_crawl_feeds,
         "compaction_plan": q_compaction_plan,
+        "kg_align_snapshots": q_kg_align,
     }
 
 
@@ -5226,6 +5255,42 @@ def extra_oracle_sql() -> dict[str, str]:
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
         )
+        out["kg_align_snapshots"] = """
+WITH lt AS (
+  SELECT DISTINCT lid, tok FROM (
+    SELECT p_partkey AS lid,
+           unnest(string_split_regex(
+             lower(p_name || ' k' || CAST(p_partkey % 101 AS VARCHAR)),
+             '[^a-z0-9]+')) AS tok
+    FROM part WHERE p_partkey % 3 <> 0)
+  WHERE tok <> ''
+), rt AS (
+  SELECT DISTINCT rid, tok FROM (
+    SELECT p_partkey + 1000000 AS rid,
+           unnest(string_split_regex(
+             lower(p_name || ' k' || CAST(p_partkey % 101 AS VARCHAR)
+                   || ' v2'),
+             '[^a-z0-9]+')) AS tok
+    FROM part WHERE p_partkey % 5 <> 0)
+  WHERE tok <> ''
+), ls AS (SELECT lid, COUNT(*) AS ln FROM lt GROUP BY lid),
+rs AS (SELECT rid, COUNT(*) AS rn FROM rt GROUP BY rid),
+pairs AS (
+  SELECT lt.lid, rt.rid, COUNT(*) AS n_shared
+  FROM lt JOIN rt USING (tok) GROUP BY lt.lid, rt.rid
+), sims AS (
+  SELECT p.lid, p.rid, p.n_shared,
+         CAST(p.n_shared AS DOUBLE) / (ls.ln + rs.rn - p.n_shared) AS sim
+  FROM pairs p JOIN ls ON ls.lid = p.lid JOIN rs ON rs.rid = p.rid
+  WHERE CAST(p.n_shared AS DOUBLE) / (ls.ln + rs.rn - p.n_shared) >= 0.34
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS lr,
+    ROW_NUMBER() OVER (PARTITION BY rid ORDER BY sim DESC, lid ASC) AS rr
+  FROM sims)
+SELECT lid AS left_id, rid AS right_id, ROUND(sim, 6) AS sim, n_shared
+FROM ranked WHERE lr = 1 AND rr = 1
+"""
         out["compaction_plan"] = _values_or_empty(
             po.compaction_rows(
                 [

@@ -168,3 +168,96 @@ def canonicalize_mentions(
     return out.withColumn(
         "curie", F.coalesce("canonical_id", "curie")
     ).drop("canonical_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot entity alignment.  The reference canonicalizes WITHIN
+# one normalization table (equivalence_edges → connected components);
+# when an ontology/KG snapshot is re-released, the complementary
+# operator aligns the OLD entity set to the NEW one without shared ids —
+# classic ontology matching by name-token overlap with reciprocal-best
+# acceptance (mutual top-1, the standard precision guard).
+
+
+def align_entities(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    min_sim: float = 0.34,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Match entities across two snapshots by token-set Jaccard over
+    their names, accepting only reciprocal best matches.
+
+    Names tokenize as lowercase ``[^a-z0-9]+``-separated distinct
+    tokens.  Candidate pairs come from an inverted-index join on shared
+    tokens (NEVER a cross join); Jaccard = shared / (|L| + |R| −
+    shared); pairs below ``min_sim`` drop; a pair survives only if each
+    side is the other's rank-1 (sim DESC, id ASC tie-break — fully
+    deterministic).  Returns ``(left_id, right_id, sim, n_shared)``.
+
+    Scale shape: the token join is the classic set-similarity blocking
+    (Vernica et al. 2010): work is Σ_token df_L(t)·df_R(t), so hot
+    tokens (stopwords in names) dominate — ``max_token_df`` drops
+    tokens whose df exceeds the cap on EITHER side before the join (the
+    same guard dedup_minhash_lsh applies to hot bands); alignment loses
+    only pairs whose every shared token is ubiquitous, which fail
+    ``min_sim`` anyway at web scale.  Two aggregations (pair counts,
+    per-side ranks) + one window pass per side; everything else is
+    narrow."""
+    from pyspark.sql import Window
+
+    def toks(df, side):
+        t = F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(name_col)), "[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            )
+        )
+        return df.select(F.col(id_col).alias(f"{side}_id"), t.alias("tok"))
+
+    lt, rt = toks(left, "left"), toks(right, "right")
+    if max_token_df is not None:
+        hot = (
+            lt.groupBy("tok").count().where(F.col("count") > max_token_df)
+            .select("tok")
+            .unionByName(
+                rt.groupBy("tok").count()
+                .where(F.col("count") > max_token_df).select("tok")
+            )
+            .distinct()
+        )
+        lt = lt.join(F.broadcast(hot), "tok", "left_anti")
+        rt = rt.join(F.broadcast(hot), "tok", "left_anti")
+    lsize = lt.groupBy("left_id").agg(F.count(F.lit(1)).alias("l_n"))
+    rsize = rt.groupBy("right_id").agg(F.count(F.lit(1)).alias("r_n"))
+    pairs = (
+        lt.join(rt, "tok")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(lsize, "left_id")
+        .join(rsize, "right_id")
+        .withColumn(
+            "sim",
+            F.col("n_shared")
+            / (F.col("l_n") + F.col("r_n") - F.col("n_shared")),
+        )
+        .where(F.col("sim") >= F.lit(min_sim))
+    )
+    wl = Window.partitionBy("left_id").orderBy(
+        F.col("sim").desc(), F.col("right_id").asc()
+    )
+    wr = Window.partitionBy("right_id").orderBy(
+        F.col("sim").desc(), F.col("left_id").asc()
+    )
+    return (
+        pairs.withColumn("l_rank", F.row_number().over(wl))
+        .withColumn("r_rank", F.row_number().over(wr))
+        .where((F.col("l_rank") == 1) & (F.col("r_rank") == 1))
+        .select(
+            "left_id", "right_id", F.round("sim", 6).alias("sim"), "n_shared"
+        )
+    )

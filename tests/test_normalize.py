@@ -130,3 +130,78 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and converges fine with enough rounds
     out = canonicalize.connected_components(sym, max_iter=15)
     assert {r["comp"] for r in out.collect()} == {"n00"}
+
+
+# --- align_entities (cross-snapshot reciprocal-best matching) ----------------
+
+
+def test_align_entities_mutual_best(spark):
+    from dug_spark.operators.canonicalize import align_entities
+
+    left = spark.createDataFrame(
+        [
+            (1, "hash join operator"),
+            (2, "sort merge join"),
+            (3, "window frame spec"),
+            (4, "unrelated thing"),
+        ],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, "hash join operator v2"),   # best for 1
+            (102, "sort merge join node"),    # best for 2
+            (103, "window frame"),            # best for 3
+            (104, "completely different"),    # matches nobody
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): (r["sim"], r["n_shared"])
+        for r in align_entities(left, right, min_sim=0.3).collect()
+    }
+    assert set(got) == {(1, 101), (2, 102), (3, 103)}
+    assert got[(1, 101)] == (0.75, 3)   # 3 shared / (3+4-3)
+    assert got[(2, 102)] == (0.75, 3)
+    assert got[(3, 103)] == (round(2 / 3, 6), 2)
+
+
+def test_align_entities_reciprocity_and_ties(spark):
+    from dug_spark.operators.canonicalize import align_entities
+
+    # two lefts tie for one right: reciprocal-best keeps only the
+    # deterministic winner (lower left_id), the loser matches nothing
+    left = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "id long, name string"
+    )
+    got = align_entities(left, right, min_sim=0.1).collect()
+    assert [(r["left_id"], r["right_id"]) for r in got] == [(1, 9)]
+    # duplicate tokens in a name count once (set semantics)
+    l2 = spark.createDataFrame([(1, "a a b")], "id long, name string")
+    r2 = spark.createDataFrame([(5, "a b")], "id long, name string")
+    m = align_entities(l2, r2, min_sim=0.5).collect()
+    assert (m[0]["sim"], m[0]["n_shared"]) == (1.0, 2)
+
+
+def test_align_entities_hot_token_cap(spark):
+    from dug_spark.operators.canonicalize import align_entities
+
+    # 'the' appears in every left name; with the cap it contributes no
+    # candidate pairs, so only the real token overlap aligns
+    left = spark.createDataFrame(
+        [(i, f"the item{i}") for i in range(10)], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"the item{i} v2") for i in range(10)],
+        "id long, name string",
+    )
+    capped = align_entities(left, right, min_sim=0.3, max_token_df=5)
+    got = {(r["left_id"], r["right_id"]) for r in capped.collect()}
+    assert got == {(i, 100 + i) for i in range(10)}
+    # 'the' (df=10 both sides) AND 'v2' (df=10 right) both exceed the
+    # cap, so each pair reduces to the item<i> token alone: sim 1/1
+    sims = {r["left_id"]: r["sim"] for r in capped.collect()}
+    assert all(s == 1.0 for s in sims.values())
