@@ -3483,6 +3483,43 @@ def q_kg_align(spark, sf_dir):
     return canonicalize.align_entities(left, right, min_sim=0.34)
 
 
+def _boiler_text(d: int, t: str, s: str) -> str:
+    """Deterministic host-templated document body for doc (d, text t,
+    source s) — shared grammar between q_host_boilerplate's Spark side
+    (same expression as column ops) and the VALUES mirror.  NAV/footer
+    lines appear on every page of the host (true boilerplate); the
+    PROMO line only on d%3==0 pages (~1/3 < the 0.5 threshold — must
+    survive)."""
+    promo = f"PROMO {s}\n" if d % 3 == 0 else ""
+    return f"NAV {s} MENU\n{promo}{t or ''}\nCopyright {s}"
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate removal (curate.strip_host_boilerplate —
+    the RefinedWeb/CCNet host-local complement to the C4 global line
+    rule): per-host template lines (≥50% of the host's docs, ≥2 docs)
+    stripped from every page, sub-threshold repeated lines kept.  One
+    (host,line) distinct + aggregation, broadcast host-size join,
+    sort-struct reassembly.  VALUES oracle:
+    pyoracle.host_boilerplate_strip_rows over the same decorated
+    bodies."""
+    from dug_spark.operators import curate
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d, s = F.col("doc_id"), F.col("source")
+    promo = F.when(
+        d % 3 == 0, F.concat(F.lit("PROMO "), s, F.lit("\n"))
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("NAV "), s, F.lit(" MENU\n"), promo,
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\nCopyright "), s,
+    )
+    decorated = docs.select(
+        d.alias("doc_id"), s.alias("host"), body.alias("text")
+    )
+    return curate.strip_host_boilerplate(decorated, host_col="host")
+
+
 def _feed_page(d: int, s: str) -> tuple[str, str]:
     """Deterministic RSS (d even) / Atom (d odd) feed for doc (d, source
     s), 2 entries each — q_crawl_feeds' Spark side synthesizes the SAME
@@ -4478,6 +4515,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_feeds": q_crawl_feeds,
         "compaction_plan": q_compaction_plan,
         "kg_align_snapshots": q_kg_align,
+        "host_boilerplate": q_host_boilerplate,
     }
 
 
@@ -5254,6 +5292,13 @@ def extra_oracle_sql() -> dict[str, str]:
             ],
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
+        )
+        out["host_boilerplate"] = _values_or_empty(
+            po.host_boilerplate_strip_rows(
+                [(s, d, _boiler_text(d, t, s)) for d, t, s in docs_src]
+            ),
+            "id, host, clean_text, n_lines_kept, n_lines_removed",
+            "BIGINT, VARCHAR, VARCHAR, BIGINT, BIGINT",
         )
         out["kg_align_snapshots"] = """
 WITH lt AS (

@@ -1940,3 +1940,39 @@ def compaction_rows(
             for f, sz in g["files"]:
                 out.append((part, gid, f, sz, g["total"], n, n > 1))
     return out
+
+
+def host_boilerplate_strip_rows(
+    docs: list[tuple[str, int, str]],
+    min_docs: int = 2,
+    min_fraction: float = 0.5,
+    min_chars: int = 1,
+) -> list[tuple]:
+    """Mirror of operators/curate.strip_host_boilerplate over
+    (host, doc_id, text) docs: per-host lines present in >= min_fraction
+    of the host's docs and >= min_docs docs (exact match, no trim,
+    len >= min_chars) are removed from every doc of that host.
+    Returns (id, host, clean_text, n_lines_kept, n_lines_removed)."""
+    host_docs: dict[str, set] = {}
+    line_docs: dict[tuple[str, str], set] = {}
+    for host, did, text in docs:
+        host_docs.setdefault(host, set()).add(did)
+        for ln in (text or "").split("\n"):
+            if len(ln) >= min_chars:
+                line_docs.setdefault((host, ln), set()).add(did)
+    bp = {
+        (host, ln)
+        for (host, ln), ds in line_docs.items()
+        if len(ds) >= min_docs
+        and len(ds) / len(host_docs[host]) >= min_fraction
+    }
+    out = []
+    for host, did, text in docs:
+        kept, removed = [], 0
+        for ln in (text or "").split("\n"):
+            if (host, ln) in bp:
+                removed += 1
+            else:
+                kept.append(ln)
+        out.append((did, host, "\n".join(kept), len(kept), removed))
+    return out

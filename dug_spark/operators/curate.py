@@ -195,3 +195,121 @@ def split_report(
         .withColumn("row_fraction", F.round(F.col("n_rows") / F.lit(total), 6))
         .orderBy(split_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-scoped boilerplate removal.  cross_doc_line_dedup (C4's global
+# rule) keeps ONE copy of a repeated line corpus-wide; the
+# RefinedWeb/CCNet-style complement is host-local: navigation menus,
+# cookie banners, and footers repeat across most pages OF ONE SITE and
+# should be stripped from ALL of them — they are template, not content,
+# and the one kept copy the global rule leaves behind is still noise.
+
+
+def host_boilerplate_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_fraction: float = 0.5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """The per-host boilerplate line set: lines (exact match, split on
+    ``\\n``, no trimming) present in ≥ ``min_fraction`` of the host's
+    documents AND ≥ ``min_docs`` documents; lines shorter than
+    ``min_chars`` are exempt (default exempts only empty lines).
+    Returns ``(host, line, n_docs, host_docs, fraction)``.
+
+    Scale shape: one distinct + one aggregation, both shuffling on
+    (host, line) — hot boilerplate IS the signal here, and the
+    per-(host,line) key spreads it; the host-doc-count side is
+    host-cardinality (dimension-sized) and broadcast into the join."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line"),
+    ).where(F.length("line") >= min_chars)
+    per_line = (
+        lines.distinct()
+        .groupBy("host", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).alias("host_docs")
+    )
+    return (
+        per_line.join(F.broadcast(host_docs), "host")
+        .withColumn("fraction", F.col("n_docs") / F.col("host_docs"))
+        .where(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("fraction") >= F.lit(min_fraction))
+        )
+        .select(
+            "host", "line", "n_docs", "host_docs",
+            F.round("fraction", 6).alias("fraction"),
+        )
+    )
+
+
+def strip_host_boilerplate(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_fraction: float = 0.5,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove every occurrence of the host's boilerplate lines from
+    every document of that host.  One row per input document (NULL text
+    treated as '' — the curate_corpus contract):
+    ``(id, host, clean_text, n_lines_kept, n_lines_removed)`` with line
+    order preserved.
+
+    Scale shape: the boilerplate set from host_boilerplate_lines joins
+    the exploded lines on (host, line) — boilerplate-set cardinality is
+    sites × template-lines (dimension-scale next to the corpus; AQE
+    handles the residual skew of giant hosts); reassembly is the same
+    single groupBy-by-doc sort-struct fold cross_doc_line_dedup uses."""
+    src = df.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    ).select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+    )
+    bp = host_boilerplate_lines(
+        df, host_col, id_col, text_col, min_docs, min_fraction, min_chars
+    ).select("host", "line", F.lit(True).alias("_is_bp"))
+    pl = src.select(
+        "host",
+        "id",
+        F.posexplode(F.split("_text", "\n")).alias("pos", "line"),
+    )
+    flagged = pl.join(bp, ["host", "line"], "left").withColumn(
+        "_is_bp", F.coalesce(F.col("_is_bp"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_is_bp"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("id", "host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(~F.col("_is_bp"), 1).otherwise(0)).alias(
+                "n_lines_kept"
+            ),
+            F.sum(F.when(F.col("_is_bp"), 1).otherwise(0)).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

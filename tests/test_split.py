@@ -105,3 +105,75 @@ def test_split_single_bucket_and_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- host boilerplate stripping ----------------------------------------------
+
+
+def _tpl_df(spark):
+    rows = [
+        # host A: NAV + Copyright on all 4 docs; PROMO on 1 of 4 (25% —
+        # below the 0.5 threshold, must survive)
+        (1, "a.org", "NAV A\nalpha body one\nCopyright A"),
+        (2, "a.org", "NAV A\nPROMO A\nbeta body two\nCopyright A"),
+        (3, "a.org", "NAV A\ngamma body three\nCopyright A"),
+        (4, "a.org", "NAV A\ndelta body four\nCopyright A"),
+        # host B: only 1 doc — min_docs=2 means nothing is boilerplate
+        (5, "b.org", "NAV B\nsolo body\nCopyright B"),
+        # host C: NULL text survives as one empty-text row
+        (6, "c.org", None),
+        (7, "c.org", "NAV C\nreal\nNAV C"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+
+def test_host_boilerplate_lines_threshold(spark):
+    from dug_spark.operators.curate import host_boilerplate_lines
+
+    got = {
+        (r["host"], r["line"]): (r["n_docs"], r["host_docs"], r["fraction"])
+        for r in host_boilerplate_lines(_tpl_df(spark)).collect()
+    }
+    # host A: NAV + Copyright in 4/4; PROMO 1/4 excluded
+    assert got[("a.org", "NAV A")] == (4, 4, 1.0)
+    assert got[("a.org", "Copyright A")] == (4, 4, 1.0)
+    assert ("a.org", "PROMO A") not in got
+    # single-doc host: min_docs=2 blocks everything
+    assert not any(h == "b.org" for h, _ in got)
+    # duplicate occurrences inside ONE doc count that doc once: NAV C is
+    # in 1 of 2 docs (0.5) but n_docs=1 < min_docs=2
+    assert ("c.org", "NAV C") not in got
+
+
+def test_strip_host_boilerplate_rows_and_order(spark):
+    from dug_spark.operators.curate import strip_host_boilerplate
+
+    rows = {
+        r["id"]: r for r in strip_host_boilerplate(_tpl_df(spark)).collect()
+    }
+    assert len(rows) == 7  # one row per input doc, NULL text included
+    assert rows[1]["clean_text"] == "alpha body one"
+    # sub-threshold PROMO survives, in original position
+    assert rows[2]["clean_text"] == "PROMO A\nbeta body two"
+    assert (rows[2]["n_lines_kept"], rows[2]["n_lines_removed"]) == (2, 2)
+    # single-doc host untouched
+    assert rows[5]["clean_text"] == "NAV B\nsolo body\nCopyright B"
+    assert rows[5]["n_lines_removed"] == 0
+    # NULL text -> '' with zero removals
+    assert (rows[6]["clean_text"], rows[6]["n_lines_removed"]) == ("", 0)
+
+
+def test_strip_host_boilerplate_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+    from dug_spark.operators.curate import strip_host_boilerplate
+
+    df = _tpl_df(spark)
+    got = sorted(
+        tuple(r) for r in strip_host_boilerplate(df).collect()
+    )
+    want = sorted(
+        po.host_boilerplate_strip_rows(
+            [(r["host"], r["doc_id"], r["text"]) for r in df.collect()]
+        )
+    )
+    assert got == want
