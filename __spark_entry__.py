@@ -3483,6 +3483,29 @@ def q_kg_align(spark, sf_dir):
     return canonicalize.align_entities(left, right, min_sim=0.34)
 
 
+_CRAWL_BUDGET = 1_000_000
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Crawl budget apportionment (crawl.allocate_budget — Hamilton's
+    largest-remainder method): ~970 synthetic hosts scored by total
+    n_chars share a 10^6-fetch budget; quotas sum exactly to the budget
+    and each host is within 1 of its exact share.  One scalar total +
+    one window rank over the host table (dimension-scale).  Oracle: the
+    same apportionment in pure SQL — float expressions parenthesized
+    identically (budget·(score/total)) so floor() sees bit-identical
+    doubles on both engines."""
+    from dug_spark.operators import crawl
+
+    docs = _pq(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    hosts = docs.groupBy(
+        _split_host(F.col("doc_id"), F.col("source")).alias("host")
+    ).agg(F.sum("n_chars").cast("double").alias("score"))
+    return crawl.allocate_budget(hosts, _CRAWL_BUDGET)
+
+
 def _boiler_text(d: int, t: str, s: str) -> str:
     """Deterministic host-templated document body for doc (d, text t,
     source s) — shared grammar between q_host_boilerplate's Spark side
@@ -4516,6 +4539,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "kg_align_snapshots": q_kg_align,
         "host_boilerplate": q_host_boilerplate,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -5293,6 +5317,31 @@ def extra_oracle_sql() -> dict[str, str]:
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
         )
+        out["crawl_budget"] = f"""
+WITH h AS (
+  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.' || source
+           || '.example.org' AS host,
+         GREATEST(COALESCE(CAST(SUM(n_chars) AS DOUBLE), 0), 0) AS score
+  FROM documents GROUP BY 1
+), t AS (SELECT SUM(score) AS total, COUNT(*) AS n FROM h),
+b AS (
+  SELECT host, score,
+         CASE WHEN t.total > 0
+              THEN {_CRAWL_BUDGET}.0 * (score / t.total)
+              ELSE {_CRAWL_BUDGET}.0 * (1.0 / t.n) END AS exact_share
+  FROM h, t
+), fl AS (
+  SELECT *, CAST(FLOOR(exact_share) AS BIGINT) AS flr FROM b
+), lo AS (SELECT {_CRAWL_BUDGET} - SUM(flr) AS leftover FROM fl),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY exact_share - flr DESC, host ASC) AS rn
+  FROM fl)
+SELECT host, score, ROUND(exact_share, 6) AS exact_share,
+       flr + CASE WHEN rn <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+         AS quota
+FROM r
+"""
         out["host_boilerplate"] = _values_or_empty(
             po.host_boilerplate_strip_rows(
                 [(s, d, _boiler_text(d, t, s)) for d, t, s in docs_src]

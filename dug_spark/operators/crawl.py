@@ -473,3 +473,78 @@ def parse_feeds(
             F.nullif(entry_id, F.lit("")).alias("entry_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl budget allocation.  frontier_schedule orders URLs WITHIN hosts;
+# the prior question at 10^12 scale is how many fetches each host gets
+# from a bounded crawl budget.  Proportional-to-quality with
+# largest-remainder rounding (Hamilton's method) is the standard
+# integer apportionment: quotas sum EXACTLY to the budget and no host
+# deviates from its exact share by ≥1.
+
+
+def allocate_budget(
+    hosts: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    score_col: str = "score",
+) -> DataFrame:
+    """Apportion ``budget`` integer fetch slots across hosts in
+    proportion to ``score_col`` (NULL/negative scores count as 0; if
+    every score is 0, the budget splits evenly).
+
+    Largest-remainder: each host gets floor(budget · share); the
+    leftover slots go one each to the hosts with the largest fractional
+    remainders (ties broken by host ASC — fully deterministic).
+    Returns ``(host, score, exact_share, quota)`` with
+    sum(quota) == budget.
+
+    Scale shape: one scalar total (map-side partial sum), a narrow
+    projection, and ONE window rank over the host table to pick
+    remainder winners — the input is host-cardinality (dimension-scale
+    next to the corpus; ~10^8 rows at full web scale, a single
+    sort-shuffle of a skinny frame)."""
+    from pyspark.sql import Window
+
+    clean = hosts.select(
+        F.col(host_col).alias("host"),
+        F.greatest(
+            F.coalesce(F.col(score_col).cast("double"), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("score"),
+    )
+    tot = clean.agg(
+        F.sum("score").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total, n = float(tot["t"] or 0.0), int(tot["n"])
+    if n == 0:
+        return clean.select(
+            "host", "score", F.lit(0.0).alias("exact_share"),
+            F.lit(0).cast("long").alias("quota"),
+        )
+    share = (
+        (F.col("score") / F.lit(total))
+        if total > 0
+        else (F.lit(1.0) / F.lit(float(n)))
+    )
+    exact = (F.lit(float(budget)) * share).alias("exact_share")
+    base = clean.select("host", "score", exact).withColumn(
+        "_floor", F.floor("exact_share").cast("long")
+    )
+    floor_sum = base.agg(F.sum("_floor")).collect()[0][0] or 0
+    leftover = int(budget - floor_sum)
+    w = Window.orderBy(
+        (F.col("exact_share") - F.col("_floor")).desc(), F.col("host").asc()
+    )
+    return (
+        base.withColumn("_r", F.row_number().over(w))
+        .select(
+            "host",
+            "score",
+            F.round("exact_share", 6).alias("exact_share"),
+            (F.col("_floor") + (F.col("_r") <= leftover).cast("long")).alias(
+                "quota"
+            ),
+        )
+    )

@@ -458,3 +458,57 @@ def test_parse_feeds_plan_is_map_only(spark):
     plan = crawl.parse_feeds(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- allocate_budget ---------------------------------------------------------
+
+
+def test_allocate_budget_largest_remainder(spark):
+    from dug_spark.operators.crawl import allocate_budget
+
+    hosts = spark.createDataFrame(
+        [("a.org", 5.0), ("b.org", 3.0), ("c.org", 2.0)],
+        "host string, score double",
+    )
+    # 10 slots at 5:3:2 -> exact 5,3,2 (no remainder)
+    got = {r["host"]: r["quota"] for r in allocate_budget(hosts, 10).collect()}
+    assert got == {"a.org": 5, "b.org": 3, "c.org": 2}
+    # 11 slots -> exact 5.5,3.3,2.2; floors 5,3,2 leave 1 slot; largest
+    # remainder 0.5 -> a.org
+    got = {r["host"]: r["quota"] for r in allocate_budget(hosts, 11).collect()}
+    assert got == {"a.org": 6, "b.org": 3, "c.org": 2}
+    assert sum(got.values()) == 11
+
+
+def test_allocate_budget_edge_cases(spark):
+    from dug_spark.operators.crawl import allocate_budget
+
+    # all-zero scores -> even split, remainder by host ASC
+    zero = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), ("c", 0.0)], "host string, score double"
+    )
+    got = {r["host"]: r["quota"] for r in allocate_budget(zero, 7).collect()}
+    assert got == {"a": 3, "b": 2, "c": 2}  # 7/3 -> 2 each + 1 to 'a'
+    # NULL / negative scores count as zero, never crash
+    messy = spark.createDataFrame(
+        [("a", None), ("b", -4.0), ("c", 6.0)], "host string, score double"
+    )
+    got = {r["host"]: r["quota"] for r in allocate_budget(messy, 9).collect()}
+    assert got == {"a": 0, "b": 0, "c": 9}
+    assert sum(got.values()) == 9
+
+
+def test_allocate_budget_sums_and_bounds(spark):
+    from pyspark.sql import functions as F2
+
+    from dug_spark.operators.crawl import allocate_budget
+
+    hosts = spark.range(997).select(
+        F2.concat(F2.lit("h"), F2.col("id").cast("string")).alias("host"),
+        ((F2.col("id") * 37) % 1001 + 1).cast("double").alias("score"),
+    )
+    out = allocate_budget(hosts, 123_457)
+    rows = out.collect()
+    assert sum(r["quota"] for r in rows) == 123_457
+    # Hamilton guarantee: every quota within 1 of its exact share
+    assert all(abs(r["quota"] - r["exact_share"]) <= 1.0 for r in rows)
