@@ -3483,6 +3483,77 @@ def q_kg_align(spark, sf_dir):
     return canonicalize.align_entities(left, right, min_sim=0.34)
 
 
+def _robots_page(d: int, s: str) -> tuple[str, str]:
+    """Deterministic robots.txt for doc (d, source s) — q_robots_parse's
+    Spark side synthesizes the SAME bytes with column ops.  Mods
+    exercise: headerless junk rule (d%7==0, must drop), multi-agent
+    header (d%4==0), empty Disallow (d%5==0, must drop), comments,
+    blank lines, a '*' group, and a Sitemap discovery line."""
+    lines = []
+    if d % 7 == 0:
+        lines.append("Disallow: /orphan")
+    lines.append(f"# robots for {s}")
+    lines.append("User-agent: DugBot")
+    if d % 4 == 0:
+        lines.append("User-agent: otherbot")
+    lines.append(f"Disallow: /private/{d % 13}")
+    if d % 5 == 0:
+        lines.append("Disallow:")
+    lines.append(f"Allow: /private/{d % 13}/public")
+    lines.append("")
+    lines.append("User-agent: *")
+    lines.append("Disallow: /tmp")
+    lines.append(f"Sitemap: https://{s}.example.org/sitemap-{d}.xml")
+    return (f"{s}-{d}.example.org", "\n".join(lines))
+
+
+def _robots_pages_df(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    d, s = F.col("doc_id"), F.col("source")
+
+    def when_line(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    txt = F.concat(
+        when_line(d % 7 == 0, F.lit("Disallow: /orphan\n")),
+        F.lit("# robots for "), s, F.lit("\nUser-agent: DugBot\n"),
+        when_line(d % 4 == 0, F.lit("User-agent: otherbot\n")),
+        F.lit("Disallow: /private/"), (d % 13).cast("string"), F.lit("\n"),
+        when_line(d % 5 == 0, F.lit("Disallow:\n")),
+        F.lit("Allow: /private/"), (d % 13).cast("string"),
+        F.lit("/public\n\nUser-agent: *\nDisallow: /tmp\nSitemap: https://"),
+        s, F.lit(".example.org/sitemap-"), d.cast("string"), F.lit(".xml"),
+    )
+    return docs.select(
+        F.concat(s, F.lit("-"), d.cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        txt.alias("robots_txt"),
+    )
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing (crawl.parse_robots — RFC 9309 §2.1-2.2 group
+    semantics): raw bodies → the (host, agent, directive, pattern,
+    line_no) rule table robots_filter consumes; consecutive User-agent
+    lines form one header, headerless and empty-pattern rules drop.
+    One host-keyed window + a dimension-sized (host, block) self-join.
+    VALUES oracle: pyoracle.robots_parse_rows over the same
+    _robots_page bytes."""
+    from dug_spark.operators import crawl
+
+    return crawl.parse_robots(_robots_pages_df(spark, sf_dir))
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (crawl.robots_sitemap_urls —
+    RFC 9309 §2.3: the directive is group-independent): pure map +
+    distinct, the edge that feeds parse_sitemaps.  VALUES oracle: the
+    sitemap half of pyoracle.robots_parse_rows."""
+    from dug_spark.operators import crawl
+
+    return crawl.robots_sitemap_urls(_robots_pages_df(spark, sf_dir))
+
+
 _CRAWL_BUDGET = 1_000_000
 
 
@@ -4540,6 +4611,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_align_snapshots": q_kg_align,
         "host_boilerplate": q_host_boilerplate,
         "crawl_budget": q_crawl_budget,
+        "robots_parse": q_robots_parse,
+        "robots_sitemaps": q_robots_sitemaps,
     }
 
 
@@ -5316,6 +5389,17 @@ def extra_oracle_sql() -> dict[str, str]:
             ],
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
+        )
+        _rb_rules, _rb_maps = po.robots_parse_rows(
+            [_robots_page(d, s) for d, s in id_src]
+        )
+        out["robots_parse"] = _values_or_empty(
+            _rb_rules,
+            "host, agent, directive, pattern, line_no",
+            "VARCHAR, VARCHAR, VARCHAR, VARCHAR, INTEGER",
+        )
+        out["robots_sitemaps"] = _values_or_empty(
+            _rb_maps, "host, sitemap_url", "VARCHAR, VARCHAR"
         )
         out["crawl_budget"] = f"""
 WITH h AS (

@@ -1976,3 +1976,44 @@ def host_boilerplate_strip_rows(
                 kept.append(ln)
         out.append((did, host, "\n".join(kept), len(kept), removed))
     return out
+
+
+def robots_parse_rows(
+    pages: list[tuple[str, str]]
+) -> tuple[list[tuple], list[tuple]]:
+    """Mirror of operators/crawl.parse_robots + robots_sitemap_urls over
+    (host, robots_txt) pages.  Returns (rules, sitemaps):
+    rules = (host, agent, directive, pattern, line_no) — RFC 9309
+    grouping (consecutive User-agent lines form a header; following
+    allow/disallow lines bind to every header agent), headerless and
+    empty-pattern rules dropped; sitemaps = (host, sitemap_url)
+    distinct."""
+    rules, sitemaps = [], set()
+    for host, text in pages:
+        block = 0
+        prev_ua = False
+        agents_by_block: dict[int, list[str]] = {}
+        pending: list[tuple[int, str, str, int]] = []
+        for i, raw in enumerate((text or "").split("\n")):
+            clean = raw.split("#", 1)[0].strip()
+            if ":" not in clean:
+                continue
+            key, value = clean.split(":", 1)
+            key, value = key.strip().lower(), value.strip()
+            if key == "sitemap":
+                if value:
+                    sitemaps.add((host, value))
+                continue
+            if key == "user-agent":
+                if not prev_ua:
+                    block += 1
+                agents_by_block.setdefault(block, []).append(value.lower())
+                prev_ua = True
+            elif key in ("allow", "disallow"):
+                if value and block > 0:
+                    pending.append((block, key, value, i))
+                prev_ua = False
+        for b, directive, pattern, ln in pending:
+            for agent in agents_by_block.get(b, []):
+                rules.append((host, agent, directive, pattern, ln))
+    return rules, sorted(sitemaps)

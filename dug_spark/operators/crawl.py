@@ -548,3 +548,108 @@ def allocate_budget(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt PARSING (RFC 9309 §2.1-2.2) — robots_filter consumes a
+# parsed rule table; this is the step that produces it from raw
+# robots.txt bodies fetched corpus-wide, plus the Sitemap-line
+# extraction that seeds parse_sitemaps (how sitemaps are DISCOVERED).
+
+
+def _robots_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """(host, line_no, key, value) per directive line: comments ('#' to
+    end of line) stripped, keys lowercased, value split on the FIRST
+    ':' (sitemap URLs contain ':'); non-directive lines drop."""
+    raw = F.posexplode(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    )
+    lines = df.select(
+        F.col(host_col).alias("host"), raw.alias("line_no", "_raw")
+    ).select(
+        "host",
+        "line_no",
+        F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_clean"),
+    )
+    colon = F.instr("_clean", ":")
+    return lines.where(colon > 0).select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.substring(F.col("_clean"), F.lit(1), colon - 1))).alias(
+            "key"
+        ),
+        F.trim(F.expr("substring(_clean, instr(_clean, ':') + 1)")).alias(
+            "value"
+        ),
+    )
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the rule table robots_filter
+    consumes: ``(host, agent, directive, pattern, line_no)``.
+
+    RFC 9309 grouping: consecutive ``User-agent`` lines form one group
+    header; the Allow/Disallow lines that follow belong to EVERY agent
+    in that header, until the next header starts.  Rules before any
+    header are invalid and drop; empty patterns drop (an empty Disallow
+    means "no restriction" — representing it as a rule row would
+    prefix-match everything); agents lowercase per the RFC's
+    case-insensitive product token.  Non-directive lines and unknown
+    keys are ignored (Sitemap lines have their own extractor below).
+
+    Scale shape: ONE host-keyed shuffle — the block-id assignment is a
+    running sum window over each host's directive lines (robots files
+    are ≤500 KiB by spec, so a host's partition is tiny and the key
+    space is host-cardinality), then a self-join ON (host, block) maps
+    rules to their header agents; both sides of that join are
+    dimension-sized."""
+    from pyspark.sql import Window
+
+    kv = _robots_lines(df, host_col, text_col).where(
+        F.col("key").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    block_start = (
+        (is_ua == 1)
+        & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    blocked = kv.withColumn(
+        "block",
+        F.sum(block_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agents = blocked.where(F.col("key") == "user-agent").select(
+        "host", "block", F.lower(F.col("value")).alias("agent")
+    )
+    rules = blocked.where(
+        (F.col("key") != "user-agent") & (F.col("value") != "")
+        & (F.col("block") > 0)
+    ).select(
+        "host",
+        "block",
+        F.col("key").alias("directive"),
+        F.col("value").alias("pattern"),
+        "line_no",
+    )
+    return rules.join(agents, ["host", "block"]).select(
+        "host", "agent", "directive", "pattern", "line_no"
+    )
+
+
+def robots_sitemap_urls(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` lines from raw robots.txt bodies — the discovery
+    edge that feeds parse_sitemaps.  Per RFC 9309 §2.3 the directive is
+    group-independent, so this is a pure map (no window, no join):
+    ``(host, sitemap_url)``, distinct per host."""
+    return (
+        _robots_lines(df, host_col, text_col)
+        .where((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )

@@ -512,3 +512,90 @@ def test_allocate_budget_sums_and_bounds(spark):
     assert sum(r["quota"] for r in rows) == 123_457
     # Hamilton guarantee: every quota within 1 of its exact share
     assert all(abs(r["quota"] - r["exact_share"]) <= 1.0 for r in rows)
+
+
+# --- parse_robots / robots_sitemap_urls --------------------------------------
+
+
+ROBOTS_RAW = """# acme crawler policy
+Disallow: /headerless-junk
+User-agent: DugBot
+User-agent: OtherBot
+Disallow: /private
+Allow: /private/ok   # inline comment
+Disallow:
+
+User-agent: *
+Disallow: /tmp
+Sitemap: https://a.org/sitemap.xml
+Sitemap: https://a.org/sitemap.xml
+sitemap: https://a.org/sitemap-2.xml
+"""
+
+
+def test_parse_robots_groups(spark):
+    df = spark.createDataFrame(
+        [("a.org", ROBOTS_RAW), ("b.org", None)],
+        "host string, robots_txt string",
+    )
+    rows = crawl.parse_robots(df).collect()
+    got = {(r["host"], r["agent"], r["directive"], r["pattern"]) for r in rows}
+    # both header agents receive both rules; agent lowercased; inline
+    # comment stripped; headerless + empty-pattern rules dropped
+    assert got == {
+        ("a.org", "dugbot", "disallow", "/private"),
+        ("a.org", "otherbot", "disallow", "/private"),
+        ("a.org", "dugbot", "allow", "/private/ok"),
+        ("a.org", "otherbot", "allow", "/private/ok"),
+        ("a.org", "*", "disallow", "/tmp"),
+    }
+    maps = crawl.robots_sitemap_urls(df).collect()
+    assert {(r["host"], r["sitemap_url"]) for r in maps} == {
+        ("a.org", "https://a.org/sitemap.xml"),      # deduped
+        ("a.org", "https://a.org/sitemap-2.xml"),    # key case-insensitive
+    }
+
+
+def test_parse_robots_matches_mirror(spark):
+    from dug_spark.functions import pyoracle as po
+
+    pages = [("a.org", ROBOTS_RAW), ("b.org", "User-agent: x\nAllow: /")]
+    df = spark.createDataFrame(pages, "host string, robots_txt string")
+    rules, maps = po.robots_parse_rows(pages)
+    assert sorted(tuple(r) for r in crawl.parse_robots(df).collect()) == sorted(
+        rules
+    )
+    assert sorted(
+        tuple(r) for r in crawl.robots_sitemap_urls(df).collect()
+    ) == sorted(maps)
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    """End-to-end: raw robots.txt -> parse_robots -> robots_filter
+    reproduces the RFC verdicts of the pyoracle RFC mirror."""
+    from dug_spark.functions import pyoracle as po
+
+    pages = [
+        (
+            "a.org",
+            "User-agent: dugbot\nDisallow: /private\nAllow: /private/pub\n",
+        ),
+        ("b.org", "User-agent: *\nDisallow: /\n"),
+    ]
+    urls = [
+        "https://a.org/private/x",
+        "https://a.org/private/pub/y",
+        "https://a.org/open",
+        "https://b.org/anything",
+    ]
+    raw = spark.createDataFrame(pages, "host string, robots_txt string")
+    rules = crawl.parse_robots(raw).select("host", "agent", "directive", "pattern")
+    udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["allowed"]
+        for r in crawl.robots_filter(udf_, rules, "dugbot").collect()
+    }
+    want_rules = [tuple(r) for r in rules.collect()]
+    assert got == dict(po.robots_allowed(urls, want_rules, "dugbot"))
+    assert got["https://a.org/private/pub/y"] is True
+    assert got["https://b.org/anything"] is False
