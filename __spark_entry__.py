@@ -3554,6 +3554,29 @@ def q_robots_sitemaps(spark, sf_dir):
     return crawl.robots_sitemap_urls(_robots_pages_df(spark, sf_dir))
 
 
+def q_canonical_elect(spark, sf_dir):
+    """Canonical-URL duplicate election (weblinks.canonical_elect — the
+    consumer of page_metadata's rel=canonical signal): docs cluster in
+    groups of 4 via canonical = p/<doc_id - doc_id%4> (the %4==0 leader
+    declares none), keeper = the key's own page, one verdict row per
+    page.  One near-unique-key shuffle + row_number.  Oracle: the same
+    election in pure SQL."""
+    from dug_spark.operators import weblinks
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("https://ex.org/p/"), d.cast("string")).alias("url"),
+        F.when(
+            d % 4 != 0,
+            F.concat(
+                F.lit("https://ex.org/p/"), (d - d % 4).cast("string")
+            ),
+        ).alias("canonical"),
+    )
+    return weblinks.canonical_elect(pages)
+
+
 _CRAWL_BUDGET = 1_000_000
 
 
@@ -4613,6 +4636,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "robots_parse": q_robots_parse,
         "robots_sitemaps": q_robots_sitemaps,
+        "canonical_elect": q_canonical_elect,
     }
 
 
@@ -5390,6 +5414,22 @@ def extra_oracle_sql() -> dict[str, str]:
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
         )
+        out["canonical_elect"] = """
+WITH pages AS (
+  SELECT 'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 <> 0
+              THEN 'https://ex.org/p/'
+                   || CAST(doc_id - doc_id % 4 AS VARCHAR) END AS canonical
+  FROM documents
+), keyed AS (
+  SELECT url, COALESCE(canonical, url) AS canonical_key FROM pages
+)
+SELECT url, canonical_key,
+       ROW_NUMBER() OVER (
+         PARTITION BY canonical_key
+         ORDER BY (url = canonical_key) DESC, url ASC) = 1 AS keep
+FROM keyed
+"""
         _rb_rules, _rb_maps = po.robots_parse_rows(
             [_robots_page(d, s) for d, s in id_src]
         )

@@ -272,3 +272,38 @@ def page_metadata(
         robots.rlike(r"\bnoindex\b").alias("noindex"),
         robots.rlike(r"\bnofollow\b").alias("nofollow"),
     )
+
+
+def canonical_elect(
+    df: DataFrame, url_col: str = "url", canonical_col: str = "canonical"
+) -> DataFrame:
+    """Canonical-URL duplicate election over extracted page metadata
+    (the consumer of page_metadata's ``canonical`` column): pages
+    sharing a canonical key — ``coalesce(canonical, url)`` — are one
+    logical document; the keeper is the key's OWN page when it was
+    crawled (url == key), else the lexicographically smallest member
+    (deterministic).  One row per input page:
+    ``(url, canonical_key, keep)``.
+
+    This is the dedup signal sites declare EXPLICITLY (the
+    rel=canonical link element), catching mirrors and tracking-URL
+    variants that content hashing misses when boilerplate differs.
+
+    Scale shape: one shuffle on canonical_key + a row_number window;
+    canonical groups are small (a handful of URL variants), so the key
+    space is near-unique and skew-free."""
+    from pyspark.sql import Window
+
+    key = F.coalesce(F.col(canonical_col), F.col(url_col))
+    w = Window.partitionBy("canonical_key").orderBy(
+        F.col("_self").desc(), F.col(url_col).asc()
+    )
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            key.alias("canonical_key"),
+        )
+        .withColumn("_self", F.col("url") == F.col("canonical_key"))
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("url", "canonical_key", "keep")
+    )

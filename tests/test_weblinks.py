@@ -195,3 +195,65 @@ def test_page_metadata_plan_is_map_only(spark):
     plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- canonical_elect ---------------------------------------------------------
+
+
+def test_canonical_elect_semantics(spark):
+    from dug_spark.operators.weblinks import canonical_elect
+
+    pages = spark.createDataFrame(
+        [
+            # canonical page itself crawled: it wins even though a
+            # lexicographically smaller variant exists
+            ("https://a.org/p?utm=1", "https://a.org/p"),
+            ("https://a.org/p", None),
+            ("https://a.org/p?utm=2", "https://a.org/p"),
+            # canonical target NOT crawled: smallest member wins
+            ("https://b.org/m2", "https://b.org/master"),
+            ("https://b.org/m1", "https://b.org/master"),
+            # no canonical, unique page: keeps itself
+            ("https://c.org/solo", None),
+        ],
+        "url string, canonical string",
+    )
+    rows = {r["url"]: r for r in canonical_elect(pages).collect()}
+    assert len(rows) == 6  # one verdict per page
+    assert rows["https://a.org/p"]["keep"] is True
+    assert rows["https://a.org/p?utm=1"]["keep"] is False
+    assert rows["https://a.org/p?utm=2"]["keep"] is False
+    assert rows["https://b.org/m1"]["keep"] is True
+    assert rows["https://b.org/m2"]["keep"] is False
+    assert rows["https://c.org/solo"]["keep"] is True
+    # exactly one keeper per canonical key
+    from pyspark.sql import functions as F2
+
+    multi = (
+        canonical_elect(pages)
+        .groupBy("canonical_key")
+        .agg(F2.sum(F2.col("keep").cast("int")).alias("k"))
+        .where(F2.col("k") != 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_canonical_elect_composes_with_page_metadata(spark):
+    from dug_spark.operators.weblinks import canonical_elect, page_metadata
+
+    html_dup = (
+        b'<html><head><link rel="canonical" href="https://a.org/x"></head>'
+        b"<body>copy</body></html>"
+    )
+    html_self = b"<html><head></head><body>original</body></html>"
+    pages = spark.createDataFrame(
+        [
+            ("https://a.org/x?ref=rss", html_dup),
+            ("https://a.org/x", html_self),
+        ],
+        "url string, html binary",
+    )
+    meta = page_metadata(pages).select("url", "canonical")
+    rows = {r["url"]: r["keep"] for r in canonical_elect(meta).collect()}
+    assert rows == {"https://a.org/x": True, "https://a.org/x?ref=rss": False}
