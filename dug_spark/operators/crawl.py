@@ -599,12 +599,14 @@ def parse_robots(
     case-insensitive product token.  Non-directive lines and unknown
     keys are ignored (Sitemap lines have their own extractor below).
 
-    Scale shape: ONE host-keyed shuffle — the block-id assignment is a
-    running sum window over each host's directive lines (robots files
-    are ≤500 KiB by spec, so a host's partition is tiny and the key
-    space is host-cardinality), then a self-join ON (host, block) maps
-    rules to their header agents; both sides of that join are
-    dimension-sized."""
+    Scale shape: everything here runs on the ROBOTS table, which is
+    host-cardinality (dimension-sized next to a 10^12-URL frontier).
+    Measured plan: 4 exchanges — the host-keyed window for block-id
+    assignment (robots files are ≤500 KiB by spec, so a host's
+    partition is tiny), then the (host, block) repartitioning of both
+    sides of the rules↔agents join plus its AQE finalization.  At 10^8
+    hosts these are skinny-frame shuffles that amortize over millions
+    of frontier URLs per host."""
     from pyspark.sql import Window
 
     kv = _robots_lines(df, host_col, text_col).where(
@@ -645,8 +647,8 @@ def robots_sitemap_urls(
 ) -> DataFrame:
     """``Sitemap:`` lines from raw robots.txt bodies — the discovery
     edge that feeds parse_sitemaps.  Per RFC 9309 §2.3 the directive is
-    group-independent, so this is a pure map (no window, no join):
-    ``(host, sitemap_url)``, distinct per host."""
+    group-independent, so no window and no join — a narrow map plus the
+    one distinct aggregate: ``(host, sitemap_url)``, deduped."""
     return (
         _robots_lines(df, host_col, text_col)
         .where((F.col("key") == "sitemap") & (F.col("value") != ""))
