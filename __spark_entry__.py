@@ -3483,6 +3483,62 @@ def q_kg_align(spark, sf_dir):
     return canonicalize.align_entities(left, right, min_sim=0.34)
 
 
+def _content_page(d: int, t: str, s: str) -> tuple[str, str]:
+    """Deterministic article-shaped HTML for doc (d, text t, source s) —
+    q_main_content's Spark side synthesizes the SAME bytes with column
+    ops: head+script (must strip), a link-dense nav (must drop), the
+    doc text as the article paragraph (kept when ≥80 chars), a short
+    note (must drop), and a footer link list (must drop)."""
+    t = (t or "").replace("\n", " ")
+    nav = (
+        '<nav><a href="/">Home</a> <a href="/a">News</a> '
+        '<a href="/b">About</a></nav>'
+    )
+    html = (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        f"<body>{nav}<article><p>{t}</p>"
+        f"<p>Short note {d}.</p></article>"
+        f'<footer><a href="/c">Terms</a> <a href="/d">Privacy {s}</a>'
+        "</footer></body></html>"
+    )
+    return (f"https://{s}.example.org/art/{d}", html)
+
+
+def q_main_content(spark, sf_dir):
+    """Main-content extraction (weblinks.extract_main_content —
+    simplified jusText/Arc90: block segmentation + length/link-density
+    gate): article paragraphs survive, nav/footer link lists and short
+    notes drop, script/head strip — ONE narrow map of nested
+    higher-order functions, zero shuffle, zero UDF.  VALUES oracle:
+    pyoracle.main_content_rows over the same _content_page bytes."""
+    from dug_spark.operators import weblinks
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d, s = F.col("doc_id"), F.col("source")
+    t = F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\n", " ")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><script>var x=1;</script></head>"
+            '<body><nav><a href="/">Home</a> <a href="/a">News</a> '
+            '<a href="/b">About</a></nav><article><p>'
+        ),
+        t,
+        F.lit("</p><p>Short note "),
+        d.cast("string"),
+        F.lit('.</p></article><footer><a href="/c">Terms</a> '
+              '<a href="/d">Privacy '),
+        s,
+        F.lit("</a></footer></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), s, F.lit(".example.org/art/"), d.cast("string")
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return weblinks.extract_main_content(pages)
+
+
 def _robots_page(d: int, s: str) -> tuple[str, str]:
     """Deterministic robots.txt for doc (d, source s) — q_robots_parse's
     Spark side synthesizes the SAME bytes with column ops.  Mods
@@ -4637,6 +4693,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_sitemaps": q_robots_sitemaps,
         "canonical_elect": q_canonical_elect,
+        "main_content": q_main_content,
     }
 
 
@@ -5413,6 +5470,13 @@ def extra_oracle_sql() -> dict[str, str]:
             ],
             "feed_url, kind, entry_idx, title, link, published, entry_id",
             "VARCHAR, VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
+        )
+        out["main_content"] = _values_or_empty(
+            po.main_content_rows(
+                [_content_page(d, t, s) for d, t, s in docs_src]
+            ),
+            "url, main_text, n_blocks, n_blocks_kept",
+            "VARCHAR, VARCHAR, INTEGER, INTEGER",
         )
         out["canonical_elect"] = """
 WITH pages AS (

@@ -2017,3 +2017,62 @@ def robots_parse_rows(
             for agent in agents_by_block.get(b, []):
                 rules.append((host, agent, directive, pattern, ln))
     return rules, sorted(sitemaps)
+
+
+def main_content_rows(
+    pages: list[tuple[str, str]],
+    min_chars: int = 80,
+    max_link_density: float = 0.33,
+) -> list[tuple]:
+    """Mirror of operators/weblinks.extract_main_content over (url,
+    html) pages: same script/style/head/comment removal, same
+    block-boundary set, same length/link-density gate, same five-entity
+    decode.  Returns (url, main_text, n_blocks, n_blocks_kept)."""
+    import re as _re
+
+    boundary = _re.compile(
+        r"</?(?:p|div|h[1-6]|li|ul|ol|table|tbody|thead|tr|td|th|section"
+        r"|article|main|header|footer|nav|aside|blockquote|br|form|figure"
+        r"|figcaption)(?:\s[^>]*)?>",
+        _re.I,
+    )
+    link = _re.compile(r"<a(?:\s[^>]*)?>(.*?)</a>", _re.I | _re.S)
+
+    def dec(s: str) -> str:
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"),
+        ):
+            s = s.replace(ent, ch)
+        return s
+
+    out = []
+    for url, html in pages:
+        cleaned = html or ""
+        cleaned = _re.sub(
+            r"<(?:script|style)(?:\s[^>]*)?>.*?</(?:script|style)>",
+            " ", cleaned, flags=_re.I | _re.S,
+        )
+        cleaned = _re.sub(
+            r"<head(?:\s[^>]*)?>.*?</head>", " ", cleaned,
+            flags=_re.I | _re.S,
+        )
+        cleaned = _re.sub(r"<!--.*?-->", " ", cleaned, flags=_re.S)
+        measured = []
+        for b in boundary.split(cleaned):
+            link_chars = sum(len(m) for m in link.findall(b))
+            # Java \s is ASCII-only ([ \t\n\x0B\f\r]); match it exactly
+            # so unicode whitespace inside document text can't diverge
+            text = _re.sub(
+                r"[ \t\n\x0b\f\r]+", " ",
+                _re.sub(r"<[^>]*>", " ", b, flags=_re.S),
+            ).strip(" ")
+            if text:
+                measured.append((text, len(text), link_chars))
+        kept = [
+            t
+            for t, n, lc in measured
+            if n >= min_chars and float(lc) <= max_link_density * float(n)
+        ]
+        out.append((url, dec("\n\n".join(kept)), len(measured), len(kept)))
+    return out

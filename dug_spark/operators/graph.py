@@ -42,12 +42,24 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_ranks: bool = True,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank) with
     Σ rank = 1.  Parallel edges count as multiple edges (pre-dedup the
     input if that is not wanted); self-loops are legal.
 
         rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/out(u) + dangling/N)
+
+    ``init_ranks`` (node, rank) warm-starts the iteration — the recrawl
+    path: a crawl increment perturbs a 10^10-node link graph by a few
+    percent, and restarting from the previous materialization's ranks
+    instead of uniform reaches the new fixed point in a fraction of the
+    iterations (power iteration converges as d^k from the INITIAL
+    error, which is ~the perturbation size instead of ~1).  Nodes
+    missing from ``init_ranks`` seed at 1/N; the seed vector is
+    renormalized to sum 1, so stale or rescaled rank tables are safe
+    inputs.  The fixed point is identical to a cold start — only the
+    iteration count to reach it changes (pytest-verified).
 
     Deterministic up to float-sum order; callers that hash-compare round
     the result (functions/pyoracle has no mirror — the driver oracle is
@@ -69,7 +81,18 @@ def pagerank(
     n = base.count()
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
-    ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is None:
+        ranks = base.select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    else:
+        seeded = base.join(
+            init_ranks.select("node", F.col("rank").alias("_init")),
+            "node",
+            "left",
+        ).withColumn("_seed", F.coalesce("_init", F.lit(1.0 / n)))
+        total = seeded.agg(F.sum("_seed")).collect()[0][0] or 1.0
+        ranks = seeded.select(
+            "node", "out_deg", (F.col("_seed") / F.lit(float(total))).alias("rank")
+        )
     # one-time sink probe: graphs where every node has out-edges (most
     # link graphs after symmetrization, and any k-regular synthetic) have
     # dangling ≡ 0 — skip the per-iteration scalar aggregate entirely

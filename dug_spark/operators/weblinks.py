@@ -307,3 +307,102 @@ def canonical_elect(
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("url", "canonical_key", "keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction.  The corpus invariant extraction
+# (functions/text.extract_text_udf) is byte-exact and whole-page; the
+# CURATION view of a page wants only the article body — the
+# jusText/Arc90-family heuristic: segment the page into block-level
+# chunks, score each by length and link density, and keep the content
+# blocks (navigation, footers, and related-links boxes are short and
+# link-dense).
+
+_BLOCK_BOUNDARY = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tbody|thead|tr|td|th|section"
+    r"|article|main|header|footer|nav|aside|blockquote|br|form|figure"
+    r"|figcaption)(?:\s[^>]*)?>"
+)
+_LINK_INNER = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_chars: int = 80,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Boilerplate-aware article-body extraction, simplified jusText
+    (Pomikálek 2011) / Arc90-readability heuristics:
+
+    1. drop <script>/<style>/<head>/comments;
+    2. segment on block-level tag boundaries (the _BLOCK_BOUNDARY set);
+    3. per block, measure the tag-stripped, whitespace-collapsed text
+       length and the LINK text length (chars inside <a>…</a>, measured
+       before tag-stripping);
+    4. keep blocks with ≥ ``min_chars`` text whose link density
+       (link_chars / text_chars) is ≤ ``max_link_density`` — navigation
+       and footer blocks are short and link-dense, article paragraphs
+       are long and link-sparse;
+    5. join kept blocks with blank lines, decode the five predefined
+       entities.
+
+    Returns ``(url, main_text, n_blocks, n_blocks_kept)``; pages with
+    no qualifying block get ``main_text = ''``.
+
+    Scale shape: ONE narrow map — the whole pipeline is nested
+    higher-order functions (split → transform(struct metrics) → filter
+    → array_join) over codegen expressions; zero shuffle, zero UDF, no
+    Python in the hot path (plan-asserted).  Numeric character
+    references are out of scope (same contract as page_metadata),
+    mirrored by pyoracle.main_content_rows."""
+    cleaned = F.decode(F.col(html_col), "UTF-8")
+    for pat in (
+        r"(?is)<(?:script|style)(?:\s[^>]*)?>.*?</(?:script|style)>",
+        r"(?is)<head(?:\s[^>]*)?>.*?</head>",
+        r"(?s)<!--.*?-->",
+    ):
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    blocks = F.split(cleaned, _BLOCK_BOUNDARY)
+
+    def measure(b):
+        link_chars = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(b, F.lit(_LINK_INNER), 1),
+                lambda x: F.length(x),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        text = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+        return F.struct(
+            text.alias("text"),
+            F.length(text).alias("n"),
+            link_chars.alias("link_chars"),
+        )
+
+    measured = F.filter(
+        F.transform(blocks, measure), lambda s: s["n"] > 0
+    )
+    kept = F.filter(
+        measured,
+        lambda s: (s["n"] >= min_chars)
+        & (
+            s["link_chars"].cast("double")
+            <= F.lit(max_link_density) * s["n"].cast("double")
+        ),
+    )
+    main_text = _entity_decode(
+        F.array_join(F.transform(kept, lambda s: s["text"]), "\n\n")
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        main_text.alias("main_text"),
+        F.size(measured).alias("n_blocks"),
+        F.size(kept).alias("n_blocks_kept"),
+    )

@@ -88,3 +88,70 @@ def test_shuffle_join_path_matches_broadcast(spark, edges_df):
 def test_empty_graph(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert graph.pagerank(e).count() == 0
+
+
+# --- warm-start PageRank -----------------------------------------------------
+
+
+def _pr_edges(spark):
+    pairs = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (3, 4), (4, 2),
+        (5, 0), (5, 2), (0, 5),
+    ]
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_warm_start_is_fixed_point(spark):
+    from dug_spark.operators.graph import pagerank
+
+    e = _pr_edges(spark)
+    converged = pagerank(e, iterations=40)
+    one_more = pagerank(e, iterations=1, init_ranks=converged)
+    c = {r["node"]: r["rank"] for r in converged.collect()}
+    w = {r["node"]: r["rank"] for r in one_more.collect()}
+    # a converged vector is (numerically) a fixed point of one iteration
+    assert max(abs(c[n] - w[n]) for n in c) < 1e-6
+
+
+def test_pagerank_warm_start_renormalizes_and_converges_same(spark):
+    from pyspark.sql import functions as F2
+
+    from dug_spark.operators.graph import pagerank
+
+    e = _pr_edges(spark)
+    cold = {r["node"]: r["rank"] for r in pagerank(e, iterations=40).collect()}
+    # stale input scaled by 7 and missing one node: still the same fixed
+    # point after enough iterations
+    stale = (
+        pagerank(e, iterations=5)
+        .where(F2.col("node") != 5)
+        .select("node", (F2.col("rank") * 7).alias("rank"))
+    )
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=40, init_ranks=stale).collect()
+    }
+    assert max(abs(cold[n] - warm[n]) for n in cold) < 1e-6
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    from dug_spark.operators.graph import pagerank
+
+    e = _pr_edges(spark)
+    fixed = {r["node"]: r["rank"] for r in pagerank(e, iterations=60).collect()}
+    prev = pagerank(e, iterations=60)
+    # perturb the graph: one new edge
+    e2 = e.union(spark.createDataFrame([(4, 5)], "src long, dst long"))
+    fixed2 = {
+        r["node"]: r["rank"] for r in pagerank(e2, iterations=60).collect()
+    }
+
+    def l1(ranks):
+        got = {r["node"]: r["rank"] for r in ranks.collect()}
+        return sum(abs(got[n] - fixed2[n]) for n in fixed2)
+
+    warm3 = l1(pagerank(e2, iterations=3, init_ranks=prev))
+    cold3 = l1(pagerank(e2, iterations=3))
+    # after the same 3 iterations the warm start is strictly closer to
+    # the new fixed point than the cold start
+    assert warm3 < cold3 / 3

@@ -257,3 +257,93 @@ def test_canonical_elect_composes_with_page_metadata(spark):
     meta = page_metadata(pages).select("url", "canonical")
     rows = {r["url"]: r["keep"] for r in canonical_elect(meta).collect()}
     assert rows == {"https://a.org/x": True, "https://a.org/x?ref=rss": False}
+
+
+# --- extract_main_content ----------------------------------------------------
+
+
+ARTICLE = b"""<html><head><title>Head title must vanish</title>
+<style>p { color: red }</style></head><body>
+<nav><a href="/">Home</a> | <a href="/news">News</a> | <a href="/faq">FAQ</a></nav>
+<article>
+<p>This is the actual article body, a long paragraph of honest prose that
+comfortably clears the eighty character minimum and contains <a href="/ref">
+one small reference link</a> inside otherwise ordinary running text &amp; more.</p>
+<p>tiny</p>
+<div>Another substantial content block that also clears the length bar with
+room to spare, no links at all, just sentences that a reader would want.</div>
+</article>
+<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a>
+<a href="/contact">Contact</a></footer>
+<script>analytics.track()</script>
+</body></html>"""
+
+
+def test_extract_main_content_keeps_article_drops_chrome(spark):
+    from dug_spark.operators.weblinks import extract_main_content
+
+    df = spark.createDataFrame(
+        [("https://a.org/art", ARTICLE)], "url string, html binary"
+    )
+    row = extract_main_content(df).collect()[0]
+    # both long blocks kept, in order, blank-line separated
+    parts = row["main_text"].split("\n\n")
+    assert len(parts) == 2
+    assert parts[0].startswith("This is the actual article body")
+    assert parts[1].startswith("Another substantial content block")
+    # inline link text survives (it's content), tags don't, entity decoded
+    assert "one small reference link" in parts[0]
+    assert "<" not in row["main_text"]
+    assert "& more" in parts[0]
+    # chrome is gone: nav/footer/script/style/head
+    for noise in ("Home", "Terms", "analytics", "color: red", "Head title"):
+        assert noise not in row["main_text"]
+    assert row["n_blocks_kept"] == 2
+    assert row["n_blocks"] > row["n_blocks_kept"]
+
+
+def test_extract_main_content_link_density_gate(spark):
+    from dug_spark.operators.weblinks import extract_main_content
+
+    # long enough block, but >33% of its characters are link text
+    linky = (
+        "<html><body><p>"
+        + '<a href="/x">' + "l" * 60 + "</a> "
+        + "w" * 60
+        + "</p></body></html>"
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://a.org/l", linky)], "url string, html binary"
+    )
+    row = extract_main_content(df).collect()[0]
+    assert row["main_text"] == "" and row["n_blocks_kept"] == 0
+    # same block under the threshold survives
+    ok = (
+        "<html><body><p>"
+        + '<a href="/x">' + "l" * 20 + "</a> "
+        + "w" * 100
+        + "</p></body></html>"
+    ).encode()
+    df2 = spark.createDataFrame(
+        [("https://a.org/ok", ok)], "url string, html binary"
+    )
+    assert extract_main_content(df2).collect()[0]["n_blocks_kept"] == 1
+
+
+def test_extract_main_content_matches_mirror_and_plan(spark):
+    from dug_spark.functions import pyoracle as po
+    from dug_spark.operators.weblinks import extract_main_content
+
+    pages = [
+        ("https://a.org/art", ARTICLE.decode()),
+        ("https://a.org/empty", "<html><body></body></html>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], "url string, html binary"
+    )
+    got = sorted(tuple(r) for r in extract_main_content(df).collect())
+    want = sorted(po.main_content_rows(pages))
+    assert got == want
+    plan = extract_main_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
