@@ -127,6 +127,41 @@ def main():
     out["meta_pages_per_s"] = int(n_pages / (time.time() - t0))
     assert out["meta_noindex"] == n_pages
 
+    # ---------------- main-content extraction at n_pages ----------------
+    arts = spark.range(n_pages).select(
+        F.concat(F.lit("https://"), s, F.lit(".org/a/"), d.cast("string"))
+        .alias("url"),
+        F.encode(
+            F.concat(
+                F.lit(
+                    "<html><head><title>T</title></head><body>"
+                    '<nav><a href="/">Home</a> <a href="/x">News</a></nav>'
+                    "<article><p>"
+                ),
+                F.repeat(
+                    F.concat(
+                        F.lit("prose "),
+                        F.abs(F.xxhash64(d, F.lit(9))).cast("string"),
+                        F.lit(" "),
+                    ),
+                    8,
+                ),
+                F.lit(
+                    '</p></article><footer><a href="/t">Terms</a></footer>'
+                    "</body></html>"
+                ),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    t0 = time.time()
+    mc = weblinks.extract_main_content(arts)
+    kept = mc.agg(F.sum("n_blocks_kept").alias("k")).collect()[0]["k"]
+    out["content_wall_s"] = round(time.time() - t0, 2)
+    out["content_pages_per_s"] = int(n_pages / (time.time() - t0))
+    out["content_blocks_kept"] = kept
+    assert kept == n_pages  # exactly the article paragraph per page
+
     # ---------------- leakage-safe split at 10x rows ----------------
     n_rows = n_pages * 10
     units = spark.range(n_rows).select(
