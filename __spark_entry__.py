@@ -4575,6 +4575,31 @@ def q_semantic_dedup(spark, sf_dir):
     ).select("vec_id", "cell", "keep")
 
 
+_ZORDER_PREDS = ("links_to", "mentions", "same_as", "subclass_of")
+_ZORDER_BITS = 8
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order layout keys (plans.zorder.zorder_keys — the Morton-code
+    clustering step for the materialized triple table): md5 hash-bucket
+    per lookup dimension + bit-interleaved code, pure projection, zero
+    shuffle/UDF.  Synthetic (subj, pred) derived from doc_id with column
+    ops; VALUES oracle pyoracle.zorder_rows over the same derivation."""
+    from dug_spark.plans import zorder
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    preds = F.array(*[F.lit(p) for p in _ZORDER_PREDS])
+    trip = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc:"), (d % 41).cast("string")).alias("subj"),
+        F.element_at(preds, (d % 4 + 1).cast("int")).alias("pred"),
+    )
+    return zorder.zorder_keys(trip, ["subj", "pred"], bits=_ZORDER_BITS).select(
+        "doc_id", "subj", "pred", "subj_bucket", "pred_bucket", "z"
+    )
+
+
 def q_kg_triples_subclass(spark, sf_dir):  # noqa: F811 — kept verbatim
     """Subclass triples (pred-filter view; superseded in the driver
     registry by kg_triples_all which carries the same rows)."""
@@ -4694,6 +4719,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "canonical_elect": q_canonical_elect,
         "main_content": q_main_content,
+        # round 5 (cont. 8): Morton-code layout for the triple table
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -5504,6 +5531,19 @@ FROM keyed
         )
         out["robots_sitemaps"] = _values_or_empty(
             _rb_maps, "host, sitemap_url", "VARCHAR, VARCHAR"
+        )
+        _zo_in = [
+            (d, f"doc:{d % 41}", _ZORDER_PREDS[d % 4]) for d, _s in id_src
+        ]
+        out["zorder_layout"] = _values_or_empty(
+            [
+                (d, s, p, sb, pb, z)
+                for (d, s, p), (_d, sb, pb, z) in zip(
+                    _zo_in, po.zorder_rows(_zo_in, _ZORDER_BITS)
+                )
+            ],
+            "doc_id, subj, pred, subj_bucket, pred_bucket, z",
+            "BIGINT, VARCHAR, VARCHAR, BIGINT, BIGINT, BIGINT",
         )
         out["crawl_budget"] = f"""
 WITH h AS (

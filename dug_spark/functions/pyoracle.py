@@ -2076,3 +2076,35 @@ def main_content_rows(
         ]
         out.append((url, dec("\n\n".join(kept)), len(measured), len(kept)))
     return out
+
+
+def zorder_bucket(value, bits: int, salt: str = "") -> int:
+    """Mirror of plans.zorder.hash_bucket: first 8 hex chars of
+    md5(salt || str(value)) as an int, mod 2^bits; NULL hashes as ''."""
+    import hashlib as _hashlib
+
+    s = salt + ("" if value is None else str(value))
+    return int(
+        _hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16
+    ) % (1 << bits)
+
+
+def zorder_interleave(buckets, bits: int) -> int:
+    """Mirror of plans.zorder.z_value: bit i of dimension d lands at
+    output bit i*D + d."""
+    dims = len(buckets)
+    z = 0
+    for i in range(bits):
+        for d, b in enumerate(buckets):
+            z |= ((int(b) >> i) & 1) << (i * dims + d)
+    return z
+
+
+def zorder_rows(rows, bits: int, salt: str = ""):
+    """Mirror of plans.zorder.zorder_keys over (row_id, *dim_values)
+    tuples: (row_id, bucket_0, ..., bucket_{D-1}, z) per input row."""
+    out = []
+    for rid, *vals in rows:
+        bs = [zorder_bucket(v, bits, salt) for v in vals]
+        out.append((rid, *bs, zorder_interleave(bs, bits)))
+    return out
