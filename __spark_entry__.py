@@ -4600,6 +4600,17 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_kg_cc_star(spark, sf_dir):
+    """Two-phase star connected components (canonicalize.
+    connected_components_star — Kiveris et al. SoCC 2014): alternating
+    Large-Star/Small-Star contraction, O(log² n) rounds independent of
+    graph diameter (min-label propagation is O(diameter)).  Same edge
+    fixture and same recursive-CTE oracle as kg_connected_components:
+    the two algorithms must produce identical (id, comp) labelings."""
+    edges = spark.createDataFrame(_CC_EDGES, "src string, dst string")
+    return canonicalize.connected_components_star(edges).select("id", "comp")
+
+
 def q_kg_triples_subclass(spark, sf_dir):  # noqa: F811 — kept verbatim
     """Subclass triples (pred-filter view; superseded in the driver
     registry by kg_triples_all which carries the same rows)."""
@@ -4719,8 +4730,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "canonical_elect": q_canonical_elect,
         "main_content": q_main_content,
-        # round 5 (cont. 8): Morton-code layout for the triple table
+        # round 5 (cont. 8): Morton-code layout for the triple table,
+        # diameter-independent star-contraction connected components
         "zorder_layout": q_zorder_layout,
+        "kg_cc_star": q_kg_cc_star,
     }
 
 
@@ -4827,6 +4840,16 @@ def extra_oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "web_triangles": tri_sql,
+        # identical contract to kg_connected_components (comp = min
+        # reachable id) — the two CC algorithms must agree bit-for-bit
+        "kg_cc_star": (
+            f"WITH RECURSIVE e(src, dst) AS (VALUES {_vals(_CC_EDGES)}), "
+            "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "nodes AS (SELECT DISTINCT src AS id FROM sym), "
+            "reach(id, r) AS (SELECT id, id FROM nodes "
+            "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
+            "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
         # hybrid retrieval: the BM25 CTE mirrors the search_bm25 oracle
         # (same analyzer, same similarity) at LIMIT 50, the cosine CTE
         # mirrors knn_cosine for the single query vec_id=0, and the

@@ -261,3 +261,115 @@ def align_entities(
             "left_id", "right_id", F.round("sim", 6).alias("sim"), "n_shared"
         )
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_iter: int = 30,
+    num_partitions: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """edges(src, dst) → (id, comp), comp = min reachable node id — the
+    two-phase star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014: alternating Large-Star / Small-Star
+    contractions), converging in O(log² n) rounds — in practice a
+    near-constant handful — REGARDLESS of graph diameter.
+
+    Why it exists next to ``connected_components``: min-label propagation
+    needs O(diameter) rounds, so a 10^12-node equivalence graph holding
+    one redirect/alias chain longer than ``max_iter`` hard-fails (by
+    design — see its RuntimeError).  Web graphs have exactly such chains
+    (URL redirect ladders, pagination trails).  Star contraction's round
+    count is diameter-independent: every round each node links toward
+    the minimum of its neighborhood, halving the potential function —
+    a 100k-hop chain converges in ~15 rounds where propagation needs
+    100k.
+
+    Each round is two groupBy-join passes (Large-Star over the
+    symmetrized edges, Small-Star over the max→min orientation), every
+    intermediate ``localCheckpoint``-ed so round k never replays rounds
+    1..k-1, and shuffle parallelism is sized to the GRAPH (one partition
+    per ~500k edges) exactly like ``connected_components``.  Output
+    contract is identical (comp = min member id), so the two are
+    drop-in interchangeable — property-tested equal on random graphs.
+    """
+    spark = edges.sparkSession
+    src, dst = F.col("src"), F.col("dst")
+    if num_partitions is None:
+        n_edges = edges.count()
+        num_partitions = max(1, min(n_edges // 500_000 + 1, 2000))
+
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = edges.where(src != dst).localCheckpoint(eager=True)
+        nodes = (
+            edges.select(src.alias("id"))
+            .unionByName(edges.select(dst.alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # star edges: (u, v) with v < u, initially the min-orientation
+        star = (
+            edges.select(
+                F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_star = star.count()
+        rounds = 0
+        for _ in range(max_iter):
+            rounds += 1
+            # Large-Star: over symmetric edges, every neighbor v > u
+            # links to m(u) = min(Γ(u) ∪ {u})
+            sym = star.unionByName(
+                star.select(dst.alias("src"), src.alias("dst"))
+            )
+            mins = sym.groupBy("src").agg(
+                F.least(F.min("dst"), F.col("src")).alias("m")
+            )
+            large = (
+                sym.join(mins, "src")
+                .where(dst > src)
+                .select(dst.alias("src"), F.col("m").alias("dst"))
+                .where(src != dst)
+                .distinct()
+            )
+            # Small-Star: orient max→min, every smaller neighbor (and u
+            # itself) links to the minimum of the oriented neighborhood
+            oriented = large.select(
+                F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
+            )
+            smins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+            small = (
+                oriented.join(smins, "src")
+                .select(dst.alias("src"), F.col("m").alias("dst"))
+                .unionByName(smins.select("src", F.col("m").alias("dst")))
+                .where(src != dst)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_new = small.count()
+            if n_new == n_star and small.exceptAll(star).limit(1).count() == 0:
+                star = small
+                break
+            star, n_star = small, n_new
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iter} "
+                "rounds; raise max_iter"
+            )
+        if stats is not None:
+            stats["rounds"] = rounds
+        # fixpoint edges form stars rooted at each component's min id
+        roots = star.groupBy("src").agg(F.min("dst").alias("comp"))
+        return (
+            nodes.join(roots.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
