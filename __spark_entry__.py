@@ -4611,6 +4611,18 @@ def q_kg_cc_star(spark, sf_dir):
     return canonicalize.connected_components_star(edges).select("id", "comp")
 
 
+def q_kg_cc_merge(spark, sf_dir):
+    """Incremental component merge (canonicalize.merge_components): solve
+    the first half of the CC edge fixture, fold the second half in as an
+    increment — must equal the full solve bit-for-bit, so the oracle is
+    the SAME recursive-CTE over all edges as kg_connected_components."""
+    half = len(_CC_EDGES) // 2
+    base = spark.createDataFrame(_CC_EDGES[:half], "src string, dst string")
+    inc = spark.createDataFrame(_CC_EDGES[half:], "src string, dst string")
+    labels = canonicalize.connected_components_star(base)
+    return canonicalize.merge_components(labels, inc).select("id", "comp")
+
+
 def q_kg_triples_subclass(spark, sf_dir):  # noqa: F811 — kept verbatim
     """Subclass triples (pred-filter view; superseded in the driver
     registry by kg_triples_all which carries the same rows)."""
@@ -4734,6 +4746,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diameter-independent star-contraction connected components
         "zorder_layout": q_zorder_layout,
         "kg_cc_star": q_kg_cc_star,
+        "kg_cc_merge": q_kg_cc_merge,
     }
 
 
@@ -4843,6 +4856,15 @@ def extra_oracle_sql() -> dict[str, str]:
         # identical contract to kg_connected_components (comp = min
         # reachable id) — the two CC algorithms must agree bit-for-bit
         "kg_cc_star": (
+            f"WITH RECURSIVE e(src, dst) AS (VALUES {_vals(_CC_EDGES)}), "
+            "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+            "nodes AS (SELECT DISTINCT src AS id FROM sym), "
+            "reach(id, r) AS (SELECT id, id FROM nodes "
+            "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
+            "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # incremental merge must equal the full solve over ALL edges
+        "kg_cc_merge": (
             f"WITH RECURSIVE e(src, dst) AS (VALUES {_vals(_CC_EDGES)}), "
             "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
             "nodes AS (SELECT DISTINCT src AS id FROM sym), "

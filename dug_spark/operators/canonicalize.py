@@ -373,3 +373,66 @@ def connected_components_star(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Incremental connected components: fold a crawl increment's new
+    equivalence edges into an existing (id, comp) labeling WITHOUT
+    re-solving the full graph — the canonicalization analog of
+    ``graph.pagerank(init_ranks=...)`` warm starts.
+
+    Edges only ever MERGE components (no deletions in an append-only
+    equivalence stream), so the update is exact, not approximate:
+
+    1. contract: map each new edge endpoint to its current component
+       (left join; unseen nodes are their own singleton component), and
+       keep only edges that BRIDGE two distinct components;
+    2. solve CC on the contracted graph — increment-sized, not
+       corpus-sized: its nodes are the components the increment touches
+       (star contraction, so redirect chains in the increment are safe);
+    3. rewrite: one broadcast-size join remaps old component ids (and
+       labels the increment's new nodes).
+
+    Step 3 is the only pass over the full labeling, and it is a map-side
+    broadcast join when the increment is small — the usual case.  A
+    full re-solve touches every edge ever seen; this touches the
+    increment plus one map over the labels.  Exactness is pytest-gated:
+    merge(labels(E₁), E₂) must equal solve(E₁ ∪ E₂) on random splits.
+    """
+    src, dst = F.col("src"), F.col("dst")
+    labels = labels.localCheckpoint(eager=True)
+    ends = new_edges.where(src != dst)
+    # endpoint → current comp (new nodes: themselves)
+    lsrc = labels.select(F.col("id").alias("src"), F.col("comp").alias("csrc"))
+    ldst = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cdst"))
+    mapped = (
+        ends.join(lsrc, "src", "left")
+        .join(ldst, "dst", "left")
+        .select(
+            F.coalesce("csrc", src).alias("src"),
+            F.coalesce("cdst", dst).alias("dst"),
+        )
+    )
+    bridges = mapped.where(src != dst).distinct()
+    # solve the contracted (increment-sized) graph
+    contracted = connected_components_star(bridges, max_iter=max_iter)
+    remap = contracted.select(
+        F.col("id").alias("comp"), F.col("comp").alias("new_comp")
+    )
+    # new nodes from the increment that weren't in labels
+    new_nodes = (
+        ends.select(src.alias("id"))
+        .unionByName(ends.select(dst.alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("comp", F.col("id"))
+    )
+    return (
+        labels.unionByName(new_nodes)
+        .join(F.broadcast(remap), "comp", "left")
+        .select("id", F.coalesce("new_comp", F.col("comp")).alias("comp"))
+    )
