@@ -4611,6 +4611,20 @@ def q_kg_cc_star(spark, sf_dir):
     return canonicalize.connected_components_star(edges).select("id", "comp")
 
 
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based bitext mining (similarity.margin_bitext — Artetxe &
+    Schwenk ACL 2019 ratio margin, k=4, mutual argmax, threshold=1.0)
+    between two disjoint halves of the embeddings table standing in for
+    two monolingual spaces.  Oracle: the same margin algebra in SQL over
+    the identical double-cast cosine sums (ROUND 4 policy as knn)."""
+    from dug_spark.operators import similarity as sim
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    src = emb.where(F.col("vec_id") < 40)
+    tgt = emb.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 120))
+    return sim.margin_bitext(src, tgt, k=4, threshold=1.0, mutual=True)
+
+
 def q_kg_cc_merge(spark, sf_dir):
     """Incremental component merge (canonicalize.merge_components): solve
     the first half of the CC edge fixture, fold the second half in as an
@@ -4747,6 +4761,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "kg_cc_star": q_kg_cc_star,
         "kg_cc_merge": q_kg_cc_merge,
+        "bitext_margin": q_bitext_margin,
     }
 
 
@@ -4862,6 +4877,39 @@ def extra_oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT id, id FROM nodes "
             "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
             "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # Artetxe-Schwenk ratio margin re-derived in SQL over the same
+        # double-cast cosine sums as knn_cosine; mutual-argmax election
+        "bitext_margin": (
+            "WITH s AS (SELECT vec_id AS src_id, embedding AS se "
+            "  FROM embeddings WHERE vec_id < 40), "
+            "t AS (SELECT vec_id AS tgt_id, embedding AS te "
+            "  FROM embeddings WHERE vec_id >= 40 AND vec_id < 120), "
+            "sums AS (SELECT s.src_id, t.tgt_id, "
+            "  SUM(CAST(s.se[r.i] AS DOUBLE) * CAST(t.te[r.i] AS DOUBLE)) AS dot, "
+            "  SUM(CAST(s.se[r.i] AS DOUBLE) * CAST(s.se[r.i] AS DOUBLE)) AS ss, "
+            "  SUM(CAST(t.te[r.i] AS DOUBLE) * CAST(t.te[r.i] AS DOUBLE)) AS tt "
+            "  FROM s, t, range(1, 65) r(i) GROUP BY s.src_id, t.tgt_id), "
+            "cosed AS (SELECT src_id, tgt_id, dot / (SQRT(ss) * SQRT(tt)) AS cos "
+            "  FROM sums), "
+            "rx AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id "
+            "  ORDER BY cos DESC, tgt_id ASC) AS rkx FROM cosed), "
+            "ax AS (SELECT src_id, AVG(cos) AS ax FROM rx WHERE rkx <= 4 "
+            "  GROUP BY src_id), "
+            "ry AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id "
+            "  ORDER BY cos DESC, src_id ASC) AS rky FROM cosed), "
+            "ay AS (SELECT tgt_id, AVG(cos) AS ay FROM ry WHERE rky <= 4 "
+            "  GROUP BY tgt_id), "
+            "m AS (SELECT c.src_id, c.tgt_id, "
+            "  c.cos / (0.5 * (ax.ax + ay.ay)) AS margin "
+            "  FROM cosed c JOIN ax USING (src_id) JOIN ay USING (tgt_id)), "
+            "el AS (SELECT *, "
+            "  ROW_NUMBER() OVER (PARTITION BY src_id "
+            "    ORDER BY margin DESC, tgt_id ASC) AS bx, "
+            "  ROW_NUMBER() OVER (PARTITION BY tgt_id "
+            "    ORDER BY margin DESC, src_id ASC) AS by FROM m) "
+            "SELECT src_id, tgt_id, ROUND(margin, 4) AS margin FROM el "
+            "WHERE bx = 1 AND by = 1 AND margin >= 1.0"
         ),
         # incremental merge must equal the full solve over ALL edges
         "kg_cc_merge": (

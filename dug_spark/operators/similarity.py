@@ -763,3 +763,135 @@ def pq_ivf_topk(
         .where(F.col("rk") <= k)
         .select("q_id", "neighbor_id", "rk", F.round("adc", 5).alias("adc_dist"))
     )
+
+
+def margin_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    LASER/ccMatrix criterion): mine translation pairs from two
+    monolingual embedding spaces by scoring each cross-lingual pair with
+    its cosine RELATIVE to the local similarity neighborhoods,
+
+        margin(x, y) = cos(x, y) / (0.5 · (avgₖ(x→tgt) + avgₖ(y→src))),
+
+    which suppresses hub vectors that are near everything.  A pair is
+    mined when it is the argmax-margin choice of the source (and, with
+    ``mutual=True``, of the target too — the intersection criterion) and
+    its margin clears ``threshold``.
+
+    This is the exact dense path: one cross score per pair (broadcast ×
+    corpus map — no shuffle to score), then margin/election windows that
+    shuffle PAIR rows keyed by src/tgt id.  At 10^9×10^9 web scale the
+    pair matrix is infeasible exactly as brute-force k-NN is: compose the
+    same margin/election tail onto blocked candidates from
+    ``lsh_topk``/``ivf_topk`` (cell-join candidates replace the cross
+    join; the margin algebra is unchanged).  Training-data role: mining
+    parallel corpora out of a multilingual crawl (ccMatrix mines from
+    the same Common-Crawl shape this engine ingests).
+
+    Returns (src_id, tgt_id, margin), margin rounded to 4 (same
+    cross-engine float policy as ``brute_force_topk``'s oracle)."""
+    s = src.select(
+        F.col(id_col).alias("src_id"), _as_double(vec_col).alias("se")
+    ).withColumn("sn", _norm("se"))
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), _as_double(vec_col).alias("te")
+    ).withColumn("tn", _norm("te"))
+    cosed = (
+        F.broadcast(s)
+        .crossJoin(t)
+        .select(
+            "src_id",
+            "tgt_id",
+            (_dot("se", "te") / (F.col("sn") * F.col("tn"))).alias("cos"),
+        )
+    )
+    return _margin_tail(cosed, k=k, threshold=threshold, mutual=mutual)
+
+
+def margin_bitext_blocked(
+    src: DataFrame,
+    tgt: DataFrame,
+    candidates: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    mutual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The web-scale path of ``margin_bitext``: identical margin algebra
+    computed only over ``candidates`` (src_id, tgt_id) pairs produced by
+    any blocker — ``lsh_band_buckets`` bucket joins, ``ivf_train_assign``
+    cell joins, or a cheap lexical blocker.  The avgₖ neighborhood
+    denominators are then the standard candidate-restricted
+    approximation (Artetxe & Schwenk compute them over retrieved k-NN
+    lists, not the full cross product, for exactly this reason).
+
+    Cost shape: two hash joins to attach vectors to the candidate pairs
+    (each shuffles candidate-count rows — linear in candidates, not
+    |src|×|tgt|), then the pair-keyed margin/election windows."""
+    s = src.select(
+        F.col(id_col).alias("src_id"), _as_double(vec_col).alias("se")
+    ).withColumn("sn", _norm("se"))
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), _as_double(vec_col).alias("te")
+    ).withColumn("tn", _norm("te"))
+    cosed = (
+        candidates.select("src_id", "tgt_id")
+        .distinct()
+        .join(s, "src_id")
+        .join(t, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            (_dot("se", "te") / (F.col("sn") * F.col("tn"))).alias("cos"),
+        )
+    )
+    return _margin_tail(cosed, k=k, threshold=threshold, mutual=mutual)
+
+
+def _margin_tail(
+    cosed: DataFrame, k: int, threshold: float, mutual: bool
+) -> DataFrame:
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
+    ranked = cosed.withColumn("rkx", F.row_number().over(wx)).withColumn(
+        "rky", F.row_number().over(wy)
+    )
+    ax = (
+        ranked.where(F.col("rkx") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cos").alias("ax"))
+    )
+    ay = (
+        ranked.where(F.col("rky") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cos").alias("ay"))
+    )
+    margins = (
+        cosed.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("cos") / (0.5 * (F.col("ax") + F.col("ay")))).alias("margin"),
+        )
+    )
+    bx = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    by = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    elected = margins.withColumn("bx", F.row_number().over(bx)).withColumn(
+        "by", F.row_number().over(by)
+    )
+    cond = (F.col("bx") == 1) & (F.col("margin") >= threshold)
+    if mutual:
+        cond = cond & (F.col("by") == 1)
+    return elected.where(cond).select(
+        "src_id", "tgt_id", F.round("margin", 4).alias("margin")
+    )
