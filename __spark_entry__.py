@@ -4611,6 +4611,21 @@ def q_kg_cc_star(spark, sf_dir):
     return canonicalize.connected_components_star(edges).select("id", "comp")
 
 
+def q_sig_terms(spark, sf_dir):
+    """ES significant_terms / JLH (search.significant_terms): terms
+    over-represented in the lang='de' slice vs the whole corpus,
+    document-frequency semantics, background includes foreground.
+    Oracle: same analyzer fragment + identical double arithmetic."""
+    from dug_spark.operators import search
+
+    docs = _pq(spark, sf_dir, "documents").withColumn(
+        "is_de", F.col("lang") == "de"
+    )
+    return search.significant_terms(
+        docs, subset_col="is_de", min_doc_count=3, top_n=25
+    )
+
+
 def q_bitext_margin(spark, sf_dir):
     """Margin-based bitext mining (similarity.margin_bitext — Artetxe &
     Schwenk ACL 2019 ratio margin, k=4, mutual argmax, threshold=1.0)
@@ -4762,6 +4777,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cc_star": q_kg_cc_star,
         "kg_cc_merge": q_kg_cc_merge,
         "bitext_margin": q_bitext_margin,
+        "search_sig_terms": q_sig_terms,
     }
 
 
@@ -4877,6 +4893,28 @@ def extra_oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT id, id FROM nodes "
             "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
             "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # ES significant_terms / JLH with doc-frequency semantics and
+        # background ⊇ foreground; same analyzer fragment, identical
+        # double arithmetic (counts → literal-equivalent divisions)
+        "search_sig_terms": (
+            "WITH d AS (SELECT doc_id, (lang = 'de') AS fg, text FROM documents), "
+            "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all, "
+            "  CAST(SUM(CASE WHEN fg THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg FROM d), "
+            "dt AS (SELECT DISTINCT doc_id, fg, "
+            f"  unnest({_analyzer_sql('text')}) AS term FROM d), "
+            "stats AS (SELECT term, SUM(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_df, "
+            "  COUNT(*) AS bg_df FROM dt GROUP BY term), "
+            "scored AS (SELECT term, fg_df, bg_df, "
+            "  (CAST(fg_df AS DOUBLE) / (SELECT n_fg FROM tot) "
+            "   - CAST(bg_df AS DOUBLE) / (SELECT n_all FROM tot)) "
+            "  * ((CAST(fg_df AS DOUBLE) / (SELECT n_fg FROM tot)) "
+            "     / (CAST(bg_df AS DOUBLE) / (SELECT n_all FROM tot))) AS jlh "
+            "  FROM stats "
+            "  WHERE fg_df >= 3 AND CAST(fg_df AS DOUBLE) / (SELECT n_fg FROM tot) "
+            "    > CAST(bg_df AS DOUBLE) / (SELECT n_all FROM tot)) "
+            "SELECT term, fg_df, bg_df, ROUND(jlh, 6) AS jlh FROM scored "
+            "ORDER BY jlh DESC, term ASC LIMIT 25"
         ),
         # Artetxe-Schwenk ratio margin re-derived in SQL over the same
         # double-cast cosine sums as knn_cosine; mutual-argmax election

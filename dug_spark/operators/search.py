@@ -1362,3 +1362,65 @@ def cosine_topk_single(
         )
     )
     return top.select("id", "rank", F.round("_cos", 4).alias("cos_sim"))
+
+
+def significant_terms(
+    df: DataFrame,
+    subset_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_count: int = 3,
+    top_n: int = 25,
+) -> DataFrame:
+    """Elasticsearch's ``significant_terms`` aggregation re-derived as a
+    DataFrame plan (the JLH heuristic — ES SignificantTermsHeuristic
+    default family; the reference delegates all aggregations to ES,
+    reference `src/dug/core/async_search.py` builds the agg DSL): which
+    terms are unusually frequent in a document subset versus the whole
+    corpus?
+
+        jlh(t) = (fg% − bg%) · (fg% / bg%),   kept when fg% > bg%,
+
+    with document-frequency semantics (each doc counts a term once) and
+    the background INCLUDING the foreground, both as in ES.  Used for
+    "what characterizes this source / language / study group" drills.
+
+    Plan shape: corpus totals fold to two literals (one tiny agg —
+    the same literal-folding the BM25 family uses), then ONE
+    explode+distinct and ONE term aggregation with a conditional
+    foreground sum — a single corpus pass and a term-keyed shuffle; the
+    JLH arithmetic is all literal-side codegen.  Tokenization is the
+    shared ``std_with_stopwords`` analyzer, so the oracle is
+    bit-identical cross-engine.
+    """
+    fg = F.col(subset_col).cast("boolean")
+    n_all, n_fg = df.agg(
+        F.count(F.lit(1)), F.sum(fg.cast("int"))
+    ).first()
+    n_fg = int(n_fg or 0)
+    if n_fg == 0:
+        raise ValueError(f"significant_terms: empty foreground {subset_col}")
+    doc_terms = (
+        df.select(
+            F.col(id_col),
+            fg.alias("fg"),
+            F.explode(analyzer.analyze_col(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    stats = doc_terms.groupBy("term").agg(
+        F.sum(F.col("fg").cast("int")).alias("fg_df"),
+        F.count(F.lit(1)).alias("bg_df"),
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_all))
+    scored = stats.withColumn(
+        "jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    ).where(
+        (F.col("fg_df") >= min_doc_count) & (fg_pct > bg_pct)
+    )
+    return (
+        scored.orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(int(top_n))
+        .select("term", "fg_df", "bg_df", F.round("jlh", 6).alias("jlh"))
+    )
