@@ -4611,6 +4611,45 @@ def q_kg_cc_star(spark, sf_dir):
     return canonicalize.connected_components_star(edges).select("id", "comp")
 
 
+def _delay_pages_df(spark, sf_dir):
+    """Deterministic robots bodies exercising every Crawl-delay path:
+    headerless directive (d%6==0, drops), specific-agent group with a
+    numeric delay (absent when d%4==0), an invalid value in-group
+    (d%5==0, drops), and a '*' fallback group (always present)."""
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    d, s = F.col("doc_id"), F.col("source")
+
+    def when_line(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    txt = F.concat(
+        when_line(d % 6 == 0, F.lit("Crawl-delay: 99\n")),
+        F.lit("User-agent: DugBot\n"),
+        when_line(d % 4 != 0, F.lit("Crawl-delay: "), (d % 7).cast("string"), F.lit("\n")),
+        when_line(d % 5 == 0, F.lit("Crawl-delay: fast\n")),
+        F.lit("Disallow: /x\n\nUser-agent: *\nCrawl-delay: "),
+        (d % 3).cast("string"),
+        F.lit(".5\n"),
+    )
+    return docs.select(
+        F.concat(s, F.lit("-"), d.cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        txt.alias("robots_txt"),
+    )
+
+
+def q_robots_delays(spark, sf_dir):
+    """Crawl-delay extraction (crawl.robots_crawl_delays): RFC-9309-style
+    group binding, specific agent over '*', invalid/headerless values
+    drop, conservative MAX.  Oracle: the synthesis is formulaic, so the
+    expected delay is a closed-form CASE over doc_id."""
+    from dug_spark.operators import crawl
+
+    return crawl.robots_crawl_delays(
+        _delay_pages_df(spark, sf_dir), agent="DugBot"
+    )
+
+
 def q_sig_terms(spark, sf_dir):
     """ES significant_terms / JLH (search.significant_terms): terms
     over-represented in the lang='de' slice vs the whole corpus,
@@ -4778,6 +4817,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cc_merge": q_kg_cc_merge,
         "bitext_margin": q_bitext_margin,
         "search_sig_terms": q_sig_terms,
+        "robots_delays": q_robots_delays,
     }
 
 
@@ -4893,6 +4933,16 @@ def extra_oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT id, id FROM nodes "
             "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
             "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # Crawl-delay: the synthesis is formulaic, so the semantics
+        # (specific agent beats '*', invalid values drop) close-form to a
+        # CASE on doc_id; hosts match q_robots_delays' concat exactly
+        "robots_delays": (
+            "SELECT source || '-' || CAST(doc_id AS VARCHAR) "
+            "  || '.example.org' AS host, "
+            "CASE WHEN doc_id % 4 <> 0 THEN CAST(doc_id % 7 AS DOUBLE) "
+            "     ELSE CAST(doc_id % 3 AS DOUBLE) + 0.5 END AS crawl_delay_s "
+            "FROM documents"
         ),
         # ES significant_terms / JLH with doc-frequency semantics and
         # background ⊇ foreground; same analyzer fragment, identical

@@ -284,6 +284,8 @@ def frontier_schedule(
     urls: DataFrame,
     url_col: str = "url",
     priority_col: str | None = None,
+    delays: DataFrame | None = None,
+    default_delay_s: float = 1.0,
 ) -> DataFrame:
     """Politeness-aware crawl-frontier ordering: round-robin across
     hosts so no host is hit twice before every other host with pending
@@ -317,8 +319,21 @@ def frontier_schedule(
     wg = Window.orderBy(
         F.asc("host_seq"), F.desc("_prio"), F.asc("url")
     )
-    return ranked.withColumn("crawl_order", F.row_number().over(wg)).select(
-        "url", "host", "host_seq", "crawl_order"
+    ordered = ranked.withColumn("crawl_order", F.row_number().over(wg))
+    if delays is None:
+        return ordered.select("url", "host", "host_seq", "crawl_order")
+    # robots Crawl-delay as real seconds: fetch k of a host may not start
+    # before (k-1)·delay — the per-host politeness clock the dispatcher
+    # enforces.  delays is host-cardinality → broadcast hash join.
+    d = F.broadcast(delays.select("host", "crawl_delay_s"))
+    return (
+        ordered.join(d, "host", "left")
+        .withColumn(
+            "not_before_s",
+            (F.col("host_seq") - 1)
+            * F.coalesce("crawl_delay_s", F.lit(float(default_delay_s))),
+        )
+        .select("url", "host", "host_seq", "crawl_order", "not_before_s")
     )
 
 
@@ -654,4 +669,72 @@ def robots_sitemap_urls(
         .where((F.col("key") == "sitemap") & (F.col("value") != ""))
         .select("host", F.col("value").alias("sitemap_url"))
         .distinct()
+    )
+
+
+def robots_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "dugbot",
+) -> DataFrame:
+    """``Crawl-delay:`` extraction from raw robots.txt bodies →
+    ``(host, crawl_delay_s)`` for one crawler product token — the third
+    robots surface (after Allow/Disallow rules and Sitemap discovery)
+    and the input that turns ``frontier_schedule``'s politeness rounds
+    into actual seconds.
+
+    Crawl-delay is not in RFC 9309 but is honored by major engines; the
+    de-facto semantics mirrored here: the directive binds to its
+    User-agent group (same consecutive-header grouping as parse_robots —
+    including it in the line window cannot shift block boundaries, since
+    block starts only depend on user-agent lines), a specific-agent
+    group takes precedence over ``*``, non-numeric/negative values drop,
+    and multiple surviving values for one host take the MAX (the
+    conservative politeness choice).
+
+    Scale shape: identical to parse_robots — everything is
+    host-cardinality (dimension-sized); one host-keyed window + one
+    (host, block) join.
+    """
+    from pyspark.sql import Window
+
+    kv = _robots_lines(df, host_col, text_col).where(
+        F.col("key").isin("user-agent", "crawl-delay")
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    block_start = (
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    blocked = kv.withColumn(
+        "block",
+        F.sum(block_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agents = blocked.where(F.col("key") == "user-agent").select(
+        "host", "block", F.lower(F.col("value")).alias("agent")
+    )
+    delays = blocked.where(
+        (F.col("key") == "crawl-delay") & (F.col("block") > 0)
+    ).select(
+        # try_cast: malformed values become NULL and drop (ANSI mode
+        # would otherwise fail the whole job on one bad robots line)
+        "host", "block", F.col("value").try_cast("double").alias("delay_s")
+    ).where(
+        F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0)
+    )
+    bound = delays.join(agents, ["host", "block"]).where(
+        F.col("agent").isin(agent.lower(), "*")
+    )
+    per_agent = bound.groupBy("host", "agent").agg(
+        F.max("delay_s").alias("delay_s")
+    )
+    # specific product token beats '*'
+    return per_agent.groupBy("host").agg(
+        F.coalesce(
+            F.max(F.when(F.col("agent") != "*", F.col("delay_s"))),
+            F.max(F.when(F.col("agent") == "*", F.col("delay_s"))),
+        ).alias("crawl_delay_s")
     )

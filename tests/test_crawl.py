@@ -599,3 +599,55 @@ def test_parse_robots_feeds_robots_filter(spark):
     assert got == dict(po.robots_allowed(urls, want_rules, "dugbot"))
     assert got["https://a.org/private/pub/y"] is True
     assert got["https://b.org/anything"] is False
+
+
+def test_robots_crawl_delays(spark):
+    from dug_spark.operators import crawl
+
+    body = (
+        "Crawl-delay: 99\n"          # headerless: drops
+        "User-agent: DugBot\n"
+        "Crawl-delay: 4\n"
+        "Crawl-delay: fast\n"        # invalid: drops
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 1.5\n"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("a.org", body),
+            ("b.org", "User-agent: *\nCrawl-delay: 2.5\n"),
+            ("c.org", "User-agent: DugBot\nCrawl-delay: 3\nCrawl-delay: 7\n"),
+            ("d.org", "User-agent: other\nCrawl-delay: 9\n"),
+            ("e.org", "User-agent: DugBot\nCrawl-delay: -2\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r.host: r.crawl_delay_s
+        for r in crawl.robots_crawl_delays(pages, agent="DugBot").collect()
+    }
+    # specific beats '*'; conservative MAX within group; invalid,
+    # negative, headerless and other-agent values all drop
+    assert got == {"a.org": 4.0, "b.org": 2.5, "c.org": 7.0}
+
+
+def test_frontier_schedule_with_delays(spark):
+    from dug_spark.operators import crawl
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 2}.org/p{i}",) for i in range(6)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("h0.org", 10.0)], "host string, crawl_delay_s double"
+    )
+    got = {
+        (r.host, r.host_seq): r.not_before_s
+        for r in crawl.frontier_schedule(
+            urls, delays=delays, default_delay_s=1.0
+        ).collect()
+    }
+    assert got[("h0.org", 1)] == 0.0
+    assert got[("h0.org", 3)] == 20.0   # robots delay
+    assert got[("h1.org", 3)] == 2.0    # default delay
