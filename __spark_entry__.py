@@ -1945,6 +1945,16 @@ def _pyoracle_values() -> dict[str, str]:
         qs30 = [(v, e) for v, e, _l in vecs if v < 30]
         vals = {
             # params mirror the q_* queries exactly
+            "winnow_fp": _values_or_empty(
+                po.winnow_rows(docs, 5, 4),
+                "id, pos, fp",
+                "BIGINT, INTEGER, BIGINT",
+            ),
+            "winnow_pairs": _values_or_empty(
+                po.winnow_overlap_rows(docs, 5, 4, min_shared=2, max_df=50),
+                "id_a, id_b, shared, overlap",
+                "BIGINT, BIGINT, BIGINT, DOUBLE",
+            ),
             "dsir_select": _values_or_empty(
                 po.dsir_rows(
                     docs,
@@ -4650,6 +4660,26 @@ def q_robots_delays(spark, sf_dir):
     )
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (dedup.winnow_fingerprints — Schleimer/
+    Wilkerson/Aiken SIGMOD 2003, the MOSS local fingerprinting with the
+    ≥ k+w−1 shared-run coverage guarantee): one narrow map of
+    higher-order functions + explode.  VALUES oracle
+    pyoracle.winnow_rows (spec-derived XXH64) over the documents text."""
+    docs = _pq(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=5, window=4)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS-style overlap report (dedup.winnow_overlap): fp-keyed
+    self-join with the max_df stop-fingerprint guard, overlap =
+    shared / min(|fp_a|, |fp_b|).  VALUES oracle
+    pyoracle.winnow_overlap_rows."""
+    docs = _pq(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=5, window=4)
+    return dedup.winnow_overlap(fps, min_shared=2, max_df=50)
+
+
 def q_sig_terms(spark, sf_dir):
     """ES significant_terms / JLH (search.significant_terms): terms
     over-represented in the lang='de' slice vs the whole corpus,
@@ -4818,6 +4848,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin": q_bitext_margin,
         "search_sig_terms": q_sig_terms,
         "robots_delays": q_robots_delays,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 

@@ -2108,3 +2108,67 @@ def zorder_rows(rows, bits: int, salt: str = ""):
         bs = [zorder_bucket(v, bits, salt) for v in vals]
         out.append((rid, *bs, zorder_interleave(bs, bits)))
     return out
+
+
+def winnow_rows(docs, k: int = 5, window: int = 4):
+    """Mirror of dedup.winnow_fingerprints: whitespace tokens, XXH64 of
+    the space-joined k-gram (Spark single-string convention, seed 42),
+    per-window minimum with the rightmost tie rule, (fp, pos) dedup."""
+    out = []
+    for did, text in docs:
+        toks = [t for t in (text or "").split(" ") if t]
+        hs = (
+            [
+                xxh64(" ".join(toks[i : i + k]).encode("utf-8"))
+                for i in range(len(toks) - k + 1)
+            ]
+            if len(toks) >= k
+            else []
+        )
+
+        def argmin(lo, hi):
+            best_fp, best_pos = (1 << 63) - 1, -1
+            for p in range(lo, hi):
+                if hs[p] <= best_fp:
+                    best_fp, best_pos = hs[p], p
+            return best_fp, best_pos
+
+        sel = set()
+        if hs:
+            if len(hs) < window:
+                sel.add(argmin(0, len(hs)))
+            else:
+                for j in range(len(hs) - window + 1):
+                    sel.add(argmin(j, j + window))
+        out.extend((did, pos, fp) for fp, pos in sorted(sel))
+    return out
+
+
+def winnow_overlap_rows(docs, k: int = 5, window: int = 4,
+                        min_shared: int = 2, max_df=None):
+    """Mirror of dedup.winnow_overlap over winnow_rows fingerprints."""
+    fps = winnow_rows(docs, k, window)
+    by_doc: dict = {}
+    for did, _pos, fp in fps:
+        by_doc.setdefault(did, set()).add(fp)
+    sizes = {d: len(s) for d, s in by_doc.items()}
+    if max_df is not None:
+        df_counts: dict = {}
+        for s in by_doc.values():
+            for fp in s:
+                df_counts[fp] = df_counts.get(fp, 0) + 1
+        by_doc = {
+            d: {fp for fp in s if df_counts[fp] <= max_df}
+            for d, s in by_doc.items()
+        }
+    ids = sorted(by_doc)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(by_doc[a] & by_doc[b])
+            if shared >= min_shared:
+                out.append(
+                    (a, b, shared,
+                     round_half_up(shared / min(sizes[a], sizes[b]), 6))
+                )
+    return out

@@ -911,3 +911,120 @@ def minhash_incremental(
         .select("id_a", "id_b", "sig_jaccard")
     )
     return matches, full_store
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    algorithm): the guaranteed-coverage local fingerprinting that
+    ``textstats.fingerprint``'s global min/max only approximates.  Hash
+    every k-token shingle, slide a w-hash window, select each window's
+    minimum (rightmost on ties — the paper's robust-winnowing tie rule),
+    dedup repeated selections.  Guarantee: any shared token run of
+    length ≥ k + w − 1 between two documents yields at least one SHARED
+    selected fingerprint — so overlap detection has no blind spots,
+    unlike a global min/max which one divergent token can flip.
+
+    Output: (id, pos, fp) exploded — the per-document fingerprint set,
+    ~|tokens|/((w+1)/2) rows per doc in expectation.
+
+    Scale shape: one narrow map per document (higher-order functions
+    over the token array — zero UDF, zero shuffle) + the explode; the
+    k-gram hashing is the same xxhash64-of-joined-tokens convention as
+    the MinHash shingle path, mirrored bit-exactly by
+    ``pyoracle.winnow_rows`` (spec-derived XXH64).
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(toks)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = df.select(F.col(id_col).alias("id"), hashes.alias("h"))
+    pairs = F.transform(
+        F.col("h"), lambda x, i: F.struct(x.alias("fp"), i.alias("pos"))
+    )
+    nh = F.size("h")
+    top = F.lit((1 << 63) - 1).cast("long")
+
+    def argmin(slice_expr):
+        # rightmost tie: <= prefers the later element in fold order
+        return F.aggregate(
+            slice_expr,
+            F.struct(top.alias("fp"), F.lit(-1).alias("pos")),
+            lambda acc, p: F.when(p["fp"] <= acc["fp"], p).otherwise(acc),
+        )
+
+    selected = (
+        F.when(nh <= 0, F.array().cast("array<struct<fp:bigint,pos:int>>"))
+        .when(nh < window, F.array(argmin(pairs)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), nh - window),
+                lambda j: argmin(F.slice(pairs, j + 1, window)),
+            )
+        )
+    )
+    return (
+        out.select("id", F.explode(F.array_distinct(selected)).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def winnow_overlap(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document-pair overlap from winnowing fingerprints — the MOSS
+    report: join documents on shared selected fingerprints, score
+    ``overlap = shared / min(|fp_a|, |fp_b|)``.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before the self-join (the stop-fingerprint rule: ubiquitous
+    boilerplate shingles would otherwise contribute Σ df² candidate
+    pairs — the same quadratic class ``cap_lsh_buckets`` guards, and the
+    same trade: pairs sharing ONLY boilerplate are the ones lost).
+
+    Output: (id_a, id_b, shared, overlap), id_a < id_b."""
+    uniq = fps.select("id", "fp").distinct()
+    sizes = uniq.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    if max_df is not None:
+        df_counts = uniq.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        uniq = uniq.join(
+            df_counts.where(F.col("_df") <= max_df), "fp"
+        ).drop("_df")
+    a = uniq.select(F.col("id").alias("id_a"), "fp")
+    b = uniq.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("_na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("_nb"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("_na", "_nb"), 6
+            ).alias("overlap"),
+        )
+    )
