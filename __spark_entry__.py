@@ -4660,6 +4660,18 @@ def q_robots_delays(spark, sf_dir):
     )
 
 
+def q_table_stats(spark, sf_dir):
+    """ANALYZE-style column statistics (plans.stats.collect_column_stats,
+    exact-NDV variant): every column's null count / NDV / min / max /
+    avg string length in ONE aggregation pass over the table.  Oracle:
+    the same aggregates per column, one UNION ALL branch each."""
+    from dug_spark.plans import stats
+
+    return stats.collect_column_stats(
+        _pq(spark, sf_dir, "documents"), exact_ndv=True
+    )
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing fingerprints (dedup.winnow_fingerprints — Schleimer/
     Wilkerson/Aiken SIGMOD 2003, the MOSS local fingerprinting with the
@@ -4850,6 +4862,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_delays": q_robots_delays,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "table_stats": q_table_stats,
     }
 
 
@@ -4965,6 +4978,27 @@ def extra_oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT id, id FROM nodes "
             "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
             "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # one UNION ALL branch per column over a single aggregate CTE;
+        # binary string collation in both engines makes min/max match
+        "table_stats": (
+            "WITH a AS (SELECT COUNT(*) AS n_rows, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS {c}_nulls, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}_ndv, "
+                f"MIN(CAST({c} AS VARCHAR)) AS {c}_min, "
+                f"MAX(CAST({c} AS VARCHAR)) AS {c}_max, "
+                f"ROUND(AVG(LENGTH(CAST({c} AS VARCHAR))), 4) AS {c}_len"
+                for c in ("doc_id", "text", "lang", "source", "n_chars")
+            )
+            + " FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS column, n_rows, {c}_nulls AS n_nulls, "
+                f"{c}_ndv AS ndv, {c}_min AS min_str, {c}_max AS max_str, "
+                f"{c}_len AS avg_len FROM a"
+                for c in ("doc_id", "text", "lang", "source", "n_chars")
+            )
         ),
         # Crawl-delay: the synthesis is formulaic, so the semantics
         # (specific agent beats '*', invalid values drop) close-form to a
