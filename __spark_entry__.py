@@ -1945,16 +1945,6 @@ def _pyoracle_values() -> dict[str, str]:
         qs30 = [(v, e) for v, e, _l in vecs if v < 30]
         vals = {
             # params mirror the q_* queries exactly
-            "winnow_fp": _values_or_empty(
-                po.winnow_rows(docs, 5, 4),
-                "id, pos, fp",
-                "BIGINT, INTEGER, BIGINT",
-            ),
-            "winnow_pairs": _values_or_empty(
-                po.winnow_overlap_rows(docs, 5, 4, min_shared=2, max_df=50),
-                "id_a, id_b, shared, overlap",
-                "BIGINT, BIGINT, BIGINT, DOUBLE",
-            ),
             "dsir_select": _values_or_empty(
                 po.dsir_rows(
                     docs,
@@ -5778,6 +5768,17 @@ FROM keyed
         )
         out["robots_sitemaps"] = _values_or_empty(
             _rb_maps, "host, sitemap_url", "VARCHAR, VARCHAR"
+        )
+        _wn_docs = [(d, t) for d, t, _s in docs_src]
+        out["winnow_fp"] = _values_or_empty(
+            po.winnow_rows(_wn_docs, 5, 4),
+            "id, pos, fp",
+            "BIGINT, INTEGER, BIGINT",
+        )
+        out["winnow_pairs"] = _values_or_empty(
+            po.winnow_overlap_rows(_wn_docs, 5, 4, min_shared=2, max_df=50),
+            "id_a, id_b, shared, overlap",
+            "BIGINT, BIGINT, BIGINT, DOUBLE",
         )
         _zo_in = [
             (d, f"doc:{d % 41}", _ZORDER_PREDS[d % 4]) for d, _s in id_src
