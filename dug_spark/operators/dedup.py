@@ -998,13 +998,17 @@ def winnow_overlap(
     same trade: pairs sharing ONLY boilerplate are the ones lost).
 
     Output: (id_a, id_b, shared, overlap), id_a < id_b."""
-    uniq = fps.select("id", "fp").distinct()
+    # the distinct fingerprint set feeds BOTH self-join sides plus the
+    # size denominators — checkpoint it so the plan shuffles it once
+    # instead of replaying the distinct per consumer (same pattern as
+    # the checkpointed MinHash shingle pass)
+    uniq = fps.select("id", "fp").distinct().localCheckpoint(eager=False)
     sizes = uniq.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     if max_df is not None:
         df_counts = uniq.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
         uniq = uniq.join(
             df_counts.where(F.col("_df") <= max_df), "fp"
-        ).drop("_df")
+        ).drop("_df").localCheckpoint(eager=False)
     a = uniq.select(F.col("id").alias("id_a"), "fp")
     b = uniq.select(F.col("id").alias("id_b"), "fp")
     shared = (
