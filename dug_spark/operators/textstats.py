@@ -818,26 +818,38 @@ def corpus_profile(
     df: DataFrame,
     group_col: str = "lang",
     text_col: str = "text",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group corpus statistics: doc count, total/mean characters, and
-    exact interpolated length quantiles (p50/p95) — the profiling pass a
+    interpolated length quantiles (p50/p95) — the profiling pass a
     pipeline runs between ingest and curation to set its filter
     thresholds (Gopher's length bounds came from exactly this table).
 
-    Quantiles here are EXACT (`F.percentile`, linear interpolation — the
-    same definition DuckDB's quantile_cont uses, so the oracle matches
-    bit-for-bit after ROUND(6)); at 10^12 docs swap in
-    `F.approx_percentile` with an accuracy knob — the exact form sorts
-    each group, the approx form is one mergeable sketch aggregation.
-    One group-keyed aggregation either way; group cardinality is
-    languages × sources, dimension-sized."""
+    ``approx=False`` (the oracle gate): EXACT `F.percentile`, linear
+    interpolation — the same definition DuckDB's quantile_cont uses, so
+    the gate matches bit-for-bit after ROUND(6).  The exact form
+    buffers each group's values, so at 10^12 docs pass ``approx=True``:
+    `F.approx_percentile` (Greenwald-Khanna, 1/``accuracy`` relative
+    rank error) is a MERGEABLE sketch — constant memory per partition,
+    partial+final aggregation like any sum, no group buffering.  Same
+    plan shape either way (one group-keyed aggregation; group
+    cardinality is languages × sources, dimension-sized) — the knob
+    trades exactness for bounded memory, pytest-gated to agree within
+    the GK rank-error bound on a known distribution."""
     ln = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    if approx:
+        p50 = F.approx_percentile(ln, F.lit(0.5), F.lit(accuracy))
+        p95 = F.approx_percentile(ln, F.lit(0.95), F.lit(accuracy))
+    else:
+        p50 = F.percentile(ln, F.lit(0.5))
+        p95 = F.percentile(ln, F.lit(0.95))
     return df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ln).cast("bigint").alias("total_chars"),
         F.round(F.avg(ln), 6).alias("mean_chars"),
-        F.round(F.percentile(ln, F.lit(0.5)), 6).alias("p50_chars"),
-        F.round(F.percentile(ln, F.lit(0.95)), 6).alias("p95_chars"),
+        F.round(p50.cast("double"), 6).alias("p50_chars"),
+        F.round(p95.cast("double"), 6).alias("p95_chars"),
     )
 
 

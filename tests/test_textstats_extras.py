@@ -184,3 +184,22 @@ def test_temperature_limits(spark):
           temperature_fractions(df, temperature=1e9, budget_frac=1.0).collect()}
     assert abs(t9["a"][0] - 0.5) < 1e-6 and abs(t9["b"][0] - 0.5) < 1e-6
     assert t9["b"][1] == 1.0  # cap: can't sample 500 rows from a 200-row group
+
+
+def test_corpus_profile_approx_within_rank_error(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import textstats as ts
+
+    # lengths 1..2000 in one group: p50 exact = 1000.5, p95 = 1900.05
+    df = spark.range(1, 2001).select(
+        F.lit("g").alias("lang"), F.repeat(F.lit("x"), F.col("id").cast("int")).alias("text")
+    )
+    exact = ts.corpus_profile(df).collect()[0]
+    approx = ts.corpus_profile(df, approx=True, accuracy=10_000).collect()[0]
+    # GK guarantees a value whose RANK is within n/accuracy of the
+    # target; for this uniform ramp that is a tight value bound too
+    assert abs(approx.p50_chars - exact.p50_chars) <= 2
+    assert abs(approx.p95_chars - exact.p95_chars) <= 2
+    assert approx.n_docs == exact.n_docs == 2000
+    assert approx.total_chars == exact.total_chars
