@@ -4650,6 +4650,24 @@ def q_robots_delays(spark, sf_dir):
     )
 
 
+def q_kg_provenance(spark, sf_dir):
+    """Per-triple provenance rollup (triples.provenance_rollup): one row
+    per asserted subclass triple with its evidence — distinct supporting
+    docs, mention count, add-k-saturated confidence.  Oracle: the same
+    join + grouped aggregates in SQL."""
+    nm = _nmentions(spark, sf_dir).select(F.col("url").alias("doc_id"), "curie")
+    edges = fixtures.vocab_kg_edges(spark).where(
+        F.col("predicate") == "biolink:subclass_of"
+    )
+    doc_triples = nm.join(edges, nm["curie"] == edges["subject"]).select(
+        F.col("subject").alias("subj"),
+        F.lit("biolink:subclass_of").alias("pred"),
+        F.col("object").alias("obj"),
+        "doc_id",
+    )
+    return triples_op.provenance_rollup(doc_triples)
+
+
 def q_table_stats(spark, sf_dir):
     """ANALYZE-style column statistics (plans.stats.collect_column_stats,
     exact-NDV variant): every column's null count / NDV / min / max /
@@ -4853,6 +4871,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "table_stats": q_table_stats,
+        "kg_provenance": q_kg_provenance,
     }
 
 
@@ -4968,6 +4987,21 @@ def extra_oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT id, id FROM nodes "
             "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
             "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # provenance: same join + grouped aggregates; confidence =
+        # n_docs/(n_docs+5) with identical double arithmetic
+        "kg_provenance": (
+            f"{norm_cte}, {_SQL_KGE} "
+            "SELECT e.subject AS subj, 'biolink:subclass_of' AS pred, "
+            "e.object AS obj, "
+            "CAST(COUNT(DISTINCT m.url) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_mentions, "
+            "ROUND(CAST(COUNT(DISTINCT m.url) AS DOUBLE) "
+            "  / (CAST(COUNT(DISTINCT m.url) AS DOUBLE) + 5.0), 6) "
+            "  AS confidence "
+            "FROM nmentions m JOIN kg_edges e ON e.subject = m.curie "
+            "WHERE e.predicate = 'biolink:subclass_of' "
+            "GROUP BY e.subject, e.object"
         ),
         # one UNION ALL branch per column over a single aggregate CTE;
         # binary string collation in both engines makes min/max match

@@ -368,3 +368,45 @@ def kg_diff(
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def provenance_rollup(
+    doc_triples: DataFrame,
+    ts_col: str | None = None,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-triple provenance: collapse document-level triple emissions
+    into one row per (subj, pred, obj) carrying its evidence — how many
+    documents and mentions assert it, when it was first/last observed,
+    and a bounded confidence score.
+
+    The reference keeps per-element provenance implicitly (each
+    kg-answer indexes the TranQL query that produced it, reference
+    `src/dug/core/crawlers.py` crawl metadata); a 10^12-page KG build
+    needs it explicit: downstream consumers rank assertions by support
+    ("said by 40k pages over 3 years" ≠ "said once"), and incremental
+    recrawls age facts out via last_seen.
+
+    confidence = n_docs / (n_docs + k) with k=5 — the standard
+    add-k support saturation (monotone in evidence, bounded below 1,
+    no corpus-size term so increments compose: re-running the rollup
+    over old∪new emissions gives the same row as merging rollups).
+
+    One hash aggregation on the triple key — the same shuffle the
+    dedup the write path already does, now carrying evidence columns;
+    skew on hot triples is the salted-repartition case plans/skew.py
+    handles at write time.
+    """
+    gb = doc_triples.groupBy("subj", "pred", "obj")
+    aggs = [
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    ]
+    if ts_col is not None:
+        aggs.append(F.min(ts_col).alias("first_seen"))
+        aggs.append(F.max(ts_col).alias("last_seen"))
+    rolled = gb.agg(*aggs).where(F.col("n_docs") >= min_docs)
+    conf = F.col("n_docs").cast("double") / (
+        F.col("n_docs").cast("double") + F.lit(5.0)
+    )
+    return rolled.withColumn("confidence", F.round(conf, 6))

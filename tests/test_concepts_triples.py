@@ -226,3 +226,40 @@ def test_kg_diff_added_removed(spark):
         ("a", "p", "y", "removed"),
         ("b", "q", "z", "removed"),  # multiplicity collapses: ONE removed row
     }
+
+
+def test_provenance_rollup(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import triples as T
+
+    rows = [
+        # (subj, pred, obj, doc_id, ts)
+        ("a", "p", "b", "d1", 10),
+        ("a", "p", "b", "d1", 12),   # second mention, same doc
+        ("a", "p", "b", "d2", 30),
+        ("x", "p", "y", "d3", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string, ts long"
+    )
+    got = {
+        (r.subj, r.obj): (r.n_docs, r.n_mentions, r.first_seen, r.last_seen, r.confidence)
+        for r in T.provenance_rollup(df, ts_col="ts").collect()
+    }
+    assert got[("a", "b")] == (2, 3, 10, 30, round(2 / 7, 6))
+    assert got[("x", "y")] == (1, 1, 5, 5, round(1 / 6, 6))
+    # min_docs gate
+    assert T.provenance_rollup(df, min_docs=2).count() == 1
+    # increment composability: rollup(old ∪ new) equals rollup over all
+    old = df.where(F.col("ts") < 20)
+    new = df.where(F.col("ts") >= 20)
+    merged = {
+        (r.subj, r.obj): (r.n_docs, r.n_mentions, r.confidence)
+        for r in T.provenance_rollup(old.unionByName(new)).collect()
+    }
+    direct = {
+        (r.subj, r.obj): (r.n_docs, r.n_mentions, r.confidence)
+        for r in T.provenance_rollup(df).collect()
+    }
+    assert merged == direct
