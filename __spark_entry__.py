@@ -4650,6 +4650,95 @@ def q_robots_delays(spark, sf_dir):
     )
 
 
+def _jsonld_page(d: int, s: str) -> tuple:
+    """Deterministic page html for (doc_id d, source s) — q_jsonld's
+    Spark side synthesizes the SAME bytes with column ops.  Exercises:
+    a plain JS script (ignored), a valid Article block, an extra Person
+    block (d%3==0, no url/description), a malformed block (d%4==0), and
+    an array block (d%5==0) — the latter two must drop."""
+    parts = ["<html><script type=\"text/javascript\">var x=1;</script>"]
+    parts.append(
+        '<script type="application/ld+json">{"@type": "Article", '
+        f'"name": "art-{d}", "url": "https://{s}.org/{d}", '
+        f'"description": "desc {d % 7}"}}</script>'
+    )
+    if d % 3 == 0:
+        parts.append(
+            '<script type="application/ld+json">'
+            f'{{"@type": "Person", "name": "p{d}"}}</script>'
+        )
+    if d % 4 == 0:
+        parts.append('<script type="application/ld+json">{oops</script>')
+    if d % 5 == 0:
+        parts.append(
+            '<script type="application/ld+json">'
+            '[{"@type": "Thing", "name": "a"}]</script>'
+        )
+    parts.append("</html>")
+    return (f"https://{s}.example.org/{d}", "".join(parts))
+
+
+def _jsonld_pages_df(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    d, s = F.col("doc_id"), F.col("source")
+
+    def when_part(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<html><script type="text/javascript">var x=1;</script>'),
+        F.lit('<script type="application/ld+json">{"@type": "Article", "name": "art-'),
+        d.cast("string"),
+        F.lit('", "url": "https://'),
+        s,
+        F.lit(".org/"),
+        d.cast("string"),
+        F.lit('", "description": "desc '),
+        (d % 7).cast("string"),
+        F.lit('"}</script>'),
+        when_part(
+            d % 3 == 0,
+            F.lit('<script type="application/ld+json">{"@type": "Person", "name": "p'),
+            d.cast("string"),
+            F.lit('"}</script>'),
+        ),
+        when_part(
+            d % 4 == 0,
+            F.lit('<script type="application/ld+json">{oops</script>'),
+        ),
+        when_part(
+            d % 5 == 0,
+            F.lit('<script type="application/ld+json">[{"@type": "Thing", "name": "a"}]</script>'),
+        ),
+        F.lit("</html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://"), s, F.lit(".example.org/"), d.cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_jsonld(spark, sf_dir):
+    """schema.org JSON-LD extraction (weblinks.extract_jsonld): ld+json
+    blocks → typed entities via from_json; malformed/array blocks drop.
+    VALUES oracle pyoracle.jsonld_rows over the same page bytes."""
+    from dug_spark.operators import weblinks
+
+    return weblinks.extract_jsonld(_jsonld_pages_df(spark, sf_dir))
+
+
+def q_kg_jsonld_triples(spark, sf_dir):
+    """Declared-markup triples (weblinks.jsonld_to_triples): page
+    declares_entity schema:<Type>/<name> + the entity's rdf:type edge.
+    Oracle: the same derivation in SQL over the jsonld VALUES table."""
+    from dug_spark.operators import weblinks
+
+    return weblinks.jsonld_to_triples(
+        weblinks.extract_jsonld(_jsonld_pages_df(spark, sf_dir))
+    )
+
+
 def q_kg_provenance(spark, sf_dir):
     """Per-triple provenance rollup (triples.provenance_rollup): one row
     per asserted subclass triple with its evidence — distinct supporting
@@ -4872,6 +4961,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "table_stats": q_table_stats,
         "kg_provenance": q_kg_provenance,
+        "jsonld_entities": q_jsonld,
+        "kg_jsonld_triples": q_kg_jsonld_triples,
     }
 
 
@@ -5813,6 +5904,25 @@ FROM keyed
             po.winnow_overlap_rows(_wn_docs, 5, 4, min_shared=2, max_df=50),
             "id_a, id_b, shared, overlap",
             "BIGINT, BIGINT, BIGINT, DOUBLE",
+        )
+        _jl_rows = po.jsonld_rows([_jsonld_page(d, s) for d, s in id_src])
+        out["jsonld_entities"] = _values_or_empty(
+            _jl_rows,
+            "url, block_idx, entity_type, name, entity_url, description",
+            "VARCHAR, INTEGER, VARCHAR, VARCHAR, VARCHAR, VARCHAR",
+        )
+        out["kg_jsonld_triples"] = (
+            "WITH e(url, block_idx, entity_type, name, entity_url, description) AS ("
+            + ("VALUES " + _vals(_jl_rows) if _jl_rows else
+               "SELECT NULL, NULL, NULL, NULL, NULL, NULL WHERE FALSE")
+            + "), ent AS (SELECT url, "
+            "  'schema:' || entity_type || '/' || name AS eid, "
+            "  'schema:' || entity_type AS etype "
+            "  FROM e WHERE name IS NOT NULL) "
+            "SELECT DISTINCT subj, pred, obj FROM ("
+            "  SELECT url AS subj, 'declares_entity' AS pred, eid AS obj FROM ent "
+            "  UNION ALL "
+            "  SELECT eid AS subj, 'rdf:type' AS pred, etype AS obj FROM ent)"
         )
         _zo_in = [
             (d, f"doc:{d % 41}", _ZORDER_PREDS[d % 4]) for d, _s in id_src

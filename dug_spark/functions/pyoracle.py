@@ -2172,3 +2172,36 @@ def winnow_overlap_rows(docs, k: int = 5, window: int = 4,
                      round_half_up(shared / min(sizes[a], sizes[b]), 6))
                 )
     return out
+
+
+def jsonld_rows(pages):
+    """Mirror of weblinks.extract_jsonld over (url, html) pairs — strict
+    JSON objects with string fields (the synthesis contract; Spark's
+    from_json drops malformed/array blocks exactly as the except/
+    isinstance guards here do)."""
+    import json as _json
+    import re as _re
+
+    pat = _re.compile(
+        r'<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)</script>',
+        _re.I | _re.S,
+    )
+    out = []
+    for url, html in pages:
+        for idx, block in enumerate(pat.findall(html or "")):
+            try:
+                obj = _json.loads(block.strip())
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            t = obj.get("@type")
+            if not isinstance(t, str):
+                continue
+
+            def s(k):
+                v = obj.get(k)
+                return v if isinstance(v, str) else None
+
+            out.append((url, idx, t, s("name"), s("url"), s("description")))
+    return out

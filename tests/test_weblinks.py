@@ -347,3 +347,78 @@ def test_extract_main_content_matches_mirror_and_plan(spark):
     plan = extract_main_content(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_jsonld_parses_and_drops(spark):
+    from dug_spark.operators import weblinks
+
+    html = (
+        "<html>"
+        '<script type="text/javascript">var x = 1;</script>'
+        '<script type="application/ld+json">'
+        '{"@type": "Article", "name": "hello", "url": "https://e.org/1"}'
+        "</script>"
+        "<SCRIPT TYPE='application/ld+json'>{\"@type\": \"Person\", \"name\": \"ada\"}</SCRIPT>"
+        '<script type="application/ld+json">{not json</script>'
+        '<script type="application/ld+json">[{"@type": "Thing"}]</script>'
+        '<script type="application/ld+json">{"name": "no type"}</script>'
+        "</html>"
+    )
+    pages = spark.createDataFrame(
+        [("u1", html), ("u2", None)], "url string, html string"
+    )
+    got = {
+        (r.url, r.block_idx, r.entity_type, r.name, r.entity_url)
+        for r in weblinks.extract_jsonld(pages).collect()
+    }
+    # valid blocks survive (case-insensitive tag/quote forms), malformed
+    # + array + missing-@type drop, NULL html yields nothing
+    assert got == {
+        ("u1", 0, "Article", "hello", "https://e.org/1"),
+        ("u1", 1, "Person", "ada", None),
+    }
+
+
+def test_jsonld_mirror_parity(spark):
+    from dug_spark.functions import pyoracle
+    from dug_spark.operators import weblinks
+
+    pages = [
+        (
+            f"u{i}",
+            '<script type="application/ld+json">'
+            f'{{"@type": "Product", "name": "item-{i}"}}</script>'
+            + ('<script type="application/ld+json">{bad</script>' if i % 2 else ""),
+        )
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {
+        tuple(r) for r in weblinks.extract_jsonld(df).collect()
+    }
+    want = set(pyoracle.jsonld_rows(pages))
+    assert got == want
+
+
+def test_jsonld_to_triples(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import weblinks
+
+    ents = spark.createDataFrame(
+        [
+            ("u1", 0, "Article", "hello", None, None),
+            ("u1", 1, "Article", "hello", None, None),  # dup → distinct
+            ("u2", 0, "Person", None, None, None),      # no name → dropped
+        ],
+        "url string, block_idx int, entity_type string, name string, "
+        "entity_url string, description string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in weblinks.jsonld_to_triples(ents).collect()
+    }
+    assert got == {
+        ("u1", "declares_entity", "schema:Article/hello"),
+        ("schema:Article/hello", "rdf:type", "schema:Article"),
+    }
