@@ -4739,6 +4739,66 @@ def q_kg_jsonld_triples(spark, sf_dir):
     )
 
 
+def _table_page(d: int, s: str) -> tuple:
+    """Deterministic table html for (doc_id d, source s) — q_html_tables'
+    Spark side synthesizes the SAME bytes with column ops.  Exercises:
+    header row, data rows with tag + whitespace noise inside cells,
+    attribute-carrying and uppercase tags (d%3==0 second table), and a
+    rowless table (d%4==0) contributing nothing."""
+    h = [
+        "<html><table class=\"t\">",
+        "<tr><th>key</th><th>value</th></tr>",
+        f"<tr><td>rows</td><td> <b>{d % 9}</b>\n</td></tr>",
+        f"<tr><td>src</td><td>{s}</td></tr>",
+        "</table>",
+    ]
+    if d % 3 == 0:
+        h.append(f"<TABLE><TR><TD>x-{d % 5}</TD></TR></TABLE>")
+    if d % 4 == 0:
+        h.append("<table><caption>empty</caption></table>")
+    h.append("</html>")
+    return (f"https://{s}.example.org/{d}", "".join(h))
+
+
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (weblinks.extract_tables): three nested
+    non-greedy extractions as higher-order functions, one cell row per
+    (url, table, row, col) with header flag and cleaned text.  VALUES
+    oracle pyoracle.html_table_rows over the same page bytes."""
+    from dug_spark.operators import weblinks
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
+    d, s = F.col("doc_id"), F.col("source")
+
+    def when_part(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<html><table class="t"><tr><th>key</th><th>value</th></tr>'
+              "<tr><td>rows</td><td> <b>"),
+        (d % 9).cast("string"),
+        F.lit("</b>\n</td></tr><tr><td>src</td><td>"),
+        s,
+        F.lit("</td></tr></table>"),
+        when_part(
+            d % 3 == 0,
+            F.lit("<TABLE><TR><TD>x-"),
+            (d % 5).cast("string"),
+            F.lit("</TD></TR></TABLE>"),
+        ),
+        when_part(
+            d % 4 == 0, F.lit("<table><caption>empty</caption></table>")
+        ),
+        F.lit("</html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), s, F.lit(".example.org/"), d.cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    return weblinks.extract_tables(pages)
+
+
 def q_kg_provenance(spark, sf_dir):
     """Per-triple provenance rollup (triples.provenance_rollup): one row
     per asserted subclass triple with its evidence — distinct supporting
@@ -4963,6 +5023,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_provenance": q_kg_provenance,
         "jsonld_entities": q_jsonld,
         "kg_jsonld_triples": q_kg_jsonld_triples,
+        "html_tables": q_html_tables,
     }
 
 
@@ -5904,6 +5965,11 @@ FROM keyed
             po.winnow_overlap_rows(_wn_docs, 5, 4, min_shared=2, max_df=50),
             "id_a, id_b, shared, overlap",
             "BIGINT, BIGINT, BIGINT, DOUBLE",
+        )
+        out["html_tables"] = _values_or_empty(
+            po.html_table_rows([_table_page(d, s) for d, s in id_src]),
+            "url, table_idx, row_idx, col_idx, is_header, cell",
+            "VARCHAR, INTEGER, INTEGER, INTEGER, BOOLEAN, VARCHAR",
         )
         _jl_rows = po.jsonld_rows([_jsonld_page(d, s) for d, s in id_src])
         out["jsonld_entities"] = _values_or_empty(

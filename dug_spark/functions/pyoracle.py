@@ -2205,3 +2205,27 @@ def jsonld_rows(pages):
 
             out.append((url, idx, t, s("name"), s("url"), s("description")))
     return out
+
+
+def html_table_rows(pages):
+    """Mirror of weblinks.extract_tables over (url, html) pairs — same
+    three nested non-greedy extractions, tag strip, Java-\\s collapse."""
+    import re as _re
+
+    tpat = _re.compile(r"<table[^>]*>(.*?)</table>", _re.I | _re.S)
+    rpat = _re.compile(r"<tr[^>]*>(.*?)</tr>", _re.I | _re.S)
+    cpat = _re.compile(r"<t([dh])[^>]*>(.*?)</t[dh]>", _re.I | _re.S)
+    out = []
+    for url, html in pages:
+        for ti, t in enumerate(tpat.findall(html or "")):
+            for ri, r in enumerate(rpat.findall(t)):
+                for ci, m in enumerate(cpat.finditer(r)):
+                    cell = _re.sub(
+                        r"[ \t\n\x0b\f\r]+",
+                        " ",
+                        _re.sub(r"<[^>]*>", " ", m.group(0), flags=_re.S),
+                    ).strip(" ")
+                    out.append(
+                        (url, ti, ri, ci, m.group(1).lower() == "h", cell)
+                    )
+    return out

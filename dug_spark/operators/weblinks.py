@@ -494,3 +494,75 @@ def jsonld_to_triples(entities: DataFrame) -> DataFrame:
         F.col("etype").alias("obj"),
     )
     return declares.unionByName(rdf_type).distinct()
+
+
+def extract_tables(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """HTML table extraction — the other declared-structure source next
+    to JSON-LD: relational facts web pages publish as ``<table>`` markup
+    (infoboxes, spec sheets, league tables) flattened to one row per
+    cell, ``(url, table_idx, row_idx, col_idx, is_header, cell)``, the
+    shape a downstream fact-extraction join consumes.
+
+    Three nested non-greedy extractions (tables → ``<tr>`` rows →
+    ``<td>/<th>`` cells) composed as higher-order functions over
+    ``regexp_extract_all``, then tag-strip + ASCII-whitespace collapse
+    per cell — ONE narrow map plus the explode, zero UDF, zero shuffle;
+    the structural regexes are the same simplified-HTML grammar the
+    main-content and metadata extractors use (cited there), shared with
+    the pure mirror ``pyoracle.html_table_rows``.  Nested tables are out
+    of the grammar (the inner table's cells surface, the outer cell
+    keeps its raw text) — documented, mirrored identically.
+    """
+    tables = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")),
+        F.lit(r"(?is)<table[^>]*>(.*?)</table>"),
+        1,
+    )
+    rows_of = lambda t: F.regexp_extract_all(  # noqa: E731
+        t, F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"), 1
+    )
+    cells_of = lambda r: F.regexp_extract_all(  # noqa: E731
+        r, F.lit(r"(?is)<t([dh])[^>]*>(.*?)</t[dh]>"), 0
+    )
+    clean = lambda c: F.trim(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(c, r"(?s)<[^>]*>", " "), r"[ \t\n\x0B\f\r]+", " "
+        )
+    )
+    nested = F.transform(
+        tables,
+        lambda t, ti: F.struct(
+            ti.alias("table_idx"),
+            F.transform(
+                rows_of(t),
+                lambda r, ri: F.struct(
+                    ri.alias("row_idx"),
+                    F.transform(
+                        cells_of(r),
+                        lambda c, ci: F.struct(
+                            ci.alias("col_idx"),
+                            F.lower(F.regexp_extract(c, r"(?is)^<t([dh])", 1))
+                            .eqNullSafe("h")
+                            .alias("is_header"),
+                            clean(c).alias("cell"),
+                        ),
+                    ).alias("cells"),
+                ),
+            ).alias("rows"),
+        ),
+    )
+    return (
+        df.select(F.col(url_col).alias("url"), F.explode(nested).alias("t"))
+        .select("url", F.col("t.table_idx").alias("table_idx"), F.explode("t.rows").alias("r"))
+        .select("url", "table_idx", F.col("r.row_idx").alias("row_idx"), F.explode("r.cells").alias("c"))
+        .select(
+            "url",
+            "table_idx",
+            "row_idx",
+            F.col("c.col_idx").alias("col_idx"),
+            F.col("c.is_header").alias("is_header"),
+            F.col("c.cell").alias("cell"),
+        )
+    )

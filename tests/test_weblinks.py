@@ -422,3 +422,34 @@ def test_jsonld_to_triples(spark):
         ("u1", "declares_entity", "schema:Article/hello"),
         ("schema:Article/hello", "rdf:type", "schema:Article"),
     }
+
+
+def test_extract_tables_shapes_and_mirror(spark):
+    from dug_spark.functions import pyoracle
+    from dug_spark.operators import weblinks
+
+    pages = [
+        (
+            "u1",
+            '<table><tr><th>K</th><th>V</th></tr>'
+            "<tr><td>a</td><td> <b>b</b>\nc </td></tr></table>"
+            "<TABLE><TR><TD>second</TD></TR></TABLE>",
+        ),
+        ("u2", "<table><caption>rowless</caption></table>"),
+        ("u3", "no tables here"),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    got = {tuple(r) for r in weblinks.extract_tables(df).collect()}
+    assert got == set(pyoracle.html_table_rows(pages))
+    by_url = {}
+    for u, ti, ri, ci, is_h, cell in got:
+        by_url.setdefault(u, []).append((ti, ri, ci, is_h, cell))
+    assert sorted(by_url["u1"]) == [
+        (0, 0, 0, True, "K"),
+        (0, 0, 1, True, "V"),
+        (0, 1, 0, False, "a"),
+        (0, 1, 1, False, "b c"),
+        (1, 0, 0, False, "second"),
+    ]
+    assert "u2" not in by_url and "u3" not in by_url and "u4" not in by_url
