@@ -4760,13 +4760,7 @@ def _table_page(d: int, s: str) -> tuple:
     return (f"https://{s}.example.org/{d}", "".join(h))
 
 
-def q_html_tables(spark, sf_dir):
-    """HTML table extraction (weblinks.extract_tables): three nested
-    non-greedy extractions as higher-order functions, one cell row per
-    (url, table, row, col) with header flag and cleaned text.  VALUES
-    oracle pyoracle.html_table_rows over the same page bytes."""
-    from dug_spark.operators import weblinks
-
+def _table_pages_df(spark, sf_dir):
     docs = _pq(spark, sf_dir, "documents").select("doc_id", "source")
     d, s = F.col("doc_id"), F.col("source")
 
@@ -4791,12 +4785,32 @@ def q_html_tables(spark, sf_dir):
         ),
         F.lit("</html>"),
     )
-    pages = docs.select(
+    return docs.select(
         F.concat(F.lit("https://"), s, F.lit(".example.org/"), d.cast("string"))
         .alias("url"),
         html.alias("html"),
     )
-    return weblinks.extract_tables(pages)
+
+
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (weblinks.extract_tables): three nested
+    non-greedy extractions as higher-order functions, one cell row per
+    (url, table, row, col) with header flag and cleaned text.  VALUES
+    oracle pyoracle.html_table_rows over the same page bytes."""
+    from dug_spark.operators import weblinks
+
+    return weblinks.extract_tables(_table_pages_df(spark, sf_dir))
+
+
+def q_kg_table_triples(spark, sf_dir):
+    """Infobox attribute triples (weblinks.tables_to_triples): 2-column
+    tables → (page, attr:<key-slug>, value).  Oracle: the same shape
+    detection + key slugging in SQL over the html_tables VALUES."""
+    from dug_spark.operators import weblinks
+
+    return weblinks.tables_to_triples(
+        weblinks.extract_tables(_table_pages_df(spark, sf_dir))
+    )
 
 
 def q_kg_provenance(spark, sf_dir):
@@ -5024,6 +5038,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_entities": q_jsonld,
         "kg_jsonld_triples": q_kg_jsonld_triples,
         "html_tables": q_html_tables,
+        "kg_table_triples": q_kg_table_triples,
     }
 
 
@@ -5966,11 +5981,31 @@ FROM keyed
             "id_a, id_b, shared, overlap",
             "BIGINT, BIGINT, BIGINT, DOUBLE",
         )
+        _tb_rows = po.html_table_rows([_table_page(d, s) for d, s in id_src])
         out["html_tables"] = _values_or_empty(
-            po.html_table_rows([_table_page(d, s) for d, s in id_src]),
+            _tb_rows,
             "url, table_idx, row_idx, col_idx, is_header, cell",
             "VARCHAR, INTEGER, INTEGER, INTEGER, BOOLEAN, VARCHAR",
         )
+        if _tb_rows:
+            out["kg_table_triples"] = (
+                "WITH c(url, table_idx, row_idx, col_idx, is_header, cell) "
+                f"AS (VALUES {_vals(_tb_rows)}), "
+                "shape AS (SELECT url, table_idx, MAX(col_idx) AS mc "
+                "  FROM c GROUP BY url, table_idx), "
+                "two AS (SELECT url, table_idx FROM shape WHERE mc = 1), "
+                "data AS (SELECT c.* FROM c JOIN two USING (url, table_idx) "
+                "  WHERE NOT is_header), "
+                "k AS (SELECT url, table_idx, row_idx, "
+                "  array_to_string(list_filter(string_split_regex(lower(cell), "
+                "  '[^a-z0-9]+'), x -> x <> ''), '_') AS key "
+                "  FROM data WHERE col_idx = 0), "
+                "v AS (SELECT url, table_idx, row_idx, cell AS value "
+                "  FROM data WHERE col_idx = 1) "
+                "SELECT DISTINCT k.url AS subj, 'attr:' || key AS pred, "
+                "value AS obj FROM k JOIN v USING (url, table_idx, row_idx) "
+                "WHERE key <> '' AND value <> ''"
+            )
         _jl_rows = po.jsonld_rows([_jsonld_page(d, s) for d, s in id_src])
         out["jsonld_entities"] = _values_or_empty(
             _jl_rows,

@@ -566,3 +566,50 @@ def extract_tables(
             F.col("c.cell").alias("cell"),
         )
     )
+
+
+def tables_to_triples(cells: DataFrame) -> DataFrame:
+    """Infobox tables → attribute triples: a two-column table is the
+    web's key/value convention (Wikipedia infoboxes, product spec
+    sheets), so for every table whose data rows have exactly columns
+    {0, 1}, each non-header row emits (page, attr:<key-slug>, value) —
+    the declared-attribute analog of jsonld_to_triples, feeding the
+    same triple write path and provenance_rollup.
+
+    Key slugs are the snake-ish lowercase [a-z0-9]+ join of the key
+    cell; rows with empty key or value drop.  One aggregation to find
+    the 2-column tables (per-table max col index — table-cardinality,
+    dimension-sized next to the cell rows) + one semi-join back.
+    """
+    shape = cells.groupBy("url", "table_idx").agg(
+        F.max("col_idx").alias("max_col")
+    )
+    two_col = shape.where(F.col("max_col") == 1).select("url", "table_idx")
+    data = (
+        cells.join(two_col, ["url", "table_idx"], "left_semi")
+        .where(~F.col("is_header"))
+    )
+    keys = data.where(F.col("col_idx") == 0).select(
+        "url",
+        "table_idx",
+        "row_idx",
+        F.concat_ws(
+            "_",
+            F.filter(
+                F.split(F.lower("cell"), r"[^a-z0-9]+"), lambda t: t != ""
+            ),
+        ).alias("key"),
+    )
+    vals = data.where(F.col("col_idx") == 1).select(
+        "url", "table_idx", "row_idx", F.col("cell").alias("value")
+    )
+    return (
+        keys.join(vals, ["url", "table_idx", "row_idx"])
+        .where((F.col("key") != "") & (F.col("value") != ""))
+        .select(
+            F.col("url").alias("subj"),
+            F.concat(F.lit("attr:"), F.col("key")).alias("pred"),
+            F.col("value").alias("obj"),
+        )
+        .distinct()
+    )

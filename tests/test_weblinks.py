@@ -453,3 +453,27 @@ def test_extract_tables_shapes_and_mirror(spark):
         (1, 0, 0, False, "second"),
     ]
     assert "u2" not in by_url and "u3" not in by_url and "u4" not in by_url
+
+
+def test_tables_to_triples(spark):
+    from dug_spark.operators import weblinks
+
+    html = (
+        '<table><tr><th>Key</th><th>Value</th></tr>'
+        "<tr><td>Release Date</td><td>2020</td></tr>"
+        "<tr><td>Weight (kg)</td><td>1.5</td></tr>"
+        "<tr><td></td><td>orphan</td></tr>"
+        "</table>"
+        "<table><tr><td>a</td><td>b</td><td>c</td></tr></table>"  # 3-col: skip
+    )
+    pages = spark.createDataFrame([("u1", html)], "url string, html string")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in weblinks.tables_to_triples(
+            weblinks.extract_tables(pages)
+        ).collect()
+    }
+    assert got == {
+        ("u1", "attr:release_date", "2020"),
+        ("u1", "attr:weight_kg", "1.5"),
+    }
