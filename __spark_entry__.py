@@ -423,15 +423,18 @@ def _bellman_sql(prefix_with_we: str, iters: int) -> str:
     return sql + f" SELECT seed, node, dist FROM d{iters}"
 
 
-def _pagerank_iters(prefix_with_e: str, damping: float = 0.85, iters: int = 10) -> str:
+def _pagerank_iters(prefix_with_e: str, damping: float = 0.85, iters: int = 10,
+                    weighted: bool = False) -> str:
     """Unrolled PageRank iterations over any prefix SQL that defines a CTE
-    ``e(src, dst)``; dangling mass (sink-node rank, redistributed
-    uniformly) included — mirrors operators/graph.pagerank exactly."""
+    ``e(src, dst)`` (or ``e(src, dst, w)`` with ``weighted=True``);
+    dangling mass (sink-node rank, redistributed uniformly) included —
+    mirrors operators/graph.pagerank exactly."""
     d = repr(damping)
+    deg_expr = "SUM(w)" if weighted else "COUNT(*)"
     sql = (
         f"{prefix_with_e}, "
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), "
-        "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src), "
+        f"deg AS MATERIALIZED (SELECT src AS node, {deg_expr} AS out_deg FROM e GROUP BY src), "
         "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), "
         "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
     )
@@ -440,13 +443,18 @@ def _pagerank_iters(prefix_with_e: str, damping: float = 0.85, iters: int = 10) 
             f"(SELECT COALESCE(SUM(r.rank), 0) FROM r{i} r "
             "LEFT JOIN deg ON deg.node = r.node WHERE deg.node IS NULL)"
         )
+        contrib_sel = (
+            "SELECT e.dst AS node, SUM(r.rank * e.w / deg.out_deg) AS contrib "
+            if weighted
+            else "SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS contrib "
+        )
         sql += (
             f", r{i + 1} AS MATERIALIZED (SELECT b.node, "
             f"(1 - {d}) / (SELECT n FROM nn) + {d} * (COALESCE(c.contrib, 0) "
             f"+ {dang} / (SELECT n FROM nn)) AS rank "
             "FROM nodes b LEFT JOIN ("
-            f"SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS contrib "
-            f"FROM e JOIN r{i} r ON e.src = r.node "
+            + contrib_sel
+            + f"FROM e JOIN r{i} r ON e.src = r.node "
             "JOIN deg ON deg.node = e.src GROUP BY e.dst) c ON b.node = c.node)"
         )
     # ROUND(5) matches the Spark side — see q_kg_pagerank's rounding note
@@ -4802,6 +4810,25 @@ def q_html_tables(spark, sf_dir):
     return weblinks.extract_tables(_table_pages_df(spark, sf_dir))
 
 
+def q_web_rank_weighted(spark, sf_dir):
+    """Weighted PageRank (graph.pagerank weight_col=...): rank flows
+    proportionally to edge weight — here a 2^-k temporal-decay weight
+    (exact binary doubles, cross-engine safe) over a deterministic host
+    graph.  Oracle: the weighted unrolled-iteration SQL."""
+    from dug_spark.operators import graph
+
+    docs = _pq(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("h"), (d % 97).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((d * 7 + 3) % 97).cast("string")).alias("dst"),
+        F.pow(F.lit(2.0), -(d % 5).cast("double")).alias("w"),
+    ).where(F.col("src") != F.col("dst"))
+    return graph.pagerank(
+        edges, iterations=10, weight_col="w", broadcast_ranks=True
+    ).select("node", F.round("rank", 5).alias("rank"))
+
+
 def q_kg_table_triples(spark, sf_dir):
     """Infobox attribute triples (weblinks.tables_to_triples): 2-column
     tables → (page, attr:<key-slug>, value).  Oracle: the same shape
@@ -5039,6 +5066,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_jsonld_triples": q_kg_jsonld_triples,
         "html_tables": q_html_tables,
         "kg_table_triples": q_kg_table_triples,
+        "web_rank_weighted": q_web_rank_weighted,
     }
 
 
@@ -5154,6 +5182,22 @@ def extra_oracle_sql() -> dict[str, str]:
             "reach(id, r) AS (SELECT id, id FROM nodes "
             "  UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id) "
             "SELECT id, MIN(r) AS comp FROM reach GROUP BY id"
+        ),
+        # weighted PR: same derivation, 2^-k weights are exact binary
+        # doubles so the weighted sums agree at ROUND 5 like kg_pagerank
+        "web_rank_weighted": (
+            "SELECT node, rank FROM ("
+            + _pagerank_iters(
+                "WITH e AS MATERIALIZED ("
+                "SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src, "
+                "'h' || CAST((doc_id * 7 + 3) % 97 AS VARCHAR) AS dst, "
+                "POWER(2.0, -CAST(doc_id % 5 AS DOUBLE)) AS w "
+                "FROM documents "
+                "WHERE 'h' || CAST(doc_id % 97 AS VARCHAR) "
+                "  <> 'h' || CAST((doc_id * 7 + 3) % 97 AS VARCHAR))",
+                weighted=True,
+            )
+            + ")"
         ),
         # provenance: same join + grouped aggregates; confidence =
         # n_docs/(n_docs+5) with identical double arithmetic

@@ -43,6 +43,7 @@ def pagerank(
     dst_col: str = "dst",
     broadcast_ranks: bool = True,
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank) with
     Σ rank = 1.  Parallel edges count as multiple edges (pre-dedup the
@@ -64,16 +65,27 @@ def pagerank(
     Deterministic up to float-sum order; callers that hash-compare round
     the result (functions/pyoracle has no mirror — the driver oracle is
     real unrolled-iteration SQL, independently aggregated by DuckDB)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    else:
+        # weighted variant: rank flows proportionally to edge weight —
+        # the anchor-count / temporal-decay host graph case.  Non-positive
+        # weights drop (a zero-weight out-edge must not turn its source
+        # into a non-dangling node with nothing to give).
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        ).where(F.col("w") > 0)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+        F.sum("w").alias("out_deg")
     )
     # node-sized precompute, reused every iteration: rank + out_deg
     # (out_deg null ⇒ dangling)
@@ -111,7 +123,7 @@ def pagerank(
             e.join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+                (F.col("rank") * F.col("w") / F.col("out_deg")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))

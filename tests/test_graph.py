@@ -155,3 +155,43 @@ def test_pagerank_warm_start_converges_faster(spark):
     # after the same 3 iterations the warm start is strictly closer to
     # the new fixed point than the cold start
     assert warm3 < cold3 / 3
+
+
+def test_weighted_pagerank_properties(spark):
+    from pyspark.sql import functions as F
+
+    from dug_spark.operators import graph
+
+    # weight=1.0 everywhere == unweighted, bit-for-bit
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    w1 = edges.withColumn("w", F.lit(1.0))
+    plain = {
+        r.node: r.rank
+        for r in graph.pagerank(edges, iterations=5).collect()
+    }
+    weighted = {
+        r.node: r.rank
+        for r in graph.pagerank(w1, iterations=5, weight_col="w").collect()
+    }
+    assert plain == weighted
+    # weight dominance: a pours 99% of its mass to b -> rank(b) > rank(c)
+    skew = spark.createDataFrame(
+        [("a", "b", 99.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {
+        r.node: r.rank
+        for r in graph.pagerank(skew, iterations=10, weight_col="w").collect()
+    }
+    assert ranks["b"] > ranks["c"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # non-positive weights drop: the zero-weight edge's source becomes
+    # dangling, not an edge that contributes nothing
+    z = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "a", 0.0)], "src string, dst string, w double"
+    )
+    rz = {r.node: r.rank for r in graph.pagerank(z, iterations=3, weight_col="w").collect()}
+    assert abs(sum(rz.values()) - 1.0) < 1e-9
