@@ -135,12 +135,24 @@ def _record_sf_dir(sf_dir: str) -> None:
     _LAST_SF_DIR = sf_dir
 
 
+def _dict_entries(rows) -> dict[str, list]:
+    """Precollected annotate entries straight from the fixture list —
+    the documented ``entries=`` fast path of annotate_mentions, skipping
+    the per-query createDataFrame → collect round-trip of a dimension
+    table that already lives driver-side."""
+    entries: dict[str, list] = {}
+    for (t, c, l, ty, s) in rows:
+        entries.setdefault(t, []).append((c, l, list(ty or []), s))
+    return entries
+
+
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """en-corpus × vocab dictionary, no preprocessing (the oracle LIKE
     predicate mirrors word-boundary presence matching exactly)."""
     corpus = _corpus(spark, sf_dir).where(F.col("lang") == "en")
     return annotate.annotate_mentions(
-        corpus, fixtures.vocab_dictionary(spark), preprocess=False
+        corpus, None, preprocess=False,
+        entries=_dict_entries(fixtures.VOCAB_DICTIONARY),
     )
 
 
@@ -683,9 +695,10 @@ def q_relation_extract(spark, sf_dir):
     )
     rel = relations.extract_relations(
         injected,
-        fixtures.vocab_dictionary(spark),
+        None,
         text_col="text",
         id_col="doc_id",
+        vocab=[(t, c) for (t, c, _l, _ty, _s) in fixtures.VOCAB_DICTIONARY],
     )
     return rel.select(
         F.col("id").alias("doc_id"), "subj", "pred", "obj",

@@ -108,6 +108,17 @@ def sliding_window_udf(max_characters: int = 2000, padding_words: int = 5):
     return _sw
 
 
+def extract_text_col(col) -> F.Column:
+    """JVM codegen twin of ``extract_text_udf``: decode UTF-8, strip
+    ``<[^>]*>`` tags.  Byte-identical to the UDF on valid UTF-8 input
+    ('<' and '>' are ASCII and cannot occur inside a multibyte sequence,
+    so stripping before or after decoding commutes) — pytest asserts the
+    equality on the synthetic corpus.  Keeps the html→text invariant
+    entirely inside whole-stage codegen: the pipeline's corpus pass pays
+    no Python boundary for extraction."""
+    return F.regexp_replace(F.decode(col, "UTF-8"), "<[^>]*>", "")
+
+
 @F.pandas_udf(StringType())
 def extract_text_udf(batch: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """html (binary) → text, byte-identical per url.

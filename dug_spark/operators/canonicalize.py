@@ -23,8 +23,11 @@ NodeNorm says", which is a fixed function of the same table).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def equivalence_edges(curie_norm: DataFrame) -> DataFrame:
@@ -45,8 +48,45 @@ def equivalence_edges(curie_norm: DataFrame) -> DataFrame:
     )
 
 
+def _min_label_in_driver(rows, max_iter: int) -> dict:
+    """Level-synchronous fixpoint of the EXACT per-round update the
+    distributed loop applies — comp(v) ← min(comp(v), min over edge
+    (u → v) of comp(u)) — over a collected edge list, with the SAME
+    ``max_iter`` round budget and non-convergence RuntimeError, so the
+    fast path is observationally identical (including the directed-
+    propagation behavior on un-symmetrized inputs and the refuse-to-
+    truncate contract on chains longer than the budget)."""
+    out_edges: dict = {}
+    labels: dict = {}
+    for r in rows:
+        s, d = r[0], r[1]
+        out_edges.setdefault(s, []).append(d)
+        labels.setdefault(s, s)
+        labels.setdefault(d, d)
+    for _ in range(max_iter):
+        changed = False
+        new_labels = dict(labels)
+        for u, ds in out_edges.items():
+            lu = labels[u]
+            for v in ds:
+                if lu < new_labels[v]:
+                    new_labels[v] = lu
+                    changed = True
+        labels = new_labels
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} "
+        "iterations (equivalence chain longer than max_iter hops); "
+        "raise max_iter"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, num_partitions: int | None = None
+    edges: DataFrame,
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+    driver_cutoff_edges: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (id, comp) with comp = min node id reachable.
 
@@ -58,8 +98,44 @@ def connected_components(
     partition per ~500k edges), not to the corpus-level default — on a
     dimension-sized equivalence graph the driver round-trips otherwise
     dominate wall time.
+
+    Small-graph fast path: below ``driver_cutoff_edges`` edges (env
+    ``DUG_SPARK_CC_DRIVER_EDGES``, default 200k — a few MB collected)
+    the fixpoint runs as a driver-side worklist over the collected edge
+    list instead of a multi-round shuffle loop whose per-round cluster
+    latency dwarfs the label work.  Equivalence graphs are
+    dimension-sized by construction; duplicate-pair graphs above the
+    cutoff (near-dedup at corpus scale) take the distributed loop
+    unchanged.  Semantics are identical (same per-edge min-propagation
+    fixpoint, pytest-asserted equal).
     """
     spark = edges.sparkSession
+    if driver_cutoff_edges is None:
+        driver_cutoff_edges = int(
+            os.environ.get("DUG_SPARK_CC_DRIVER_EDGES", "200000")
+        )
+    if driver_cutoff_edges > 0:
+        # one job: if ≤ cutoff rows come back the edge list is complete
+        probe = (
+            edges.select("src", "dst").limit(driver_cutoff_edges + 1).collect()
+        )
+        if len(probe) <= driver_cutoff_edges:
+            labels = _min_label_in_driver(probe, max_iter)
+            import pandas as pd
+
+            id_type = edges.schema["src"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("comp", id_type),
+                ]
+            )
+            items = sorted(labels.items())
+            pdf = pd.DataFrame(
+                {"id": [k for k, _ in items], "comp": [v for _, v in items]}
+            )
+            return spark.createDataFrame(pdf, schema=schema)
+
     if num_partitions is None:
         # size the loop's shuffles to the graph: ~500k edges/partition
         n_edges = edges.count()
@@ -431,8 +507,18 @@ def merge_components(
         .join(labels.select("id"), "id", "left_anti")
         .withColumn("comp", F.col("id"))
     )
+    # broadcast the remap only while it is broadcast-SIZED: a large
+    # increment bridging millions of components would blow the
+    # broadcast limit / executor memory under an unconditional
+    # F.broadcast (round-5 advisor finding) — count the contracted
+    # components (remap is already materialized increment-sized state
+    # from the star solve) and let AQE pick the join strategy above the
+    # threshold
+    remap = remap.localCheckpoint(eager=True)
+    if remap.count() <= 2_000_000:
+        remap = F.broadcast(remap)
     return (
         labels.unionByName(new_nodes)
-        .join(F.broadcast(remap), "comp", "left")
+        .join(remap, "comp", "left")
         .select("id", F.coalesce("new_comp", F.col("comp")).alias("comp"))
     )

@@ -66,30 +66,27 @@ def train_nb(
         F.col(label_col).cast("boolean").alias("y"),
         F.explode(_sql_tokens(text_col)).alias("token"),
     )
-    # vocabulary: deterministic top-V by (count desc, token asc) — a
-    # TakeOrdered plan, no global sort
+    # ONE tokenize + token-keyed aggregation carrying BOTH per-class
+    # counts; the deterministic top-V vocabulary (count desc, token asc)
+    # is the same TakeOrdered over total = c_pos + c_neg, so vocabulary
+    # selection and class counts ride a single corpus pass instead of
+    # two (the old plan tokenized once for the vocab TakeOrdered and
+    # again for the vocab-restricted (label, token) aggregation).
+    # The collect stays vocab-bounded (top-V rows only).
     vocab_rows = (
         toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("token"))
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("cn"),
+        )
+        .orderBy(F.desc(F.col("cp") + F.col("cn")), F.asc("token"))
         .limit(vocab_size)
-        .select("token")
         .collect()
     )
     vocab = {r["token"] for r in vocab_rows}
     v = len(vocab)
-    # ONE (label, token) aggregation restricted to the vocab (broadcast
-    # semi-join keeps the shuffle vocab-bounded)
-    spark = labeled.sparkSession
-    vdf = F.broadcast(spark.createDataFrame([(t,) for t in sorted(vocab)], "token string"))
-    counts = (
-        toks.join(vdf, "token", "left_semi")
-        .groupBy("y", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    c_pos = {r["token"]: r["c"] for r in counts if r["y"]}
-    c_neg = {r["token"]: r["c"] for r in counts if not r["y"]}
+    c_pos = {r["token"]: r["cp"] for r in vocab_rows if r["cp"]}
+    c_neg = {r["token"]: r["cn"] for r in vocab_rows if r["cn"]}
     t_pos = sum(c_pos.values())
     t_neg = sum(c_neg.values())
     prior = labeled.groupBy(F.col(label_col).cast("boolean").alias("y")).count().collect()

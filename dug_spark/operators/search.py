@@ -335,9 +335,12 @@ def bm25_topk(
 
     toks = sorted(set(analyzer.analyze(query, stopwords)))
     toks_col = analyzer.analyze_col(F.col(text_col), stopwords)
+    # ONE tokenization pass: the stats aggregation, the (fuzzy) vocab
+    # scan and the scoring scan all read the materialized token arrays —
+    # without the cut each pays the full analyze_col regex pass again
     base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks")).withColumn(
         "dl", F.size("toks")
-    )
+    ).localCheckpoint(eager=True)
     if fuzziness > 0:
         groups = fuzzy_expand_terms(base, F.col("toks"), toks, fuzziness, prefix_length)
     else:
@@ -600,6 +603,10 @@ def bm25_boosted_topk(
     base = df.select(*sel)
     for fname, _col, _clauses, _arr in fields:
         base = base.withColumn(f"dl_{fname}", F.size(f"tk_{fname}"))
+    # ONE tokenization pass over all fields: the per-field stats agg and
+    # the scoring scan both read the materialized token arrays instead
+    # of re-running 4 analyze_col regex passes each
+    base = base.localCheckpoint(eager=True)
     if not toks:
         return base.select(
             "id", *extra_cols, F.lit(0.0).alias("score")
@@ -1247,11 +1254,19 @@ def build_inverted_index(
     )
     if min_df > 1:
         # per-token df across shards, not per-shard (a sharded hot token
-        # must not flap around the threshold shard by shard)
-        tot = postings.groupBy("token").agg(F.sum("df").alias("_tdf"))
-        postings = postings.join(
-            F.broadcast(tot.where(F.col("_tdf") >= min_df)), "token"
-        ).drop("_tdf")
+        # must not flap around the threshold shard by shard).  A window
+        # sum over the postings keeps this ONE pass — the old aggregate +
+        # broadcast-join replayed the whole tf→postings chain a second
+        # time to build the token totals (12 exchanges → 6)
+        from pyspark.sql import Window
+
+        postings = (
+            postings.withColumn(
+                "_tdf", F.sum("df").over(Window.partitionBy("token"))
+            )
+            .where(F.col("_tdf") >= min_df)
+            .drop("_tdf")
+        )
     return postings.select(
         "token",
         "shard",

@@ -450,12 +450,23 @@ def extract_jsonld(
     parsed = exploded.withColumn(
         "e", F.from_json(F.trim("block"), JSONLD_SCHEMA)
     )
+    # from_json STRINGIFIES non-string JSON values into StringType
+    # fields ('"@type": ["Person","Patient"]' → '["Person","Patient"]',
+    # '"@type": 42' → '42') where the pyoracle mirror's isinstance
+    # guards drop them — and @type arrays are ubiquitous in real
+    # JSON-LD (round-5 advisor finding).  Gate entity_type on "does not
+    # look like a stringified JSON container/number/boolean" so both
+    # engines drop the same rows; residual documented deviation: a
+    # JSON *string* @type that itself spells a number or boolean
+    # ('"42"', '"true"') is dropped here but kept by the mirror.
+    et = F.col("e.`@type`")
+    plausible = ~et.rlike(r"^[\[{0-9+.-]") & ~et.isin("true", "false", "null")
     return (
-        parsed.where(F.col("e").isNotNull() & F.col("e.`@type`").isNotNull())
+        parsed.where(F.col("e").isNotNull() & et.isNotNull() & plausible)
         .select(
             "url",
             "block_idx",
-            F.col("e.`@type`").alias("entity_type"),
+            et.alias("entity_type"),
             F.col("e.name").alias("name"),
             F.col("e.url").alias("entity_url"),
             F.col("e.description").alias("description"),
@@ -581,8 +592,14 @@ def tables_to_triples(cells: DataFrame) -> DataFrame:
     the 2-column tables (per-table max col index — table-cardinality,
     dimension-sized next to the cell rows) + one semi-join back.
     """
-    shape = cells.groupBy("url", "table_idx").agg(
-        F.max("col_idx").alias("max_col")
+    # shape over DATA rows only, as documented: a table with a spanning
+    # 3-column header but 2-column data rows (common infobox shape) is
+    # a key/value table and must not be skipped (round-5 advisor
+    # finding — the old aggregation included header rows)
+    shape = (
+        cells.where(~F.col("is_header"))
+        .groupBy("url", "table_idx")
+        .agg(F.max("col_idx").alias("max_col"))
     )
     two_col = shape.where(F.col("max_col") == 1).select("url", "table_idx")
     data = (

@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.text import extract_text_udf
+from .functions.text import extract_text_col
 from .operators import annotate, canonicalize, concepts, link, normalize, triples
 
 
@@ -170,8 +170,10 @@ class Pipeline:
             if df.rdd.getNumPartitions() < target:
                 df = df.repartition(target, "url")
         if self.use_extracted_html:
-            # BASELINE invariant: extract_text(html) byte-identical to text
-            df = df.withColumn("text", extract_text_udf(F.col("html")))
+            # BASELINE invariant: extract_text(html) byte-identical to
+            # text — as whole-stage codegen (extract_text_col), so the
+            # extraction pays no Python boundary
+            df = df.withColumn("text", extract_text_col(F.col("html")))
 
         acc = None
         if self.track_lineage:

@@ -146,3 +146,32 @@ def test_annotator_registry(spark):
     assert 0 < n_s <= n_m
     with _pytest.raises(AnnotatorNotFoundException, match="Cannot find annotator"):
         get_annotator("llama")
+
+
+def test_extract_text_col_matches_udf(spark):
+    """The JVM extract_text_col must equal the pandas extract_text_udf
+    byte-for-byte on the synthetic corpus (incl. multibyte text)."""
+    from dug_spark.functions.text import extract_text_col, extract_text_udf
+
+    rows = [
+        (1, "plain ascii words"),
+        (2, "καλημέρα ünïcodé 句子"),
+        (3, ""),
+        (4, "angle < bracket but not a tag? a<b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    got = df.select(
+        "doc_id",
+        extract_text_col(F.col("html")).alias("a"),
+        extract_text_udf(F.col("html")).alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"], (r["doc_id"], r["a"], r["b"])

@@ -69,3 +69,29 @@ def test_redundant_increment_changes_nothing(spark):
     labels = _solve(spark, base)
     got = _merge(spark, labels, [("a", "c")])  # already same component
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+def test_cc_driver_path_matches_distributed(spark):
+    """The small-graph driver fast path must reproduce the distributed
+    min-propagation fixpoint exactly — including on an UN-symmetrized
+    edge list, where propagation is directed (src→dst only)."""
+    from dug_spark.operators import canonicalize
+
+    edges = [
+        ("a", "b"), ("b", "c"),          # chain
+        ("x", "z"), ("y", "z"),          # two sources into one sink
+        ("m", "m2"), ("m2", "m"),        # 2-cycle
+        ("q", "q"),                      # self-loop
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {
+        (r["id"], r["comp"])
+        for r in canonicalize.connected_components(df).collect()
+    }
+    slow = {
+        (r["id"], r["comp"])
+        for r in canonicalize.connected_components(
+            df, driver_cutoff_edges=0
+        ).collect()
+    }
+    assert fast == slow

@@ -87,3 +87,35 @@ def test_null_endpoints_dropped(spark):
         for r in graph.transitive_closure(df).collect()
     }
     assert got == {("a", "b"): 1}
+
+
+def test_all_strategies_agree(spark):
+    # driver fast path vs distributed doubling vs semi-naive frontier:
+    # identical (src, dst, depth) sets on the oracle-shaped DAG + a cycle
+    edges = [(f"n{i}", f"n{i // 2}") for i in range(1, 40)] + [
+        (f"n{i}", f"n{i // 3}") for i in range(2, 40) if i % 3 == 0
+    ] + [("c0", "c1"), ("c1", "c0")]
+    edges = sorted(set(edges))
+    driver = _closure(spark, edges)  # cutoff default takes the fast path
+    doubling = _closure(spark, edges, driver_cutoff_edges=0)
+    seminaive = _closure(
+        spark, edges, driver_cutoff_edges=0, strategy="seminaive"
+    )
+    assert driver == doubling == seminaive
+
+
+def test_driver_pair_cap_falls_back(spark):
+    # a pair cap the closure overruns must fall back to the distributed
+    # loop and still return the full exact result
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(12)]
+    got = _closure(spark, chain, driver_pair_cap=5)
+    assert got == _bfs_mirror(chain)
+
+
+def test_depth_guard_raises_distributed(spark):
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(6)]
+    with pytest.raises(ValueError, match="not converged"):
+        _closure(
+            spark, chain, max_iterations=1, driver_cutoff_edges=0,
+            strategy="seminaive",
+        )

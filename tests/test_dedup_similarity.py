@@ -331,8 +331,10 @@ def test_language_id_ngram_holdout_sentences(spark):
 
 
 def test_bm25_scan_prunes_columns(spark):
-    """Column pruning reaches the parquet scan: the BM25 plan reads ONLY
-    (doc_id, text) from the documents table."""
+    """Column pruning reaches the scan: the BM25 scoring plan reads ONLY
+    the (id, toks, dl) projection — since r6 the tokenized projection is
+    materialized once (localCheckpoint) and the scoring scan reads that
+    ExistingRDD, so no other document column survives into the plan."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     from dug_spark.operators import search
 
@@ -342,7 +344,9 @@ def test_bm25_scan_prunes_columns(spark):
         .executedPlan()
         .toString()
     )
-    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[:2000]
+    assert "Scan ExistingRDD[id#" in plan and "toks#" in plan, plan[:2000]
+    for col in ("lang#", "source#", "n_chars#", "text#"):
+        assert col not in plan, plan[:2000]
 
 
 # ---------------------------------------------------------------------------
@@ -870,3 +874,39 @@ def test_minhash_incremental_two_steps_cover_batch_pairs(spark):
         .collect()
     }
     assert batch_pairs == inc_pairs
+
+
+def test_shingles_regex_matches_slice_build(spark):
+    """The r6 regex shingle extraction must be bit-identical to the old
+    transform/sequence/slice construction, including empty tokens from
+    double spaces, short docs, and empty text."""
+    from pyspark.sql import functions as F
+    from dug_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a  b c"),          # double space → empty token
+        (3, " leading two"),    # leading space
+        (4, "one two"),         # fewer than k tokens
+        (5, ""),
+        (6, "x y x y x y"),     # repeats → distinct collapse
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    legacy = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) "
+            "ELSE array() END"
+        ).cast("array<string>")
+    )
+    got = {
+        r["doc_id"]: (list(r["new"]), list(r["old"]))
+        for r in df.select(
+            "doc_id",
+            dedup._shingles("text", 3).alias("new"),
+            legacy.alias("old"),
+        ).collect()
+    }
+    for doc_id, (new, old) in got.items():
+        assert new == old, (doc_id, new, old)

@@ -477,3 +477,58 @@ def test_tables_to_triples(spark):
         ("u1", "attr:release_date", "2020"),
         ("u1", "attr:weight_kg", "1.5"),
     }
+
+
+def test_jsonld_array_type_dropped_like_mirror(spark):
+    """Round-5 advisor finding: from_json stringifies an array @type into
+    '["Person","Patient"]' — the mirror's isinstance guard drops it, so
+    the Spark side must too (and numbers/booleans likewise)."""
+    from dug_spark.functions import pyoracle
+    from dug_spark.operators import weblinks
+
+    def page(block):
+        return (
+            "<html><body><script type=\"application/ld+json\">"
+            + block
+            + "</script></body></html>"
+        )
+
+    rows = [
+        ("u1", page('{"@type": ["Person", "Patient"], "name": "x"}')),
+        ("u2", page('{"@type": 42, "name": "x"}')),
+        ("u3", page('{"@type": true}')),
+        ("u4", page('{"@type": "Person", "name": "x"}')),
+        ("u5", page('{"@type": "schema:Person"}')),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(
+        (r["url"], r["entity_type"])
+        for r in weblinks.extract_jsonld(df).collect()
+    )
+    want = sorted(
+        (u, t) for (u, _i, t, _n, _eu, _d) in pyoracle.jsonld_rows(rows)
+    )
+    assert got == want == [("u4", "Person"), ("u5", "schema:Person")]
+
+
+def test_tables_to_triples_spanning_header(spark):
+    """Round-5 advisor finding: a 3-column header row over 2-column data
+    rows is still a key/value table — shape is judged on data rows."""
+    from dug_spark.operators import weblinks
+
+    cells = spark.createDataFrame(
+        [
+            ("u", 0, 0, 0, True, "spec"),
+            ("u", 0, 0, 1, True, "spanning"),
+            ("u", 0, 0, 2, True, "header"),
+            ("u", 0, 1, 0, False, "Color"),
+            ("u", 0, 1, 1, False, "blue"),
+        ],
+        "url string, table_idx int, row_idx int, col_idx int, "
+        "is_header boolean, cell string",
+    )
+    got = [
+        (r["subj"], r["pred"], r["obj"])
+        for r in weblinks.tables_to_triples(cells).collect()
+    ]
+    assert got == [("u", "attr:color", "blue")]
