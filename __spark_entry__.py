@@ -1481,7 +1481,13 @@ def q_kg_triple_validity(spark, sf_dir):
 
 
 def q_knn_cosine(spark, sf_dir):
-    """Brute-force cosine top-3 neighbors for the first 20 query vectors."""
+    """Brute-force cosine top-3 neighbors for the first 20 query vectors.
+
+    Round 6: the per-pair score runs through the vectorized numpy kernel
+    (`similarity._cos_pairs_udf`) instead of interpreted
+    aggregate/zip_with lambdas — BIT-IDENTICAL (cumsum = the same
+    left-to-right fold; see the helper's docstring), so the frozen
+    DuckDB oracle hash is unchanged by construction."""
     emb = _pq(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1489,13 +1495,10 @@ def q_knn_cosine(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
     )
     pairs = q.crossJoin(emb).where(F.col("vec_id") != F.col("q_id"))
-    dot = F.aggregate(
-        F.zip_with("qe", "e", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nq = F.sqrt(F.aggregate(F.transform("qe", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    nc = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     scored = pairs.select(
-        "q_id", F.col("vec_id").alias("neighbor_id"), (dot / (nq * nc)).alias("cos")
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._cos_pairs_udf()("qe", "e").alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -35,6 +35,34 @@ def _norm(col: str):
     )
 
 
+def _cos_pairs_udf():
+    """Vectorized cosine over (vec_a, vec_b) pair rows, BIT-IDENTICAL to
+    the `_dot/_norm` higher-order-expression form: Catalyst's
+    ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` is a strict
+    left-to-right double fold, and ``np.cumsum(prod, axis=1)[:, -1]`` is
+    the same sequential accumulation (verified exhaustively in
+    tests/test_similarity_vec.py) — unlike ``np.sum``/``np.dot``, whose
+    pairwise summation reorders the adds.  np.sqrt and the final divide
+    are single correctly-rounded IEEE ops on both engines.  Motivation
+    (guide §4.1/§4.2): the interpreted per-element lambda evaluation
+    costs ~4× per extra 16 planes (measured round 3 on the signature
+    bank); one numpy matmul-shaped batch kernel is flat in `dim`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    return cos
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -241,7 +269,22 @@ def lsh_topk(
     re-rank on candidates only.  Recall rises with bands; cost is the
     band-bucket join instead of the full cross product.  Defaults give
     8-bit bands (256 buckets each — see hyperplane_banded for the
-    width/recall/bucket-count trade)."""
+    width/recall/bucket-count trade).
+
+    Plan shape (round 6, guide §2.3/§8 "decide with small rows, move big
+    rows once" — here the big rows move ZERO times): the banded query
+    side is BROADCAST (the probe set is small by contract, same as
+    brute_force_topk's F.broadcast(q)), so candidate generation is a
+    map-side join over the corpus signature stream — the corpus
+    embeddings never cross an exchange.  Each candidate pair is scored
+    immediately (vectorized `_cos_pairs_udf`, bit-identical to the
+    interpreted fold — pyoracle.lsh_topk still mirrors exactly); a pair
+    matching in several bands is scored that many times, but duplicate
+    scores are bitwise equal and the numpy kernel is flat-cost, so the
+    dedup aggregates the 24-byte (q, c, cos) rows with FIRST(cos)
+    instead of shuffling dim×8-byte array pairs.  The only exchanges
+    left are that pair-keyed dedup and the q-keyed top-k window, both
+    over scored-row-sized data."""
     width = bits // bands
     mask = (1 << width) - 1
     qs = lsh_signatures(queries, dim, bits, id_col, vec_col, seed)
@@ -262,17 +305,19 @@ def lsh_topk(
         )
 
     cands = (
-        banded(qs, "q")
-        .join(banded(cs, "c"), ["band", "bucket"])
+        banded(cs, "c")
+        .join(F.broadcast(banded(qs, "q")), ["band", "bucket"])
         .where(F.col("id_q") != F.col("id_c"))
         .select("id_q", "id_c", "e_q", "e_c")
-        .dropDuplicates(["id_q", "id_c"])
     )
-    nq, nc = _norm("e_q"), _norm("e_c")
-    scored = cands.select(
-        F.col("id_q").alias("q_id"),
-        F.col("id_c").alias("neighbor_id"),
-        (_dot("e_q", "e_c") / (nq * nc)).alias("cos"),
+    scored = (
+        cands.select(
+            F.col("id_q").alias("q_id"),
+            F.col("id_c").alias("neighbor_id"),
+            _cos_pairs_udf()("e_q", "e_c").alias("cos"),
+        )
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.first("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
