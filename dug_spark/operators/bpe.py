@@ -292,8 +292,12 @@ def bpe_encode(
 
     def run(batches):
         rk = bc.value
+        # word → subwords memo scoped to the TASK, not the batch: word
+        # frequencies are Zipfian, so across a partition's batches the
+        # hit rate approaches 1 and encode_word runs ~once per distinct
+        # word per task (round 6; was re-encoded per 10k-row batch)
+        memo: dict[str, list[str]] = {}
         for pdf in batches:
-            memo: dict[str, list[str]] = {}
             subs, ns = [], []
             for text in pdf[text_col]:
                 row: list[str] = []

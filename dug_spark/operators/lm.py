@@ -40,6 +40,7 @@ from __future__ import annotations
 import math
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,8 +66,19 @@ def _sql_tokens(text_col: str):
     )
 
 
+def _tokenized(ref: DataFrame, text_col: str) -> DataFrame:
+    """One-column (toks array<string>) frame over the reference corpus —
+    the shared input of every count table.  Callers that train several
+    orders localCheckpoint this once so the ref is scanned + tokenized a
+    single time instead of once per table (round 6, guide §2.4)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    return ref.select(toks.alias("toks")).where(F.size("toks") > 0)
+
+
 def train_bigram_lm(
-    ref: DataFrame, text_col: str = "text"
+    ref: DataFrame, text_col: str = "text", toks_df: DataFrame | None = None
 ) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
     """Count tables for an interpolated bigram LM from a reference corpus:
     (unigram counts, bigram counts keyed by (context, word), total token
@@ -78,11 +90,9 @@ def train_bigram_lm(
     dimension-sized result.  The reference corpus is trusted/curated and
     small relative to the scoring corpus by construction (CCNet: Wikipedia
     vs Common Crawl) — the collect is O(vocab + bigram types), not
-    O(corpus)."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
-    )
-    with_toks = ref.select(toks.alias("toks")).where(F.size("toks") > 0)
+    O(corpus).  ``toks_df`` short-circuits tokenization with a shared
+    pre-tokenized frame (see ``_tokenized``)."""
+    with_toks = toks_df if toks_df is not None else _tokenized(ref, text_col)
     uni_rows = (
         with_toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -114,6 +124,8 @@ def train_trigram_lm(
     ref: DataFrame,
     text_col: str = "text",
     prune_trigram: int = 2,
+    toks_df: DataFrame | None = None,
+    with_ledger: bool = True,
 ) -> tuple[dict, dict]:
     """Trigram count tables with COUNT-THRESHOLD PRUNING (the CCNet-shape
     upgrade toward its KenLM 5-gram: Wenzek et al. 2020 §4.3 score with a
@@ -131,11 +143,13 @@ def train_trigram_lm(
     trigram's context total is ≥ its own count) while staying equally
     bounded; denominators remain UNPRUNED totals, so pruned probability
     mass is genuinely given up to the backoff terms rather than
-    renormalized away."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
-    )
-    with_toks = ref.select(toks.alias("toks")).where(F.size("toks") > 0)
+    renormalized away.
+
+    ``toks_df`` shares a pre-tokenized frame (see ``_tokenized``);
+    ``with_ledger=False`` skips the unpruned-type count — an extra
+    aggregation-output pass whose only consumer is the ledger — for
+    callers that discard it (``perplexity_filter``)."""
+    with_toks = toks_df if toks_df is not None else _tokenized(ref, text_col)
     seq = F.concat(F.array(F.lit(BOS), F.lit(BOS)), F.col("toks"))
     tri = F.transform(
         F.sequence(F.lit(0), F.size(seq) - 3),
@@ -145,20 +159,27 @@ def train_trigram_lm(
             F.element_at(seq, i + 3).alias("w"),
         ),
     )
+    # the counted table is read up to three times (kept rows, context
+    # totals, ledger type count) — materialize it ONCE so the trigram
+    # explode+aggregate does not replay per consumer (round 6; was 3
+    # full passes, the dominant cost of training)
     tri_counts = (
         with_toks.select(F.explode(tri).alias("t"))
         .groupBy("t.c2", "t.c1", "t.w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     # context totals ride on the counted table (no second ref scan)
     ctx_counts = tri_counts.groupBy("c2", "c1").agg(F.sum("n").alias("n"))
     kept_rows = tri_counts.where(F.col("n") >= prune_trigram).collect()
-    n_types = tri_counts.count()
     ctx_rows = ctx_counts.where(F.col("n") >= prune_trigram).collect()
     tables = {
         "trigrams": {(r["c2"], r["c1"], r["w"]): r["n"] for r in kept_rows},
         "ctx3": {(r["c2"], r["c1"]): r["n"] for r in ctx_rows},
     }
+    if not with_ledger:
+        return tables, None
+    n_types = tri_counts.count()
     ledger = {
         "trigram_types": n_types,
         "trigrams_kept": len(kept_rows),
@@ -288,15 +309,31 @@ def perplexity_filter(
     ``order=3`` (round 5) upgrades to the pruned interpolated trigram
     (train_trigram_lm / score_tokens_trigram — the step toward CCNet's
     actual pruned KenLM): same protocol, the trigram tables join the one
-    broadcast, and ``prune_trigram`` bounds them."""
-    import pandas as pd
+    broadcast, and ``prune_trigram`` bounds them.
+
+    Round-6 plan shape (guide §4.1/§2.4): training tokenizes the
+    reference ONCE into a checkpointed (toks) frame shared by the
+    unigram/bigram/trigram count tables (was: one scan+tokenize per
+    table) and skips the ledger-only type count; scoring is a scalar
+    Arrow pandas UDF over the TEXT COLUMN ALONE — the document's other
+    columns never cross the JVM↔Python boundary (the old mapInPandas
+    round-tripped every column, text included, both ways).  Per-doc
+    arithmetic is byte-identical (same loop, same floats)."""
+    from pyspark.sql.functions import pandas_udf
 
     if order not in (2, 3):
         raise ValueError(f"order must be 2 or 3, got {order}")
-    unigrams, bigrams, total = train_bigram_lm(ref, text_col)
+    toks_df = _tokenized(ref, text_col).localCheckpoint(eager=True)
+    unigrams, bigrams, total = train_bigram_lm(ref, text_col, toks_df=toks_df)
     ctx = context_totals(unigrams, bigrams)
     tri_tables = (
-        train_trigram_lm(ref, text_col, prune_trigram=prune_trigram)[0]
+        train_trigram_lm(
+            ref,
+            text_col,
+            prune_trigram=prune_trigram,
+            toks_df=toks_df,
+            with_ledger=False,
+        )[0]
         if order == 3
         else None
     )
@@ -306,45 +343,38 @@ def perplexity_filter(
         (unigrams, bigrams, total, ctx, lam, tri_tables, lam3)
     )
 
-    def _scored(frame: DataFrame) -> DataFrame:
-        """frame + (n_tokens, cross_entropy, perplexity) via the broadcast
-        LM inside one Arrow mapInPandas — the shared scorer for both the
-        calibration slice and the corpus (bit-identical by construction)."""
-        out_schema = T.StructType(
-            frame.schema.fields
-            + [
-                T.StructField("n_tokens", T.IntegerType()),
-                T.StructField("cross_entropy", T.DoubleType()),
-                T.StructField("perplexity", T.DoubleType()),
-            ]
+    @pandas_udf("n_tokens int, cross_entropy double, perplexity double")
+    def lm_score(texts: pd.Series) -> pd.DataFrame:
+        uni, bi, tot, cx, lmbd, tri, l3 = bc.value
+        ns, hs, ps = [], [], []
+        for text in texts:
+            tk = _py_tokens(text)
+            if tri is None:
+                h = score_tokens(tk, uni, bi, tot, cx, lmbd)
+            else:
+                h = score_tokens_trigram(tk, uni, bi, tot, cx, tri, lmbd, l3)
+            ns.append(len(tk))
+            hs.append(h)
+            ps.append(2.0**h)
+        return pd.DataFrame(
+            {
+                "n_tokens": pd.Series(ns, dtype="int32"),
+                "cross_entropy": pd.Series(hs, dtype="float64"),
+                "perplexity": pd.Series(ps, dtype="float64"),
+            }
         )
 
-        def score(batches):
-            uni, bi, tot, cx, lm, tri, l3 = bc.value
-            for pdf in batches:
-                ns, hs, ps = [], [], []
-                for text in pdf[text_col]:
-                    tk = _py_tokens(text)
-                    if tri is None:
-                        h = score_tokens(tk, uni, bi, tot, cx, lm)
-                    else:
-                        h = score_tokens_trigram(
-                            tk, uni, bi, tot, cx, tri, lm, l3
-                        )
-                    ns.append(len(tk))
-                    hs.append(h)
-                    ps.append(2.0**h)
-                pdf = pdf.copy()
-                pdf["n_tokens"] = pd.Series(ns, dtype="int32", index=pdf.index)
-                pdf["cross_entropy"] = pd.Series(
-                    hs, dtype="float64", index=pdf.index
-                )
-                pdf["perplexity"] = pd.Series(
-                    ps, dtype="float64", index=pdf.index
-                )
-                yield pdf
-
-        return frame.mapInPandas(score, schema=out_schema)
+    def _scored(frame: DataFrame) -> DataFrame:
+        """frame + (n_tokens, cross_entropy, perplexity) via the broadcast
+        LM — the shared scorer for both the calibration slice and the
+        corpus (bit-identical by construction).  Only ``text_col`` feeds
+        the ArrowEvalPython node; everything else stays in the JVM."""
+        return frame.withColumn("_lm", lm_score(F.col(text_col))).select(
+            *frame.columns,
+            F.col("_lm.n_tokens").alias("n_tokens"),
+            F.col("_lm.cross_entropy").alias("cross_entropy"),
+            F.col("_lm.perplexity").alias("perplexity"),
+        )
 
     # cutoffs: score the calibration docs DISTRIBUTED with the same
     # scorer, then collect ONLY the perplexity doubles (8 bytes/doc —
