@@ -1049,15 +1049,26 @@ def q_search_concepts_simple(spark, sf_dir):
 
 def q_rel_pricing_summary(spark, sf_dir):
     """A-family partial+final agg with exact decimal arithmetic (TPC-H Q1
-    shape; reference has no money math — this exercises the agg engine)."""
+    shape; reference has no money math — this exercises the agg engine).
+
+    Round 6 (guide §1.2-2): the DECIMAL casts stay per row (exact 2-dp
+    quantization, any input), but the SUM accumulators run over BIGINT
+    cents / 10^-4 units — the decimal value is integer-valued after ×100,
+    so the BIGINT cast is exact, the long sum is codegen's fast path
+    (was: widened-decimal accumulators per row), and the final
+    double-divide is the same single correctly-rounded step as
+    Decimal.toDouble.  Bit-identical output (verified row-for-row
+    against the old form on sf0.1); overflow needs rows × 1e9 ≥ 2^63 ≈
+    9 billion lineitem rows, far past what this sandbox can hold.
+    Measured 0.87 → 0.59 s isolated at sf0.1."""
     _pq(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+                        (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -1066,15 +1077,20 @@ def q_rel_pricing_summary(spark, sf_dir):
 
 
 def q_rel_top_orders(spark, sf_dir):
-    """J equi-join + T2 top-k: top 10 orders by exact-decimal revenue."""
+    """J equi-join + T2 top-k: top 10 orders by exact-decimal revenue.
+
+    Same BIGINT-units accumulator rewrite as q_rel_pricing_summary
+    (round 6): per-row DECIMAL quantization unchanged, long sum instead
+    of widened-decimal sum, bit-identical revenue (so the ORDER BY picks
+    the same rows)."""
     _pq(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     _pq(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _pq(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
         SELECT o.o_orderkey AS o_orderkey, c.c_name AS c_name,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
-                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+                        (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE) / 10000 AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
                         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY o.o_orderkey, c.c_name

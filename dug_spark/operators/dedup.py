@@ -74,12 +74,15 @@ def shingle_jaccard_pairs(
         df = df.repartition(target)
     # materialized once: the distinct shingle table feeds four consumers
     # (sizes, both join sides); without the cut the scan + explode +
-    # dedup shuffle replays per consumer (28 exchanges → 9)
+    # dedup shuffle replays per consumer (28 exchanges → 9).  LAZY
+    # checkpoint (round 6): every consumer runs inside the caller's one
+    # action, so the table computes in-flight instead of as a separate
+    # blocking job first
     sh = (
         df.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, shingle)).alias("s"))
         .where(F.length("s") > 0)
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("id_a"), "s")
@@ -249,8 +252,9 @@ def minhash_near_duplicates(
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     # one shingle pass feeds both the signatures and the verify step;
-    # eager localCheckpoint so the banded join and the two verify joins
-    # read the materialized arrays instead of re-scanning the corpus
+    # lazy localCheckpoint (round 6) so the banded join and the two
+    # verify joins read the materialized arrays instead of re-scanning
+    # the corpus — materialized in-flight at the first action
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -259,7 +263,7 @@ def minhash_near_duplicates(
             ),
         )
         .where(F.size("shs") > 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cands = minhash_lsh_candidates(
         sh.select("doc", minhash_signature_col(num_hashes).alias("sig")),
@@ -414,10 +418,10 @@ def simhash_near_duplicates(
     with `bands` blocks of 64/bands bits, any pair within max_hamming <
     bands shares at least one exact block (pigeonhole)."""
     width = 64 // bands
-    # doc-sized (id, 64-bit sig) table, materialized once: both sides of
-    # the banded self-join read it, so the tokenize + 33-sum aggregation
-    # runs once instead of twice
-    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    # doc-sized (id, 64-bit sig) table, materialized once (lazily, in
+    # the caller's one action): both sides of the banded self-join read
+    # it, so the tokenize + 33-sum aggregation runs once instead of twice
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     mask = (1 << width) - 1
     banded = sigs.select(
         "doc",
@@ -661,7 +665,7 @@ def remove_duplicate_spans(
             F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
             lambda w: w != "",
         ).alias("_ta"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # (doc, token index, token) — regenerated NARROW from the
     # materialized arrays wherever needed (no shuffle, no window)
     toks = base.select(
@@ -669,15 +673,21 @@ def remove_duplicate_spans(
     )
     # k-gram starting at i exists iff i + k ≤ |tokens|; built by slicing
     # the array instead of k-1 lead() window passes
+    # fingerprint = xxhash64 over the sliced token ARRAY — hashing the
+    # array directly skips materializing a joined k-token string per
+    # position (k×~6 bytes of char churn per gram, round 6); the
+    # fingerprint is internal (output is the reassembled text), and
+    # array-hash equality == joined-string equality for whitespace-split
+    # tokens, so the doomed-span set is unchanged
     occ = base.where(F.size("_ta") >= k).select(
         "_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("_ta") - k),
-                lambda i: F.array_join(F.slice("_ta", i + 1, k), " "),
+                lambda i: F.xxhash64(F.slice("_ta", i + 1, k)),
             )
-        ).alias("_idx", "_gram"),
-    ).select("_id", "_idx", F.xxhash64("_gram").alias("_h"))
+        ).alias("_idx", "_h"),
+    )
     okey = F.concat(
         F.col("_id").cast("string"),
         F.lit("#"),

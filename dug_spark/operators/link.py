@@ -138,7 +138,7 @@ def disambiguate_mentions(
     span_w = Window.partitionBy("doc", "surface")
     typed = typed.withColumn(
         "n_cands", F.size(F.collect_set("curie").over(span_w))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     anchors = typed.where(F.col("n_cands") == 1).select(
         "doc", "curie", "ctype"
     ).distinct()

@@ -167,7 +167,7 @@ def train_trigram_lm(
         with_toks.select(F.explode(tri).alias("t"))
         .groupBy("t.c2", "t.c1", "t.w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # context totals ride on the counted table (no second ref scan)
     ctx_counts = tri_counts.groupBy("c2", "c1").agg(F.sum("n").alias("n"))
@@ -323,7 +323,7 @@ def perplexity_filter(
 
     if order not in (2, 3):
         raise ValueError(f"order must be 2 or 3, got {order}")
-    toks_df = _tokenized(ref, text_col).localCheckpoint(eager=True)
+    toks_df = _tokenized(ref, text_col).localCheckpoint(eager=False)
     unigrams, bigrams, total = train_bigram_lm(ref, text_col, toks_df=toks_df)
     ctx = context_totals(unigrams, bigrams)
     tri_tables = (

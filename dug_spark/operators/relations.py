@@ -97,7 +97,7 @@ def extract_relations(
     terms = sorted({t for t, _c in vocab})
     low = df.select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_lt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lowered = F.col("_lt")
     per_pred = []
     for pred, conns in sorted(patterns.items()):

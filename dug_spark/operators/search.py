@@ -340,7 +340,7 @@ def bm25_topk(
     # without the cut each pays the full analyze_col regex pass again
     base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks")).withColumn(
         "dl", F.size("toks")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if fuzziness > 0:
         groups = fuzzy_expand_terms(base, F.col("toks"), toks, fuzziness, prefix_length)
     else:
@@ -605,8 +605,9 @@ def bm25_boosted_topk(
         base = base.withColumn(f"dl_{fname}", F.size(f"tk_{fname}"))
     # ONE tokenization pass over all fields: the per-field stats agg and
     # the scoring scan both read the materialized token arrays instead
-    # of re-running 4 analyze_col regex passes each
-    base = base.localCheckpoint(eager=True)
+    # of re-running 4 analyze_col regex passes each (lazy: materializes
+    # inside the stats-agg action, not as a separate job)
+    base = base.localCheckpoint(eager=False)
     if not toks:
         return base.select(
             "id", *extra_cols, F.lit(0.0).alias("score")

@@ -132,7 +132,7 @@ def build_triples(
     HAS_CONCEPT = explode (already distinct: unique doc key × set);
     subclass   = ontology edges semi-joined to the exploded live concepts;
     co-mention = pair explode of the same arrays."""
-    per_doc = doc_concept_sets(mentions).localCheckpoint(eager=True)
+    per_doc = doc_concept_sets(mentions).localCheckpoint(eager=False)
     out = _finish(
         per_doc.select(
             F.col("element_id").alias("subj"),
@@ -159,7 +159,7 @@ def _pair_counts(
     per_doc = doc_concept_sets(mentions).where(
         F.size("cs").between(1, max_concepts_per_doc)
     )
-    per_doc = per_doc.localCheckpoint(eager=True)
+    per_doc = per_doc.localCheckpoint(eager=False)
     n_docs = per_doc.count()  # scalar: one-row aggregate, folded to a literal
     marginals = (
         per_doc.select(F.explode("cs").alias("curie"))
