@@ -1428,7 +1428,12 @@ def personalized_pagerank(
     broadcast↔shuffle crossover guidance); the reset vector is
     seed-sized and joins the node table once.  Deterministic up to
     float-sum order — hash oracles round."""
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # one checkpoint: the edge projection feeds `iterations` contribution
+    # joins (round 6 — same cut as pagerank/hits; a derived edge subtree
+    # was otherwise re-computed per iteration)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     rv = reset.select(
         F.col(reset_node_col).alias("node"),
         F.col(reset_weight_col).cast("double").alias("w_raw"),
@@ -1550,9 +1555,18 @@ def _betweenness_loop(edges, seeds, max_depth, src_col, dst_col, seed_col):
         F.lit(0).alias("dist"),
         F.lit(1.0).alias("sigma"),
     ).localCheckpoint(eager=True)
-    levels = frontier
+    # the visited set accumulates as a LIST of per-level checkpointed
+    # layers unioned lazily (round 6 — same pattern as the semi-naive
+    # closure): re-checkpointing the whole union each round rewrote
+    # O(depth × |reached|) rows; each layer is a materialized
+    # LogicalRDD, so the union stays shallow and we never checkpoint a
+    # Union of checkpointed frames (the Spark 4 constraint-rewrite trap)
+    from functools import reduce
+
+    parts = [frontier]
     depth = 0
     for d in range(1, max_depth + 1):
+        levels = reduce(lambda a, b: a.unionByName(b), parts)
         cand = (
             frontier.join(e, frontier["node"] == e["src"])
             .select("seed", F.col("dst").alias("node"), "sigma")
@@ -1567,8 +1581,9 @@ def _betweenness_loop(edges, seeds, max_depth, src_col, dst_col, seed_col):
         if new.isEmpty():
             break
         depth = d
-        levels = levels.unionByName(new).localCheckpoint(eager=True)
+        parts.append(new)
         frontier = new
+    levels = reduce(lambda a, b: a.unionByName(b), parts)
     # backward: δ flows from the deepest level up; δ at the deepest
     # level is 0, so start one level below it.
     delta = levels.select("seed", "node", F.lit(0.0).alias("delta"))
