@@ -655,9 +655,13 @@ def remove_duplicate_spans(
       (one boilerplate sentence with 10^9 occurrences arrives at the
       reducer as per-mapper partials, not raw rows).
     - the non-keeper fan-out join back to occurrences is fingerprint-keyed
-      equi-join (AQE skew-splittable); token-level removal joins on the
-      UNIQUE doc id; reassembly is the same doc-keyed groupBy the line
-      dedup uses.  Net: 2 corpus-sized shuffles beyond the tokenize pass.
+      equi-join (AQE skew-splittable); doomed spans explode to their k
+      token indices and collapse to ONE removed-index SET per doomed
+      document (|spans|·k small rows through a doc-keyed aggregate);
+      reassembly is map-side array_except over token positions — no
+      per-token shuffle, no collect_list re-sort.  Net: 2 corpus-sized
+      shuffles beyond the tokenize pass, and the only doc-keyed exchange
+      carries removed-index sets for the doomed subset alone.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -666,11 +670,6 @@ def remove_duplicate_spans(
             lambda w: w != "",
         ).alias("_ta"),
     ).localCheckpoint(eager=False)
-    # (doc, token index, token) — regenerated NARROW from the
-    # materialized arrays wherever needed (no shuffle, no window)
-    toks = base.select(
-        "_id", F.posexplode("_ta").alias("_idx", "_tok")
-    )
     # k-gram starting at i exists iff i + k ≤ |tokens|; built by slicing
     # the array instead of k-1 lead() window passes
     # fingerprint = xxhash64 over the sliced token ARRAY — hashing the
@@ -705,43 +704,36 @@ def remove_duplicate_spans(
         .where(F.col("_okey") != F.col("_keeper"))
         .select("_id", F.col("_idx").alias("_s"))
     )
-    # token-level removal and reassembly touch ONLY doomed documents
-    # (inner joins on the doomed doc ids); untouched documents rebuild
-    # their text map-side from the materialized token array — at corpus
-    # scale the doomed subset is the duplicated fraction, not the world
-    removed = (
-        toks.join(doomed_spans, "_id")
-        .where(F.col("_idx").between(F.col("_s"), F.col("_s") + (k - 1)))
-        .select("_id", "_idx")
-        .distinct()
+    # token-level removal: each doomed span IS its k token indices —
+    # explode the sequence directly (k small rows per span) and collapse
+    # to ONE removed-index set per doomed document.  The pre-r6.3 shape
+    # instead joined doomed spans against every token of every doomed
+    # document under a BETWEEN range predicate (O(spans × tokens) pairs
+    # per doc before the filter) and re-sorted the kept tokens through a
+    # collect_list shuffle; the set form is one |spans|·k-row aggregate,
+    # and reassembly becomes PURE MAP-SIDE array ops on the already-
+    # materialized token arrays (array_except builds a hash set per row,
+    # so a doc rebuild is O(|tokens|), and position order is preserved).
+    rm_sets = doomed_spans.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (k - 1))).alias("_i")
+    ).groupBy("_id").agg(F.collect_set("_i").alias("_rm"))
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("_ta") - 1), F.col("_rm")
     )
-    kept = toks.join(removed.select("_id").distinct(), "_id", "left_semi").join(
-        removed, ["_id", "_idx"], "left_anti"
-    )
-    rebuilt = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    n_rm = removed.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_rm"))
-    return (
-        base.join(rebuilt, "_id", "left")
-        .join(n_rm, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce(
-                "clean_text",
-                F.when(F.col("_n_rm").isNotNull(), F.lit("")).otherwise(
-                    F.array_join("_ta", " ")
-                ),
-            ).alias("clean_text"),
-            F.size("_ta").cast("long").alias("n_tokens"),
-            F.coalesce("_n_rm", F.lit(0)).cast("long").alias("n_tokens_removed"),
+    return base.join(rm_sets, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_rm").isNull(), F.array_join("_ta", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(kept_pos, lambda i: F.get("_ta", i)), " "
+            )
         )
+        .alias("clean_text"),
+        F.size("_ta").cast("long").alias("n_tokens"),
+        F.when(F.col("_rm").isNull(), F.lit(0))
+        .otherwise(F.size("_rm"))
+        .cast("long")
+        .alias("n_tokens_removed"),
     )
 
 
