@@ -104,17 +104,21 @@ def shingle_jaccard_pairs(
     )
 
 
-def _minhash_component(i: int):
-    """min over shingles of xxhash64(shingle, i) — built via a closure
-    factory: a `lambda s, i=i:` default-arg lambda reads as a TWO-arg
-    (element, index) higher-order function to PySpark, silently hashing
-    with the array POSITION instead of the permutation number, which
-    makes all signature components identical and collapses LSH recall."""
-    return F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i))))
+def _minhash_component(i: int) -> str:
+    """min over shingles of xxhash64(shingle, i), as a SQL fragment.
+    The permutation number is spliced as an INT literal — identical to
+    the old Column build's ``F.xxhash64(s, F.lit(i))`` (hashing the pair
+    (shingle, int32 i) under the default seed).  Composed as SQL text so
+    the 32-component signature costs ONE py4j round-trip instead of a
+    few hundred (driver-side construction dominated this query at bench
+    scale — same rationale as the annotate fast path)."""
+    return f"array_min(transform(shs, s -> xxhash64(s, {int(i)})))"
 
 
 def minhash_signature_col(num_hashes: int):
-    return F.array(*[_minhash_component(i) for i in range(num_hashes)])
+    return F.expr(
+        "array(" + ", ".join(_minhash_component(i) for i in range(num_hashes)) + ")"
+    )
 
 
 def minhash_signatures(
@@ -180,25 +184,20 @@ def lsh_bucket_stats(banded: DataFrame, max_bucket: int | None = None) -> dict:
 def minhash_banded(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Exploded (doc, band, bucket) table from minhash signatures."""
-    return signatures.select(
-        "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    """Exploded (doc, band, bucket) table from minhash signatures.  One
+    composed selectExpr (band hashes are SQL text, not per-band Column
+    chains — py4j round-trip economy, values unchanged)."""
+    band_hashes = ", ".join(
+        "xxhash64(concat_ws('_', "
+        + ", ".join(
+            f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    return signatures.selectExpr(
+        "doc", f"posexplode(array({band_hashes})) AS (band, bucket)"
     )
 
 
@@ -374,37 +373,47 @@ def simhash(
     < 2³¹ tokens, i.e. always).  Per token row that is 32 cheap
     shift+AND+add updates and a 33-column aggregation state vs the former
     64 WHEN-sums; the per-bit ones-counts are unpacked from the lane
-    fields AFTER the aggregate, on one row per doc."""
+    fields AFTER the aggregate, on one row per doc.
+
+    The whole computation is composed as ONE parameterized SQL string
+    (single py4j round-trip): building the 33 aggregate columns and the
+    64-term signature through the Column API cost ~10k py4j calls
+    ≈ 1.4 s of driver-side construction per query — more than the
+    query's execution at bench scale (same rationale as the annotate
+    fast path's composed selectExpr).  Expressions are term-for-term
+    identical to the old Column build (`shiftleft(1L, b)` for bit 63 is
+    Java `1L << 63` = the old ``* -(1<<63)`` two's-complement term), so
+    signatures are bit-identical."""
     lane_mask = 0x0000000100000001  # lanes at bit 0 and bit 32
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(text_col, " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    sums = toks.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(
-                F.shiftrightunsigned("h", j).bitwiseAND(F.lit(lane_mask))
-            ).alias(f"s{j}")
-            for j in range(32)
-        ],
+    sums_sql = ", ".join(
+        f"sum(shiftrightunsigned(h, {j}) & {lane_mask}L) AS s{j}"
+        for j in range(32)
     )
 
-    def ones(b):
+    def ones(b: int) -> str:
         # ones-count of hash bit b: lane 0 (low 32 bits) of s_b, or lane 1
         # (high 32 bits) of s_{b-32}
         if b < 32:
-            return F.col(f"s{b}").bitwiseAND(F.lit((1 << 32) - 1))
-        return F.shiftrightunsigned(f"s{b - 32}", 32)
+            return f"(s{b} & {(1 << 32) - 1}L)"
+        return f"shiftrightunsigned(s{b - 32}, 32)"
 
-    sig = None
-    for b in range(bits):
-        bit = F.when(ones(b) * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        sig = term if sig is None else sig + term
-    return sums.select("doc", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"shiftleft(if({ones(b)} * 2 > n, 1L, 0L), {b})" for b in range(bits)
+    )
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    return df.sparkSession.sql(
+        f"""
+        SELECT doc, {sig_sql} AS simhash
+        FROM (
+          SELECT doc, count(1) AS n, {sums_sql}
+          FROM (
+            SELECT doc, xxhash64(tok) AS h
+            FROM (SELECT doc, explode(split(_t, ' ')) AS tok FROM {{src}})
+          )
+          GROUP BY doc
+        )""",
+        src=src,
+    )
 
 
 def simhash_near_duplicates(
