@@ -67,6 +67,21 @@ def analyze_col(col, stopwords: bool = True) -> Column:
     return F.filter(toks, lambda x: F.length(x) > 0)
 
 
+def analyze_spark_col_sql(expr: str, stopwords: bool = True) -> str:
+    """Spark-SQL text twin of ``analyze_col`` — the same split + filter
+    expression composed as one string, for call sites that assemble
+    whole queries as SQL text (py4j round-trip economy).  ``expr`` is a
+    Spark SQL fragment (column reference or expression)."""
+    toks = f"split(lower({expr}), '[^a-z0-9]+')"
+    if stopwords:
+        stop = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+        return (
+            f"filter({toks}, x -> (length(x) > 0)"
+            f" AND (NOT (x IN ({stop}))))"
+        )
+    return f"filter({toks}, x -> length(x) > 0)"
+
+
 def stopword_sql_list() -> str:
     """The stopword set as a DuckDB IN-list literal, for oracle SQL."""
     return "(" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + ")"

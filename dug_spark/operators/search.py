@@ -263,6 +263,42 @@ def _group_tf(tk_col: str, group: list[str]) -> F.Column:
     ).cast("double")
 
 
+def _sql_str(v: str) -> str:
+    """Spark-SQL single-quoted string literal."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_dbl(v: float) -> str:
+    """Exact double literal as SQL text: repr() is the shortest string
+    that round-trips, and CAST(string AS DOUBLE) parses via
+    Double.parseDouble (correctly rounded) — the spliced constant is
+    bit-identical to the F.lit(v) it replaces."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _group_tf_sql(tk_col: str, group: list[str]) -> str:
+    """SQL-text twin of ``_group_tf`` (same expressions, composed as one
+    string — py4j round-trip economy for the scoring expression)."""
+    if len(group) == 1:
+        return (
+            f"CAST(size(filter({tk_col}, x -> x = {_sql_str(group[0])}))"
+            " AS DOUBLE)"
+        )
+    members = "array(" + ", ".join(_sql_str(t) for t in group) + ")"
+    return (
+        f"CAST(size(filter({tk_col}, x -> array_contains({members}, x)))"
+        " AS DOUBLE)"
+    )
+
+
+def _group_present_sql(tk_col: str, group: list[str]) -> str:
+    """SQL-text twin of ``_group_present``."""
+    if len(group) == 1:
+        return f"array_contains({tk_col}, {_sql_str(group[0])})"
+    members = "array(" + ", ".join(_sql_str(t) for t in group) + ")"
+    return f"arrays_overlap({tk_col}, {members})"
+
+
 def _group_present(tk_col: str, group: list[str]) -> F.Column:
     """≥1 group member present in the token array — arrays_overlap against
     a literal array (the match operator=and gate under fuzzy expansion)."""
@@ -334,13 +370,15 @@ def bm25_topk(
     import math
 
     toks = sorted(set(analyzer.analyze(query, stopwords)))
-    toks_col = analyzer.analyze_col(F.col(text_col), stopwords)
     # ONE tokenization pass: the stats aggregation, the (fuzzy) vocab
     # scan and the scoring scan all read the materialized token arrays —
-    # without the cut each pays the full analyze_col regex pass again
-    base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks")).withColumn(
-        "dl", F.size("toks")
-    ).localCheckpoint(eager=False)
+    # without the cut each pays the full analyze_col regex pass again.
+    # Stats aggregate + score expression composed as SQL text (same
+    # expression trees, one py4j round-trip each — see bm25_boosted_topk)
+    base = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"{analyzer.analyze_spark_col_sql(f'`{text_col}`', stopwords)} AS toks",
+    ).withColumn("dl", F.size("toks")).localCheckpoint(eager=False)
     if fuzziness > 0:
         groups = fuzzy_expand_terms(base, F.col("toks"), toks, fuzziness, prefix_length)
     else:
@@ -359,15 +397,14 @@ def bm25_topk(
             )
         df_by_term = _term_doc_freqs(base, "toks", terms)
     else:
-        stats = base.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("dl").alias("avgdl"),
-            *[
-                F.sum(
-                    F.when(F.array_contains("toks", t), 1).otherwise(0)
-                ).alias(f"df_{i}")
+        stats = base.sparkSession.sql(
+            "SELECT count(1) AS n, avg(dl) AS avgdl"
+            + "".join(
+                f", sum(IF(array_contains(toks, {_sql_str(t)}), 1, 0)) AS df_{i}"
                 for i, t in enumerate(terms)
-            ],
+            )
+            + " FROM {b}",
+            b=base,
         ).collect()[0]
         n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
         if n == 0 or not toks:
@@ -376,7 +413,7 @@ def bm25_topk(
             )
         df_by_term = {t: stats[f"df_{i}"] for i, t in enumerate(terms)}
 
-    score = None
+    score_terms = []
     for q in toks:
         group = groups[q]
         df_t = max(df_by_term[t] for t in group)  # SynonymQuery docFreq
@@ -386,17 +423,18 @@ def bm25_topk(
         # group, not |group| chained size(filter) additions: keeps the
         # score expression O(|query|) deep at fuzziness>0 where a group
         # can hold max_expansions members (Catalyst codegen width guard)
-        tf = _group_tf("toks", group)
-        term = F.lit(idf) * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
+        tf = _group_tf_sql("toks", group)
+        score_terms.append(
+            f"{_sql_dbl(idf)} * {tf} * {_sql_dbl(k1 + 1.0)} / ({tf}"
+            f" + {_sql_dbl(k1)} * ({_sql_dbl(1.0 - b)}"
+            f" + {_sql_dbl(b)} * CAST(dl AS DOUBLE) / {_sql_dbl(avgdl)}))"
         )
-        score = term if score is None else score + term
     # filter on the RAW score, then round for display: filtering the
     # rounded value would drop a doc whose true score is in (0, 5e-7)
     # while a SQL oracle's WHERE score > 0 (bound to the unrounded
     # column) keeps it as 0.000000 — a latent gate mismatch at N ≳ 1e6
     return (
-        base.select("id", score.alias("_raw"))
+        base.selectExpr("id", " + ".join(score_terms) + " AS _raw")
         .where(F.col("_raw") > 0)
         .select("id", F.round("_raw", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
@@ -587,19 +625,43 @@ def bm25_boosted_topk(
     ]
     sel = [F.col(id_col).alias("id")] + [F.col(c) for c in extra_cols]
     for fname, col, _clauses, arr in fields:
-        sel.append(analyzer.analyze_col(col, stopwords).alias(f"tk_{fname}"))
+        # field specs may be SQL fragments (str) instead of Columns:
+        # the whole tokenization column then costs one F.expr round-trip
+        # (same expression tree as the analyze_col build)
+        if isinstance(col, str):
+            sel.append(
+                F.expr(
+                    f"{analyzer.analyze_spark_col_sql(col, stopwords)}"
+                    f" AS tk_{fname}"
+                )
+            )
+        else:
+            sel.append(analyzer.analyze_col(col, stopwords).alias(f"tk_{fname}"))
         if arr is not None:
             # per-element padded analyzed text for the phrase gate
-            sel.append(
-                F.transform(
-                    F.coalesce(arr, F.array().cast("array<string>")),
-                    lambda el: F.concat(
-                        F.lit(" "),
-                        F.array_join(analyzer.analyze_col(el, stopwords), " "),
-                        F.lit(" "),
-                    ),
-                ).alias(f"el_{fname}")
-            )
+            if isinstance(arr, str):
+                el = analyzer.analyze_spark_col_sql("el", stopwords)
+                sel.append(
+                    F.expr(
+                        f"transform(coalesce({arr},"
+                        " CAST(array() AS ARRAY<STRING>)),"
+                        f" el -> concat(' ', array_join({el}, ' '), ' '))"
+                        f" AS el_{fname}"
+                    )
+                )
+            else:
+                sel.append(
+                    F.transform(
+                        F.coalesce(arr, F.array().cast("array<string>")),
+                        lambda el: F.concat(
+                            F.lit(" "),
+                            F.array_join(
+                                analyzer.analyze_col(el, stopwords), " "
+                            ),
+                            F.lit(" "),
+                        ),
+                    ).alias(f"el_{fname}")
+                )
     base = df.select(*sel)
     for fname, _col, _clauses, _arr in fields:
         base = base.withColumn(f"dl_{fname}", F.size(f"tk_{fname}"))
@@ -627,24 +689,30 @@ def bm25_boosted_topk(
     # width stays bounded — a fuzzy multi-token query over 4 fields can
     # reach |query|·max_expansions·|fields| terms, where the inline
     # conditional sums would blow up Catalyst codegen (VERDICT r4
-    # "agg-width" guard) — the explode aggregation takes over there
+    # "agg-width" guard) — the explode aggregation takes over there.
+    # The aggregate AND the score expression below are composed as SQL
+    # text (one parameterized spark.sql / selectExpr round-trip each):
+    # the old Column-by-Column build cost ~5k py4j calls ≈ 1 s of
+    # driver-side construction per query — 4× the query's execution at
+    # bench scale.  Every fragment mirrors its old Column tree node for
+    # node (same operators, same association order, float literals
+    # spliced via repr → parseDouble exact round-trip), so scores are
+    # bit-identical.
     aggs = []
     for fname, _col, _clauses, _arr in fields:
-        dl = F.col(f"dl_{fname}")
-        aggs.append(F.sum((dl > 0).cast("long")).alias(f"n_{fname}"))
-        aggs.append(F.sum(dl.cast("long")).alias(f"sumdl_{fname}"))
+        aggs.append(f"sum(CAST((dl_{fname} > 0) AS BIGINT)) AS n_{fname}")
+        aggs.append(f"sum(CAST(dl_{fname} AS BIGINT)) AS sumdl_{fname}")
     wide = sum(len(fterms[f]) for f, _c, _cl, _a in fields) > _DF_AGG_WIDTH
     if not wide:
         for fname, _col, _clauses, _arr in fields:
             for i, t in enumerate(fterms[fname]):
                 aggs.append(
-                    F.sum(
-                        F.when(
-                            F.array_contains(f"tk_{fname}", t), 1
-                        ).otherwise(0)
-                    ).alias(f"df_{fname}_{i}")
+                    f"sum(IF(array_contains(tk_{fname}, {_sql_str(t)}), 1, 0))"
+                    f" AS df_{fname}_{i}"
                 )
-    stats = base.agg(*aggs).collect()[0]
+    stats = base.sparkSession.sql(
+        "SELECT " + ", ".join(aggs) + " FROM {b}", b=base
+    ).collect()[0]
     fdf: dict[str, dict[str, int]] = {}
     for fname, _col, _clauses, _arr in fields:
         if wide:
@@ -655,60 +723,58 @@ def bm25_boosted_topk(
                 for i, t in enumerate(fterms[fname])
             }
 
-    total = None
+    contribs = []
     for fname, _col, clauses, arr in fields:
         n_f = stats[f"n_{fname}"]
         if not n_f:
             continue  # field absent corpus-wide: no stats, no contribution
         avgdl = stats[f"sumdl_{fname}"] / float(n_f)
         df_by_term = fdf[fname]
-        bm25 = None
+        terms = []
         for q in toks:
             group = fgroups[fname][q]
             df_t = max(df_by_term[t] for t in group)  # SynonymQuery docFreq
             idf = math.log(1.0 + (n_f - df_t + 0.5) / (df_t + 0.5))
-            tf = _group_tf(f"tk_{fname}", group)  # Σ member tfs, one scan
-            term = F.lit(idf) * tf * (k1 + 1.0) / (
-                tf
-                + k1
-                * (1.0 - b + b * F.col(f"dl_{fname}").cast("double") / F.lit(avgdl))
+            tf = _group_tf_sql(f"tk_{fname}", group)  # Σ member tfs, one scan
+            terms.append(
+                f"{_sql_dbl(idf)} * {tf} * {_sql_dbl(k1 + 1.0)} / ({tf}"
+                f" + {_sql_dbl(k1)} * ({_sql_dbl(1.0 - b)}"
+                f" + {_sql_dbl(b)} * CAST(dl_{fname} AS DOUBLE)"
+                f" / {_sql_dbl(avgdl)}))"
             )
-            bm25 = term if bm25 is None else bm25 + term
-        mult = F.lit(0.0)
-        padded = F.concat(
-            F.lit(" "), F.array_join(f"tk_{fname}", " "), F.lit(" ")
+        bm25 = " + ".join(terms)
+        padded = f"concat(' ', array_join(tk_{fname}, ' '), ' ')"
+        all_present = " AND ".join(
+            _group_present_sql(f"tk_{fname}", fgroups[fname][q]) for q in toks
         )
-        all_present = reduce(
-            lambda a, b_: a & b_,
-            [
-                _group_present(f"tk_{fname}", fgroups[fname][q])
-                for q in toks
-            ],
-        )
+        mult = _sql_dbl(0.0)
         for gate, boost in clauses:
             if gate == "phrase":
                 if arr is not None:
                     # array field: per-element phrase containment (ES
                     # position_increment_gap — no cross-element phrases)
-                    hit = F.exists(
-                        f"el_{fname}", lambda p: p.contains(f" {phrase} ")
+                    hit = (
+                        f"exists(el_{fname}, p ->"
+                        f" contains(p, {_sql_str(' ' + phrase + ' ')}))"
                     )
                 else:
-                    hit = padded.contains(f" {phrase} ")
-                g = F.when(hit, 1.0).otherwise(0.0)
+                    hit = f"contains({padded}, {_sql_str(' ' + phrase + ' ')})"
+                g = f"IF({hit}, {_sql_dbl(1.0)}, {_sql_dbl(0.0)})"
             elif gate == "and":
-                g = F.when(all_present, 1.0).otherwise(0.0)
+                g = f"IF({all_present}, {_sql_dbl(1.0)}, {_sql_dbl(0.0)})"
             else:  # "or": plain match — bm25 itself gates on any-token
-                g = F.lit(1.0)
-            mult = mult + F.lit(boost) * g
-        contrib = bm25 * mult
-        total = contrib if total is None else total + contrib
-    if total is None:
+                g = _sql_dbl(1.0)
+            mult = f"{mult} + {_sql_dbl(boost)} * {g}"
+        contribs.append(f"({bm25}) * ({mult})")
+    if not contribs:
         return base.select(
             "id", *extra_cols, F.lit(0.0).alias("score")
         ).where(F.lit(False))
+    total = " + ".join(contribs)
     return (
-        base.select("id", *extra_cols, total.alias("_raw"))
+        base.selectExpr(
+            "id", *[f"`{c}`" for c in extra_cols], f"{total} AS _raw"
+        )
         .where(F.col("_raw") > 0)
         .select("id", *extra_cols, F.round("_raw", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
@@ -732,11 +798,11 @@ def search_concepts_bm25(
     pytest-verified against a pure-Python recompute instead.
     Output: (concept_id, name, type, score) top-k."""
     fields = [
-        (key, F.col(key) if key not in ("search_terms", "optional_terms")
-         else F.array_join(F.coalesce(key, F.array().cast("array<string>")), " "),
+        (key, f"`{key}`" if key not in ("search_terms", "optional_terms")
+         else f"array_join(coalesce(`{key}`, CAST(array() AS ARRAY<STRING>)), ' ')",
          clauses,
          # raw array for per-element phrase gates (position_increment_gap)
-         F.col(key) if key in ("search_terms", "optional_terms") else None)
+         f"`{key}`" if key in ("search_terms", "optional_terms") else None)
         for key, clauses in CONCEPT_BM25_CLAUSES
     ]
     base = concepts.where(
@@ -762,11 +828,11 @@ def search_variables_bm25(
     (_get_var_query, async_search.py:624-736), plus the must-match
     concept-membership filter (:730-736)."""
     fields = [
-        (key, F.col(key) if key not in ("search_terms", "optional_terms")
-         else F.array_join(F.coalesce(key, F.array().cast("array<string>")), " "),
+        (key, f"`{key}`" if key not in ("search_terms", "optional_terms")
+         else f"array_join(coalesce(`{key}`, CAST(array() AS ARRAY<STRING>)), ' ')",
          clauses,
          # raw array for per-element phrase gates (position_increment_gap)
-         F.col(key) if key in ("search_terms", "optional_terms") else None)
+         f"`{key}`" if key in ("search_terms", "optional_terms") else None)
         for key, clauses in VARIABLE_BM25_CLAUSES
     ]
     base = variables
