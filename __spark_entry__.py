@@ -164,7 +164,8 @@ def _nmentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _record_sf_dir(sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # schema-memoized scan (metadata only — rows re-read per action)
+    return fixtures.read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +313,7 @@ def q_dsir_select(spark, sf_dir):
     (_pyoracle_values — DuckDB has no xxhash64)."""
     from dug_spark.operators import importance
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _pq(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
     target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 7 == 0))
@@ -503,7 +504,7 @@ def q_kg_closure(spark, sf_dir):
             F.lit("C"), F.lpad(col.cast("long").cast("string"), 8, "0")
         )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _pq(spark, sf_dir, "documents").select("doc_id")
     tree = docs.where(did >= 1).select(
         c(did).alias("src"), c(F.floor(did / 2)).alias("dst")
     )
@@ -555,7 +556,7 @@ def _onto_edges(spark, sf_dir):
     def c(col):
         return F.concat(F.lit("C"), F.lpad(col.cast("long").cast("string"), 8, "0"))
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _pq(spark, sf_dir, "documents").select("doc_id")
     tree = docs.where(did >= 1).select(
         c(did).alias("src"), c(F.floor(did / 2)).alias("dst")
     )
@@ -607,7 +608,7 @@ def q_kg_rollup(spark, sf_dir):
 
     did = F.col("doc_id")
     counts = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _pq(spark, sf_dir, "documents")
         .select("doc_id")
         .select(
             F.concat(
@@ -680,7 +681,7 @@ def q_relation_extract(spark, sf_dir):
             )
         )
     )
-    injected = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    injected = _pq(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.lower(F.coalesce(F.col("text"), F.lit(""))),
@@ -1833,7 +1834,7 @@ def q_lm_perplexity(spark, sf_dir):
     cutoffs)."""
     from dug_spark.operators import lm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     ref = docs.where(F.col("doc_id") % 10 == 0)
     return lm.perplexity_filter(docs, ref, order=3).select(
         "doc_id", "n_tokens", "cross_entropy", "perplexity", "ppl_bucket"
@@ -1847,7 +1848,7 @@ def q_lm_pack(spark, sf_dir):
     pyoracle.pack_rows."""
     from dug_spark.operators import lm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return lm.pack_sequences(docs, budget=128, n_shards=8)
 
 
@@ -1866,7 +1867,7 @@ def q_bpe_merges(spark, sf_dir):
     independent pure-Python recompute of the identical procedure."""
     from dug_spark.operators import bpe
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return bpe.train_bpe(docs, **_bpe_params())
 
 
@@ -1877,7 +1878,7 @@ def q_bpe_encode(spark, sf_dir):
     over pyoracle-trained merges."""
     from dug_spark.operators import bpe
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     merges = bpe.train_bpe(docs, **_bpe_params())
     enc = bpe.bpe_encode(docs, merges)
     return enc.select(
@@ -2815,7 +2816,7 @@ def q_text_mojibake(spark, sf_dir):
 
     m1 = MOJI_SUFFIX.encode("utf-8").decode("latin-1")
     m2 = m1.encode("utf-8").decode("latin-1")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     injected = docs.withColumn(
         "text",
         F.when(F.col("doc_id") % 26 == 0, F.concat("text", F.lit(m2)))
@@ -2848,7 +2849,7 @@ def _web_linked_docs(spark, sf_dir):
         h(F.floor(did / 60) % (1 + (did % 20) % 4) + 12),
         F.lit('/r">c</a><a href="/local">d</a><a href="#top">e</a><p>t</p></body></html>'),
     )
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return _pq(spark, sf_dir, "documents").select(
         F.concat(
             F.lit("https://"), h(did), F.lit("/d/"), did.cast("string")
         ).alias("url"),
@@ -2992,7 +2993,7 @@ def q_unigram_vocab(spark, sf_dir):
     the VALUES oracle."""
     from dug_spark.operators import unigram
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return unigram.train_unigram(docs, **_UNIGRAM_KW).select("piece", "logp")
 
 
@@ -3003,7 +3004,7 @@ def q_unigram_encode(spark, sf_dir):
     recompute with the identical DP and tie-break."""
     from dug_spark.operators import unigram
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     vocab = unigram.train_unigram(docs, **_UNIGRAM_KW)
     return unigram.unigram_encode(
         docs, vocab, max_piece_len=_UNIGRAM_KW["max_piece_len"]
@@ -3013,7 +3014,7 @@ def q_unigram_encode(spark, sf_dir):
 def _doc_tokens(spark, sf_dir):
     """(source, tok) — whitespace tokens per document source, the shared
     input of the two sketch rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "source",
@@ -3090,7 +3091,7 @@ def q_weighted_sample(spark, sf_dir):
     same tie-break)."""
     from dug_spark.operators.importance import weighted_sample_per_group
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return weighted_sample_per_group(
         docs.select("lang", "doc_id", "n_chars"),
         "lang",
@@ -4344,7 +4345,7 @@ def q_warc_extract(spark, sf_dir):
     from dug_spark.sources import warc_parser as wp
 
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _pq(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 60)
         .select("doc_id", "text")
     )
@@ -4388,7 +4389,7 @@ def q_inverted_index(spark, sf_dir):
     in SQL."""
     from dug_spark.operators import search
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     out = search.build_inverted_index(
         docs, text_col="text", id_col="doc_id", num_shards=4, min_df=2
     )
@@ -4441,7 +4442,7 @@ def q_url_canon(spark, sf_dir):
             F.concat(F.lit("http://h"), k, F.lit(".example.org:8080/q?a=1"))
         )
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _pq(spark, sf_dir, "documents").select(
         "doc_id", url.alias("url")
     )
     return ts.canonical_url(docs).select("doc_id", "url", "canon_url")
@@ -4487,7 +4488,7 @@ def q_quality_nb(spark, sf_dir):
     summation order, same reasoning as the PageRank rounding)."""
     from dug_spark.operators import classify
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    docs = _pq(spark, sf_dir, "documents").withColumn(
         "label", F.col("lang") == "en"
     )
     out = classify.quality_classifier(docs, vocab_size=256, alpha=1.0)
@@ -4505,7 +4506,7 @@ def q_span_dedup(spark, sf_dir):
     the (id, start) keeper election is lexicographic in BOTH engines."""
     from dug_spark.operators import dedup as dd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _pq(spark, sf_dir, "documents").select(
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_id"),
         F.when(
             F.col("doc_id") % 7 == 0, F.concat("text", F.lit(_BOILERPLATE))
@@ -4528,7 +4529,7 @@ def q_tfidf_keywords(spark, sf_dir):
     resolved lexicographically."""
     from dug_spark.operators import textstats as ts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return ts.tfidf_keywords(docs, top_k=3).select(
         "doc_id", "token", "tf", "score", "rk"
     )
@@ -4542,7 +4543,7 @@ def q_sample_mix(spark, sf_dir):
     implementation."""
     from dug_spark.operators import textstats as ts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     out = ts.sample_corpus_mix(
         docs,
         fractions=_MIX_FRACTIONS,
@@ -4563,7 +4564,7 @@ def q_dedup_incremental(spark, sf_dir):
     election.  Oracle: the same md5 probe + window election in SQL."""
     from dug_spark.operators import dedup as dd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     seen = docs.where(F.col("doc_id") < 250).select(
         F.md5(F.encode(F.coalesce("text", F.lit("")), "utf-8")).alias("fp")
     )
@@ -4596,7 +4597,7 @@ def q_corpus_profile(spark, sf_dir):
     threshold-setting table is engine-independent."""
     from dug_spark.operators import textstats as ts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, sf_dir, "documents")
     return ts.corpus_profile(docs, group_col="lang").select(
         "grp", "n_docs", "total_chars", "mean_chars", "p50_chars", "p95_chars"
     )

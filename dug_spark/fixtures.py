@@ -286,6 +286,27 @@ def vocab_kg_nodes(spark: SparkSession) -> DataFrame:
     )
 
 
+#: per-path schema memo for the immutable driver testdata tables —
+#: METADATA caching only (the scan itself re-reads the parquet bytes on
+#: every action; no rows or results are memoized).  spark.read.parquet
+#: without a schema pays file listing + footer schema inference on every
+#: call (~80 ms), which the 25-query bench suite re-paid per query.
+_PQ_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan of an immutable input table with schema memoization
+    (first call infers and remembers; later calls pass the schema
+    explicitly and skip footer inference).  Use only for read-only
+    inputs — tables a job rewrites must re-infer."""
+    sch = _PQ_SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PQ_SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically lift the driver's documents.parquet into the
     BASELINE input shape (url, warc_ts, html, text, lang).
@@ -294,7 +315,7 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extract_text(html) == text`` byte-identically per url — the BASELINE
     per-row invariant.  Mirrors the SQL in __spark_entry__.oracle_sql.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat(F.lit("https://example.org/doc/"), F.col("doc_id").cast("string")).alias("url"),
         (F.to_timestamp(F.lit("2020-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),

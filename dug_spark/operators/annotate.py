@@ -161,17 +161,19 @@ def _annotate_jvm(
         empty = corpus.sparkSession.createDataFrame([], schemas.MENTIONS_RAW)
         return empty
     arr = "filter(array(" + ", ".join(cands) + "), c -> c is not null)"
-    return (
-        corpus.selectExpr(f"`{id_col}` as url", f"{padded} as _padded")
-        .selectExpr("url", f"explode({arr}) as _m")
-        .selectExpr(
-            "url",
-            "_m.search_text as search_text",
-            "_m.curie as curie",
-            "_m.label as label",
-            "_m.types as types",
-            "_m.score as score",
-        )
+    # ONE spark.sql call for the whole chain: each chained selectExpr
+    # re-ran the analyzer over the growing tree (Dataset construction
+    # analyzes eagerly), tripling the driver-side cost of the ~50-probe
+    # expression on every query that derives from mentions
+    return corpus.sparkSession.sql(
+        f"""
+        SELECT url, _m.search_text AS search_text, _m.curie AS curie,
+               _m.label AS label, _m.types AS types, _m.score AS score
+        FROM (
+          SELECT url, explode({arr}) AS _m
+          FROM (SELECT `{id_col}` AS url, {padded} AS _padded FROM {{src}})
+        )""",
+        src=corpus,
     )
 
 

@@ -1259,7 +1259,10 @@ def link_prediction(
         .unionByName(e.select(F.col("d").alias("node"), F.col("s").alias("nbr")))
         .where(F.col("node") != F.col("nbr"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (round 6): all five consumers run inside the caller's one
+        # action, so the adjacency materializes in-flight — the eager
+        # variant paid the derivation as a separate blocking job first
+        .localCheckpoint(eager=False)
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     wedge_mid = deg if max_degree is None else deg.where(F.col("deg") <= max_degree)
