@@ -1264,43 +1264,39 @@ def link_prediction(
         # variant paid the derivation as a separate blocking job first
         .localCheckpoint(eager=False)
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    wedge_mid = deg if max_degree is None else deg.where(F.col("deg") <= max_degree)
-    # adjacency keyed on the shared neighbor z, with z's degree attached
-    # once (node-sized join) so the pair aggregate needs no re-join.
-    by_z = adj.select(
-        F.col("nbr").alias("z"), F.col("node").alias("endpoint")
-    ).join(wedge_mid.select(F.col("node").alias("z"), "deg"), "z")
-    a = by_z.select("z", F.col("endpoint").alias("a"), F.col("deg").alias("zdeg"))
-    b = by_z.select("z", F.col("endpoint").alias("b"))
-    pairs = (
-        a.join(b, "z")
-        .where(F.col("a") < F.col("b"))
-        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .agg(
-            F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(F.lit(1.0) / F.log(F.col("zdeg"))).alias("adamic_adar"),
-        )
+    # the whole post-adjacency derivation as ONE parameterized spark.sql
+    # (round 6, py4j round-trip economy): same joins, same aggregates,
+    # same float expressions as the old Column build — wedge generation
+    # keyed on z with z's degree attached once, existing-edge anti-join,
+    # endpoint degrees joined last.
+    wedge_filter = (
+        "" if max_degree is None else f"WHERE deg <= {int(max_degree)}"
     )
-    existing = adj.select(
-        F.least("node", "nbr").alias("src"), F.greatest("node", "nbr").alias("dst")
-    ).distinct()
-    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_b"))
-    return (
-        pairs.join(existing, ["src", "dst"], "left_anti")
-        .join(da, "src")
-        .join(db, "dst")
-        .select(
-            "src",
-            "dst",
-            "common_neighbors",
-            (
-                F.col("common_neighbors")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors"))
-            ).alias("jaccard"),
-            "adamic_adar",
-        )
+    return adj.sparkSession.sql(
+        f"""
+        WITH deg AS (SELECT node, count(1) AS deg FROM {{adj}} GROUP BY node),
+        wedge_mid AS (SELECT node, deg FROM deg {wedge_filter}),
+        by_z AS (SELECT a.z, a.endpoint, w.deg
+                 FROM (SELECT nbr AS z, node AS endpoint FROM {{adj}}) a
+                 JOIN (SELECT node AS z, deg FROM wedge_mid) w USING (z)),
+        pairs AS (SELECT a.endpoint AS src, b.endpoint AS dst,
+                         count(1) AS common_neighbors,
+                         sum(CAST('1.0' AS DOUBLE) / ln(a.deg)) AS adamic_adar
+                  FROM by_z a JOIN by_z b
+                    ON a.z = b.z AND a.endpoint < b.endpoint
+                  GROUP BY a.endpoint, b.endpoint),
+        existing AS (SELECT DISTINCT least(node, nbr) AS src,
+                            greatest(node, nbr) AS dst FROM {{adj}})
+        SELECT p.src, p.dst, p.common_neighbors,
+               p.common_neighbors / (da.deg + db.deg - p.common_neighbors)
+                 AS jaccard,
+               p.adamic_adar
+        FROM pairs p
+        LEFT ANTI JOIN existing e ON p.src = e.src AND p.dst = e.dst
+        JOIN deg da ON p.src = da.node
+        JOIN deg db ON p.dst = db.node
+        """,
+        adj=adj,
     )
 
 

@@ -161,24 +161,29 @@ def _pair_counts(
     )
     per_doc = per_doc.localCheckpoint(eager=False)
     n_docs = per_doc.count()  # scalar: one-row aggregate, folded to a literal
-    marginals = (
-        per_doc.select(F.explode("cs").alias("curie"))
-        .groupBy("curie")
-        .agg(F.count("*").alias("c_node"))
-    )
+    # whole derivation as ONE parameterized spark.sql (round 6, py4j
+    # round-trip economy) — same marginals aggregate, same repartition-
+    # before-explode amplification guard (REPARTITION hint), same pair
+    # explode and broadcast marginal joins as the old Column build.
     width = per_doc.sparkSession.sparkContext.defaultParallelism * 2
-    exploded = per_doc.where(F.size("cs") >= 2).repartition(width, "element_id")
-    first = exploded.select(F.posexplode("cs").alias("i", "a"), F.col("cs"))
-    pairs = first.select(
-        "a", F.explode(F.slice("cs", F.col("i") + 2, F.size("cs"))).alias("b")
-    )
-    co = pairs.groupBy("a", "b").agg(F.count("*").alias("n_co"))
-    if min_pair_count > 1:
-        co = co.where(F.col("n_co") >= min_pair_count)
-    ma = F.broadcast(marginals)
-    joined = (
-        co.join(ma.withColumnsRenamed({"curie": "a", "c_node": "c_a"}), "a")
-        .join(ma.withColumnsRenamed({"curie": "b", "c_node": "c_b"}), "b")
+    having = f"HAVING count(1) >= {int(min_pair_count)}" if min_pair_count > 1 else ""
+    joined = per_doc.sparkSession.sql(
+        f"""
+        WITH marginals AS (
+          SELECT curie, count(1) AS c_node
+          FROM (SELECT explode(cs) AS curie FROM {{pd}})
+          GROUP BY curie),
+        ex AS (SELECT /*+ REPARTITION({int(width)}, element_id) */
+                      element_id, cs FROM {{pd}} WHERE size(cs) >= 2),
+        fst AS (SELECT posexplode(cs) AS (i, a), cs FROM ex),
+        pairs AS (SELECT a, explode(slice(cs, i + 2, size(cs))) AS b FROM fst),
+        co AS (SELECT a, b, count(1) AS n_co FROM pairs GROUP BY a, b {having})
+        SELECT /*+ BROADCAST(ma), BROADCAST(mb) */
+               co.a, co.b, co.n_co, ma.c_node AS c_a, mb.c_node AS c_b
+        FROM co JOIN marginals ma ON co.a = ma.curie
+                JOIN marginals mb ON co.b = mb.curie
+        """,
+        pd=per_doc,
     )
     return joined, n_docs
 

@@ -78,56 +78,58 @@ def validate_triples(
     t0 = triples.select("subj", "pred", "obj")
     if materialize:
         t0 = t0.localCheckpoint(eager=False)
-    c = F.broadcast(
-        constraints.select(
-            F.col("pred").alias("c_pred"),
-            "domain_prefix",
-            "range_prefix",
-            F.col("max_out").cast("long").alias("max_out"),
-        )
+    # the whole validator is ONE parameterized spark.sql (round 6): the
+    # Column-by-Column build cost a few hundred py4j round-trips per
+    # call; the SQL text mirrors the old Column tree node for node
+    # (same joins, same broadcast placement via hints, same when/array/
+    # explode family emission), so outputs are identical.
+    prefix_of = (
+        "CASE WHEN contains({col}, ':') THEN split({col}, ':', 2)[0] "
+        "ELSE '' END"
     )
-    t = t0.join(c, F.col("pred") == F.col("c_pred"), "left")
-    fam = F.array(
-        F.when(F.col("c_pred").isNull(), F.lit("unknown_pred")),
-        F.when(
-            F.col("domain_prefix").isNotNull()
-            & (_prefix("subj") != F.col("domain_prefix")),
-            F.lit("domain"),
-        ),
-        F.when(
-            F.col("range_prefix").isNotNull()
-            & (_prefix("obj") != F.col("range_prefix")),
-            F.lit("range"),
-        ),
+    return t0.sparkSession.sql(
+        f"""
+        WITH c AS (SELECT pred AS c_pred, domain_prefix, range_prefix,
+                          CAST(max_out AS BIGINT) AS max_out
+                   FROM {{constraints}}),
+        t AS (SELECT /*+ BROADCAST(c) */ t0.subj, t0.pred, t0.obj,
+                     c.c_pred, c.domain_prefix, c.range_prefix
+              FROM {{t0}} t0 LEFT JOIN c ON t0.pred = c.c_pred),
+        map_side AS (
+          SELECT subj, pred, obj,
+                 explode(filter(array(
+                   IF(c_pred IS NULL, 'unknown_pred', NULL),
+                   IF(domain_prefix IS NOT NULL
+                      AND {prefix_of.format(col="subj")} != domain_prefix,
+                      'domain', NULL),
+                   IF(range_prefix IS NOT NULL
+                      AND {prefix_of.format(col="obj")} != range_prefix,
+                      'range', NULL)
+                 ), v -> v IS NOT NULL)) AS violation
+          FROM t),
+        cc AS (SELECT pred, CAST(max_out AS BIGINT) AS max_out
+               FROM {{constraints}} WHERE max_out IS NOT NULL),
+        capped AS (SELECT /*+ BROADCAST(cc) */ t0.subj, t0.pred, t0.obj,
+                          cc.max_out
+                   FROM {{t0}} t0 JOIN cc ON t0.pred = cc.pred),
+        over AS (SELECT subj, pred FROM (
+                   SELECT subj, pred, max_out,
+                          count(DISTINCT obj) AS n_obj
+                   FROM capped GROUP BY subj, pred, max_out)
+                 WHERE n_obj > max_out),
+        cardinality AS (
+          SELECT /*+ BROADCAST(over) */ DISTINCT
+                 capped.subj, capped.pred, capped.obj,
+                 'cardinality' AS violation
+          FROM capped JOIN over
+            ON capped.subj = over.subj AND capped.pred = over.pred)
+        SELECT subj, pred, obj, violation FROM map_side
+        UNION ALL
+        SELECT subj, pred, obj, violation FROM cardinality
+        """,
+        t0=t0,
+        constraints=constraints,
     )
-    map_side = t.select(
-        "subj",
-        "pred",
-        "obj",
-        F.explode(F.filter(fam, lambda v: v.isNotNull())).alias("violation"),
-    )
-    # cardinality: the violating (subj, pred) groups are a violation-
-    # sized frame; broadcast them back so every member triple is emitted.
-    capped = t0.join(
-        F.broadcast(
-            constraints.where(F.col("max_out").isNotNull()).select(
-                "pred", F.col("max_out").cast("long").alias("max_out")
-            )
-        ),
-        "pred",
-    )
-    over = (
-        capped.groupBy("subj", "pred", "max_out")
-        .agg(F.count_distinct("obj").alias("n_obj"))
-        .where(F.col("n_obj") > F.col("max_out"))
-        .select("subj", "pred")
-    )
-    cardinality = (
-        capped.join(F.broadcast(over), ["subj", "pred"])
-        .select("subj", "pred", "obj", F.lit("cardinality").alias("violation"))
-        .distinct()
-    )
-    return map_side.unionByName(cardinality)
 
 
 def conformance_report(violations: DataFrame, triples: DataFrame) -> DataFrame:
