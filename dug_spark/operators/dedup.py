@@ -123,11 +123,22 @@ def shingle_jaccard_pairs(
         )
         .where(F.col("rk") <= pref_len)
     )
-    a = pref.select(F.col("doc").alias("id_a"), "s")
-    b = pref.select(F.col("doc").alias("id_b"), "s")
+    a = pref.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"), "s")
+    b = pref.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"), "s")
+    # size filter (AllPairs): J ≥ t ⇒ J ≤ ℓmin/ℓmax ⇒ ℓmin ≥ t·ℓmax —
+    # prunes candidates before the dedup/verify; −1e-9 keeps the float
+    # product from ever exceeding the exact boundary (false positives
+    # only, re-verified away)
     cand = (
         a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b")
+                - F.lit(1e-9)
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
